@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Local-mode sessions are tuned for the test harness (local[32],
+  * 128 GiB box) but every conf here is chosen to also make sense on a
+  * large cluster: AQE on (runtime coalescing + skew-join splitting),
+  * shuffle partitions sized to cores (not the 200 default), UTC session
+  * time zone (the reference pins per-row timezones explicitly — see
+  * reference src/spark/collector.py:361-366).
+  */
+object GraftSession {
+
+  /** Shared engine confs, applied to any builder (local or cluster). */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / bench. One JVM, `cores` task threads. */
+  def local(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
+    val spark = tuned(
+      SparkSession
+        .builder()
+        .master(s"local[$cores]")
+        .appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
+      math.max(2, Runtime.getRuntime.availableProcessors()))
+}
