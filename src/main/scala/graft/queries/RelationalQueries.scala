@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Geo
+
+/** Projection / filter / scalar-function / sort / set-op operators
+  * (SURVEY §2.2 P1-P9, §2.6 O1, §2.7, §2.8 F1-F11), each with a DuckDB
+  * oracle. Filters and projections are written scan-adjacent so Catalyst
+  * pushes them into the parquet reader (PushedFilters / ReadSchema).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1/S2: filter-pushed scan — predicate + projection reach the reader.
+    "s1_pruned_scan" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .where(col("event_type").isin("click", "view") &&
+          col("ts") >= lit("2024-01-08").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // P1: column select + rename (collector.py:311-318 analog).
+    "p1_project_rename" -> ((spark, dir) => {
+      Tables.customer(spark, dir)
+        .select(
+          col("c_custkey").as("user_id"),
+          col("c_name").as("user_name"),
+          col("c_mktsegment").as("segment"),
+          round(col("c_acctbal"), 4).as("balance"))
+    }),
+
+    // P2: nested-struct flatten (mover.py:49-80 analog) — build a nested
+    // struct, then project nested fields back to top level.
+    "p2_nested_flatten" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(struct(
+          col("user_id"),
+          struct(col("event_type"), col("value")).as("inner")).as("evt"))
+        .select(
+          col("evt.user_id").as("user_id"),
+          col("evt.inner.event_type").as("event_type"),
+          round(col("evt.inner.value"), 4).as("value"))
+    }),
+
+    // P3: null-guard filters (collector.py:310 analog; nulls derived).
+    "p3_null_filter" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("maybe_type", nullif(col("event_type"), lit("click")))
+        .where(col("maybe_type").isNotNull)
+        .groupBy("maybe_type")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // P4: equality / inequality / range predicates (collector.py:247,491,...).
+    "p4_predicates" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .where(col("l_quantity") > 30 && col("l_discount") <= 0.05 &&
+          col("l_returnflag") =!= "A" && col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_partkey"), round(col("l_extendedprice"), 4).as("price"))
+    }),
+
+    // P5: CASE WHEN + coalesce (collector.py:319-325, 450-456 analog).
+    "p5_case_when" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          when(col("value") > 100, lit("high"))
+            .when(col("value") > 50, lit("mid"))
+            .otherwise(lit("low")).as("value_band"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ok")).as("type_or_ok"))
+    }),
+
+    // P7/P8: casts + literal columns (collector.py:1101-1107 analog).
+    "p7_cast_lit" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(
+          col("event_id").cast("int").as("event_id_i32"),
+          col("value").cast("long").as("value_floor"),
+          col("ts").cast("date").cast("string").as("event_date"),
+          lit(1).as("batch_flag"))
+    }),
+
+    // P9: na.fill + na.drop (collector.py:516, 838 analog; nulls derived).
+    "p9_na_fill_drop" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("maybe_type", nullif(col("event_type"), lit("view")))
+        .withColumn("maybe_val", when(col("value") < 20, lit(null).cast("double")).otherwise(col("value")))
+        .na.fill(Map("maybe_type" -> "unknown"))
+        .na.drop(Seq("maybe_val"))
+        .groupBy("maybe_type")
+        .agg(count(lit(1)).as("n"), round(sum("maybe_val"), 4).as("sum_val"))
+    }),
+
+    // F1/F2: haversine composed from built-ins (collector.py:120-133).
+    "f1_haversine" -> ((spark, dir) => {
+      Fixtures.geoEvents(spark, dir)
+        .select(
+          col("event_id"),
+          round(Geo.haversineKm(col("lat"), col("lon"), lit(-33.87), lit(151.21)), 4)
+            .as("km_to_sydney"))
+    }),
+
+    // F3/F5/F8: date/time kernel — trunc week/month, date_format, datediff.
+    "f3_datetime" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+          date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"))
+    }),
+
+    // F6/F7 + string kernel: split/substring/lower/length/regexp.
+    "f7_string_ops" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          split(col("text"), " ").getItem(0).as("first_word"),
+          substring(col("text"), 1, 10).as("prefix10"),
+          length(col("text")).as("text_len"),
+          upper(col("lang")).as("lang_uc"),
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("source_num"))
+    }),
+
+    // JSON scalar functions over the events.props column.
+    "f_json_extract" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+    }),
+
+    // F9/F10: explode over split words (generator), word frequencies.
+    "f9_explode_words" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"))
+    }),
+
+    // O1: global sort + deterministic top-k (orderBy + limit).
+    "o1_sort_limit" -> ((spark, dir) => {
+      Tables.orders(spark, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total"))
+    }),
+
+    // Set operations (not in the reference — completeness): union/except.
+    "set_union_except" -> ((spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val auto = c.where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      val rich = c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
+      building.union(auto).except(rich).distinct()
+        .select(col("c_custkey").as("custkey"))
+    }),
+
+    // Set intersection.
+    "set_intersect" -> ((spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+      c.where(col("c_acctbal") > 0).select(col("c_custkey"))
+        .intersect(o.select(col("o_custkey").as("c_custkey")))
+        .select(col("c_custkey").as("custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_pruned_scan" ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |WHERE event_type IN ('click','view') AND ts >= TIMESTAMP '2024-01-08'
+        |GROUP BY 1""".stripMargin,
+
+    "p1_project_rename" ->
+      """SELECT c_custkey AS user_id, c_name AS user_name,
+        |  c_mktsegment AS segment, round(c_acctbal, 4) AS balance
+        |FROM customer""".stripMargin,
+
+    "p2_nested_flatten" ->
+      "SELECT user_id, event_type, round(value, 4) AS value FROM events",
+
+    "p3_null_filter" ->
+      """SELECT nullif(event_type, 'click') AS maybe_type, count(*) AS n
+        |FROM events WHERE nullif(event_type, 'click') IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "p4_predicates" ->
+      """SELECT l_orderkey, l_partkey, round(l_extendedprice, 4) AS price
+        |FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount <= 0.05
+        |  AND l_returnflag <> 'A' AND l_linenumber = 1""".stripMargin,
+
+    "p5_case_when" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 100 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS value_band,
+        |  coalesce(nullif(event_type, 'error'), 'ok') AS type_or_ok
+        |FROM events""".stripMargin,
+
+    "p7_cast_lit" ->
+      """SELECT CAST(event_id AS INTEGER) AS event_id_i32,
+        |  CAST(floor(value) AS BIGINT) AS value_floor,
+        |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |  1 AS batch_flag
+        |FROM events""".stripMargin,
+
+    "p9_na_fill_drop" ->
+      """SELECT coalesce(nullif(event_type, 'view'), 'unknown') AS maybe_type,
+        |  count(*) AS n,
+        |  round(sum(value), 4) AS sum_val
+        |FROM events WHERE value >= 20
+        |GROUP BY 1""".stripMargin,
+
+    "f1_haversine" ->
+      ("WITH " + Fixtures.geoEventsCte +
+        " SELECT event_id, round(" +
+        Geo.haversineSql("lat", "lon", "-33.87", "151.21") +
+        ", 4) AS km_to_sydney FROM geo_events"),
+
+    "f3_datetime" ->
+      """SELECT event_id,
+        |  strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+        |FROM events""".stripMargin,
+
+    "f7_string_ops" ->
+      """SELECT doc_id,
+        |  split_part(text, ' ', 1) AS first_word,
+        |  substring(text, 1, 10) AS prefix10,
+        |  length(text) AS text_len,
+        |  upper(lang) AS lang_uc,
+        |  CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS source_num
+        |FROM documents""".stripMargin,
+
+    "f_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+
+    "f9_explode_words" ->
+      """SELECT word, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY 1""".stripMargin,
+
+    "o1_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "set_union_except" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |) EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        |INTERSECT SELECT o_custkey FROM orders""".stripMargin
+  )
+}
