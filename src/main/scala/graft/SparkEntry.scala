@@ -8,9 +8,11 @@ object SparkEntry {
     CoreQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++
+      JoinQueries.queries ++ AggWindowQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ RelationalQueries.oracles
+    CoreQueries.oracles ++ RelationalQueries.oracles ++
+      JoinQueries.oracles ++ AggWindowQueries.oracles
 }

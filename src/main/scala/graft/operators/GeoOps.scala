@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+
+/** Nearest-city tagging (the reference's shared geo kernel,
+  * src/spark/collector.py:168-256: cross join events × cities dict,
+  * haversine, row_number over distance, keep rank 1).
+  *
+  * Two implementations with identical semantics:
+  *
+  *   - [[tagNearestCity]] — the 100 TB path. The dictionary is tiny
+  *     (10s of rows, reference config/config.yaml:30), so we fold it
+  *     into a literal array-of-structs and take `array_min` of
+  *     (distance, city_id, ...) structs: a pure per-row projection.
+  *     Zero shuffle, zero join, whole-stage codegen; scales linearly
+  *     with events and is embarrassingly parallel across executors.
+  *
+  *   - [[tagNearestCityWindowed]] — the reference-shaped plan
+  *     (crossJoin + window argmin) kept for operator parity (J1+W1).
+  *     Costs a |events|×|cities| intermediate plus a shuffle per
+  *     window partitioning — correct but strictly worse; do not use
+  *     at scale.
+  *
+  * Distance ties are broken by city_id; distances are rounded to 4
+  * decimals first so both engines (and the DuckDB oracle) agree.
+  */
+object GeoOps {
+
+  /** One dictionary entry. */
+  final case class City(id: Int, name: String, lat: Double, lon: Double, timezone: String)
+
+  /** Scale path: per-row argmin over a literal city array — no shuffle. */
+  def tagNearestCity(events: DataFrame, cities: Seq[City], lat: Column, lon: Column): DataFrame = {
+    require(cities.nonEmpty, "city dictionary must not be empty")
+    val cityStructs = cities.map { c =>
+      struct(
+        round(Geo.haversineKm(lat, lon, lit(c.lat), lit(c.lon)), 4).as("dist_km"),
+        lit(c.id).as("city_id"),
+        lit(c.name).as("city_name"),
+        lit(c.timezone).as("timezone"))
+    }
+    val best = array_min(array(cityStructs: _*))
+    events
+      .withColumn("__best", best)
+      .withColumn("city_id", col("__best.city_id"))
+      .withColumn("city_name", col("__best.city_name"))
+      .withColumn("timezone", col("__best.timezone"))
+      .withColumn("dist_km", col("__best.dist_km"))
+      .drop("__best")
+  }
+
+  /** Parity path: crossJoin(broadcast(cities)) + row_number window. */
+  def tagNearestCityWindowed(events: DataFrame, cities: DataFrame,
+                             lat: Column, lon: Column, eventKey: Column): DataFrame = {
+    val dist = round(
+      Geo.haversineKm(lat, lon, col("city_lat"), col("city_lon")), 4)
+    val w = Window.partitionBy(eventKey).orderBy(col("dist_km").asc, col("city_id").asc)
+    events
+      .crossJoin(broadcast(cities))
+      .withColumn("dist_km", dist)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "city_lat", "city_lon")
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Aggregation and window operators (SURVEY §2.4 A1-A6, §2.5 W1-W7),
+  * each with a DuckDB oracle. collect_list results are sorted before
+  * emission (SURVEY §7.4.2 — the reference relies on undefined
+  * post-shuffle ordering; we make order explicit and oracle-checkable).
+  */
+object AggWindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1+A2: per-user ordered collect_list + size (travel_array analog).
+    "a1_collect_list" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("event_type")))).as("types_sorted"),
+          size(collect_list(col("event_type"))).as("n_events"))
+    }),
+
+    // A3+W6: weekly counts with monthly totals replicated per week
+    // (the reference's wk/mnth datamart grain, collector.py:668-673).
+    "a3_weekly_monthly" -> ((spark, dir) => {
+      val wk = Tables.events(spark, dir)
+        .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM-dd"))
+        .groupBy("month", "week", "event_type")
+        .agg(count(lit(1)).as("week_cnt"))
+      wk.withColumn("month_cnt",
+        sum(col("week_cnt")).over(Window.partitionBy(col("month"), col("event_type"))))
+    }),
+
+    // A4: distinct projection.
+    "a4_distinct" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+    }),
+
+    // A5: dedup-by-key with a deterministic keeper (latest ts, then
+    // highest event_id) — the well-defined form of drop_duplicates.
+    "a5_dedup_by_key" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"))
+    }),
+
+    // A6: argmax via max_by — top-spending user per event_type.
+    "a6_argmax" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("user_id", "event_type")
+        .agg(round(sum("value"), 4).as("total"))
+        .groupBy("event_type")
+        .agg(max_by(col("user_id"), struct(col("total"), col("user_id"))).as("top_user"),
+          round(max(col("total")), 4).as("top_total"))
+    }),
+
+    // Exact distinct count (reference does dedup-then-count; we add the
+    // direct aggregate for completeness).
+    "a7_count_distinct" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // W1: row_number top-k per group (top-2 events by value per user).
+    "w1_rownum_topk" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("user_id"), col("rn"), col("event_id"), round(col("value"), 4).as("value"))
+    }),
+
+    // W2: first(ignoreNulls) over desc order — latest non-null value
+    // per user (act_city analog, collector.py:337-353).
+    "w2_first_ignorenulls" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .withColumn("maybe_val",
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("last_good_val", first(col("maybe_val"), ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(round(max(col("last_good_val")), 4).as("last_good_val"))
+    }),
+
+    // W3: lag-based change detection (travel city-change kernel,
+    // collector.py:442-448): count event_type changes per user.
+    "w3_lag_changes" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(spark, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("changed",
+          when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("changed")).as("n_changes"))
+    }),
+
+    // W7: first over asc = registration timestamp (collector.py:746-755).
+    "w7_first_event" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(spark, dir)
+        .withColumn("reg_date",
+          date_format(first(col("ts")).over(w), "yyyy-MM-dd"))
+        .groupBy("user_id", "reg_date")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // lead + rank + dense_rank (beyond-reference window completeness).
+    "w8_rank_lead" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(spark, dir)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("next_event", lead(col("event_id"), 1).over(w))
+        .where(col("rnk") <= 5)
+        .select(col("event_type"), col("rnk"), col("drnk"),
+          col("event_id"), col("next_event"))
+    }),
+
+    // Explicit ROWS frame: running sum per user (beyond-reference).
+    "w9_running_sum" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_collect_list" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a3_weekly_monthly" ->
+      """WITH wk AS (
+        |  SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    event_type, count(*) AS week_cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT month, week, event_type, week_cnt,
+        |  sum(week_cnt) OVER (PARTITION BY month, event_type) AS month_cnt
+        |FROM wk""".stripMargin,
+
+    "a4_distinct" -> "SELECT DISTINCT user_id, event_type FROM events",
+
+    "a5_dedup_by_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "a6_argmax" ->
+      """WITH totals AS (
+        |  SELECT user_id, event_type, round(sum(value), 4) AS total
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, user_id AS top_user, total AS top_total FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY total DESC, user_id DESC) AS rn
+        |  FROM totals
+        |) WHERE rn = 1""".stripMargin,
+
+    "a7_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "w1_rownum_topk" ->
+      """SELECT user_id, rn, event_id, round(value, 4) AS value FROM (
+        |  SELECT user_id, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn <= 2""".stripMargin,
+
+    "w2_first_ignorenulls" ->
+      """SELECT user_id, round(maybe_val, 4) AS last_good_val FROM (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS maybe_val,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type <> 'error'
+        |) WHERE rn = 1""".stripMargin,
+
+    "w3_lag_changes" ->
+      """SELECT user_id, sum(changed) AS n_changes FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS DISTINCT FROM event_type
+        |    THEN 1 ELSE 0 END AS changed
+        |  FROM events
+        |) GROUP BY 1""".stripMargin,
+
+    "w7_first_event" ->
+      """SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d') AS reg_date,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "w8_rank_lead" ->
+      """SELECT event_type, rnk, drnk, event_id, next_event FROM (
+        |  SELECT event_type, event_id,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    lead(event_id, 1) OVER w AS next_event
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+        |) WHERE rnk <= 5""".stripMargin,
+
+    "w9_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events""".stripMargin
+  )
+}
