@@ -5,14 +5,16 @@ import graft.queries._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    ParityQueries.queries("dm_users_demographic")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++
-      JoinQueries.queries ++ AggWindowQueries.queries
+      JoinQueries.queries ++ AggWindowQueries.queries ++
+      ParityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++
-      JoinQueries.oracles ++ AggWindowQueries.oracles
+      JoinQueries.oracles ++ AggWindowQueries.oracles ++
+      ParityQueries.oracles
 }

@@ -39,6 +39,9 @@ object Tables {
     * keeps ns); emit derived dates/strings/epoch-seconds instead.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Runtime-settable SQL conf: the driver may hand us a session that
+    // wasn't built by GraftSession, so pin it here before the read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))

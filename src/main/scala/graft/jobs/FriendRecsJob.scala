@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+import graft.operators.GeoOps
+import graft.queries.Fixtures
+
+/** Datamart 3 — friend recommendations (reference
+  * src/spark/collector.py:896-1150):
+  *
+  *   1. real contacts: bidirectional edge expansion of (user, partner)
+  *      pairs via explode(array(...)) (F10), distinct;
+  *   2. candidate pairs: self equi join of per-channel subscribers
+  *      (J5) with left != right;
+  *   3. minus contacts: left anti join (J6);
+  *   4. per-user latest-event coordinates (we use LATEST — the
+  *      reference's asc/first "last message" quirk is documented in
+  *      SURVEY §7.4.3 and not reproduced), joined to both sides (J7);
+  *   5. haversine proximity filter (the 1 km rule scaled to the
+  *      fixture's synthetic coordinate spread);
+  *   6. decorate with zone + local time (J8, F4).
+  *
+  * "Messages" are click events whose partner id comes from the props
+  * JSON payload; "channels" are signup/view event types. Scale notes:
+  * the per-channel self join is the quadratic hot spot (SURVEY §7.3) —
+  * its both-sides input is deduped first, and at 100 TB channel-level
+  * salting or LSH blocking replaces it (see graft.operators.Dedup).
+  * The anti join and coordinate joins shuffle on the same (left_user)
+  * key so AQE can reuse the exchange.
+  */
+object FriendRecsJob {
+
+  val MaxDistKm = 300.0
+  val ProcessedDttm = "2026-08-12 00:00:00"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Fixtures.geoEvents(spark, dir)
+
+    // 1. Real contacts from "messages" (click events, partner from props).
+    val msgs = geo
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 100L).as("partner"))
+      .where(col("partner").isNotNull && col("partner") =!= col("user_id"))
+    val contacts = msgs
+      .select(explode(array(
+        struct(col("user_id").as("left_user"), col("partner").as("right_user")),
+        struct(col("partner").as("left_user"), col("user_id").as("right_user")))).as("e"))
+      .select(col("e.left_user"), col("e.right_user"))
+      .distinct()
+
+    // 2. Candidate pairs: users sharing a "channel" (signup/view type).
+    val subs = geo
+      .where(col("event_type").isin("signup", "view"))
+      .select(col("event_type").as("channel"), col("user_id"))
+      .distinct()
+    val pairs = subs.select(col("channel"), col("user_id").as("left_user"))
+      .join(subs.select(col("channel"), col("user_id").as("right_user")), Seq("channel"))
+      .where(col("left_user") =!= col("right_user"))
+      .select("left_user", "right_user")
+      .distinct()
+
+    // 3. Remove pairs that already messaged each other.
+    val fresh = pairs.join(contacts, Seq("left_user", "right_user"), "left_anti")
+
+    // 4. Latest-event coordinates + act city per user.
+    val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
+      col("lat"), col("lon"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastCoords = tagged
+      .withColumn("__rn", row_number().over(wDesc))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("lat"), col("lon"),
+        col("city_id"), col("timezone"), col("ts").as("last_ts"))
+
+    // 5-6. Proximity filter + decoration.
+    val left = lastCoords.select(
+      col("user_id").as("left_user"), col("lat").as("l_lat"), col("lon").as("l_lon"),
+      col("city_id").as("zone_id"), col("timezone"), col("last_ts"))
+    val right = lastCoords.select(
+      col("user_id").as("right_user"), col("lat").as("r_lat"), col("lon").as("r_lon"))
+
+    fresh
+      .join(left, Seq("left_user"))
+      .join(right, Seq("right_user"))
+      .withColumn("dist_km",
+        round(Geo.haversineKm(col("l_lat"), col("l_lon"), col("r_lat"), col("r_lon")), 4))
+      .where(col("dist_km") <= MaxDistKm)
+      .select(
+        col("left_user").as("user_id"),
+        col("right_user").as("rec_to_add_user_id"),
+        lit(ProcessedDttm).as("processed_dttm"),
+        col("zone_id"),
+        date_format(from_utc_timestamp(col("last_ts"), col("timezone")),
+          "yyyy-MM-dd HH:mm:ss").as("local_time"))
+  }
+}

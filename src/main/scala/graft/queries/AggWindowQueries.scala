@@ -161,7 +161,7 @@ object AggWindowQueries {
         |  FROM events GROUP BY 1, 2, 3
         |)
         |SELECT month, week, event_type, week_cnt,
-        |  sum(week_cnt) OVER (PARTITION BY month, event_type) AS month_cnt
+        |  CAST(sum(week_cnt) OVER (PARTITION BY month, event_type) AS BIGINT) AS month_cnt
         |FROM wk""".stripMargin,
 
     "a4_distinct" -> "SELECT DISTINCT user_id, event_type FROM events",
@@ -206,7 +206,7 @@ object AggWindowQueries {
         |) WHERE rn = 1""".stripMargin,
 
     "w3_lag_changes" ->
-      """SELECT user_id, sum(changed) AS n_changes FROM (
+      """SELECT user_id, CAST(sum(changed) AS BIGINT) AS n_changes FROM (
         |  SELECT user_id,
         |    CASE WHEN lag(event_type) OVER (
         |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS DISTINCT FROM event_type
