@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash group), MinHash+LSH, SimHash, and blocked
+  * n-gram Jaccard. All are built from codegen'd expressions; the only
+  * shuffles are the final group-bys / bucket joins, keyed so that at
+  * 100 TB each bucket is small (LSH bands) or bounded (block keys).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by a key expression (e.g. md5 of normalized
+    * text). Emits one row per key with the keeper (min id) and count.
+    * Scale: a single hash aggregation — map-side partial combine makes
+    * this linear; no row data is shuffled, only (key, id, count).
+    */
+  def exactGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k minimums of seeded xxhash64 over shingles.
+    * Returns an array<long> column of length k (null-safe: docs with no
+    * shingles get Long.MaxValue mins).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      coalesce(
+        array_min(transform(shingleCol, s => xxhash64(lit(seed), s))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * shingle → k-minhash → band hashes (k/rowsPerBand bands) → explode →
+    * bucket self-join on (band index, band hash) → candidate pairs →
+    * exact-Jaccard verification at `threshold`.
+    *
+    * Scale: candidates are generated per LSH bucket, so the join blowup
+    * is bounded by bucket size (tunable via bands/rows); the verify step
+    * recomputes exact Jaccard only for candidates. This is the standard
+    * web-scale dedup shape (shingle tables never materialize globally).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 2, k: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val bands = k / rowsPerBand
+    val toks = TextFns.tokens(col(textCol))
+    val withSig = df
+      .select(col(idCol).as("doc"), array_distinct(TextFns.shingles(toks, shingleN)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(
+      col("doc"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((col("sig")(b * rowsPerBand) +: (1 until rowsPerBand)
+          .map(r => col("sig")(b * rowsPerBand + r))) :+ lit(b): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens (sign of per-bit vote of
+    * token xxhash64 bits). Pure expression tree, rows-only checkable
+    * (no xxhash64 in the oracle engine).
+    */
+  def simhash64(toksCol: Column): Column = {
+    val hashed = transform(toksCol, t => xxhash64(t))
+    val bitCols = (0 until 64).map { i =>
+      val vote = aggregate(hashed, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Blocked exact n-gram-Jaccard near-dup pairs: all pairs within a
+    * blocking key (e.g. lang+source) scored by shingle-set Jaccard.
+    * Scale: the quadratic pair generation is confined to blocks; for
+    * unblockable corpora use [[minhashLshPairs]] instead.
+    */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], shingleN: Int,
+                          threshold: Double): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val base = df.select(
+      (blockCols.map(col) :+ col(idCol).as("doc") :+
+        array_distinct(TextFns.shingles(toks, shingleN)).as("sh")): _*)
+    val l = base.select(blockCols.map(col) :+ col("doc").as("doc_a") :+ col("sh").as("sh_a"): _*)
+    val r = base.select(blockCols.map(col) :+ col("doc").as("doc_b") :+ col("sh").as("sh_b"): _*)
+    l.join(r, blockCols)
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(TextFns.jaccard(col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+ col("jaccard")): _*)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (array<float>).
+  *
+  * Cosine is computed in double precision with strict left-to-right
+  * accumulation (aggregate over zip_with), which is bit-identical to
+  * DuckDB's list_dot_product over DOUBLE[] — that makes the brute-force
+  * path fully oracle-checkable.
+  *
+  * Scale design: queries are broadcast (they are the small side by
+  * construction); scoring is a map-side projection over the corpus with
+  * no shuffle; only the per-query top-k reduction shuffles, and the
+  * [[TopKAgg]] aggregator bounds what moves to k rows per query per
+  * partition (map-side partial top-k), so shuffle volume is
+  * O(queries × k × partitions) regardless of corpus size. The LSH
+  * variant prunes the scored pairs to matching signature buckets first.
+  */
+object Similarity {
+
+  /** Double-precision cosine similarity of two array<float> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** DuckDB twin of [[cosine]] (embedding lists cast to DOUBLE[]). */
+  def cosineSql(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+
+  final case class Scored(id: Long, score: Double)
+
+  /** Bounded-heap top-k aggregator: the map-side partial top-k that a
+    * window row_number plan can't do. Buffer never exceeds k entries,
+    * so partial aggregation ships k rows per partition instead of the
+    * whole candidate set. Ordering: score desc, id asc (deterministic).
+    */
+  class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def top(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortBy(s => (-s.score, s.id)).take(k)
+    override def zero: Seq[Scored] = Nil
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = top(b :+ a)
+    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = top(x ++ y)
+    override def finish(b: Seq[Scored]): Seq[Scored] = b
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** Brute-force cosine top-k, window form (oracle-checkable baseline).
+    * Self-matches excluded; ties broken by neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Brute-force cosine top-k via [[TopKAgg]] — same semantics as
+    * [[bruteForceTopK]], scale-friendly shuffle profile.
+    */
+  def aggregatorTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    corpus
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("neighbor_id"), round(col("s.score"), 4).as("score"))
+  }
+
+  /** Random-hyperplane LSH signature (nBits sign bits). Hyperplane
+    * weights are Rademacher ±1 derived from sin(p*dim + d) — cheap,
+    * deterministic, and reproducible in plain SQL if ever needed.
+    */
+  def lshSignature(emb: Column, dim: Int, nBits: Int): Column = {
+    val ed = emb.cast("array<double>")
+    val bitCols = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(ed, transform(sequence(lit(0), lit(dim - 1)),
+          d => when(sin(d + lit(p * dim)) >= 0, 1.0).otherwise(-1.0)),
+          (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine top-k within matching signature
+    * buckets only. Trades recall for a bucket-local join — the scale
+    * path when queries are too many to broadcast-score the corpus.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64, nBits: Int = 8): DataFrame = {
+    val sig = (df: DataFrame) => df.withColumn("sig", lshSignature(col("embedding"), dim, nBits))
+    val q = sig(queries).select(col("sig"),
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = sig(corpus)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    c.join(q, Seq("sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Text-analysis and deduplication extension queries over `documents`
+  * (LLM training-data pipeline ops). Oracle-checked wherever the
+  * kernel is expressible in DuckDB; MinHash/SimHash use xxhash64 and
+  * are rows-only checked (plus ScalaTest property specs).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sqlWords = Seq("join", "filter", "group", "sort", "agg", "query")
+  private val infraWords = Seq("spark", "batch", "stream", "hash", "merge", "scan")
+  private val dataWords = Seq("data", "row", "column", "table", "value", "key")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on full text.
+    "dedup_exact" -> ((spark, dir) => {
+      Dedup.exactGroups(Tables.documents(spark, dir), md5(col("text")), col("doc_id"))
+    }),
+
+    // Exact dedup on a normalized key (40-char prefix) — nontrivial
+    // groups exist in the fixtures.
+    "dedup_prefix" -> ((spark, dir) => {
+      Dedup.exactGroups(Tables.documents(spark, dir),
+        md5(substring(col("text"), 1, 40)), col("doc_id"))
+    }),
+
+    // Blocked exact n-gram Jaccard near-dup pairs (lang+source blocks).
+    "dedup_ngram_jaccard" -> ((spark, dir) => {
+      Dedup.blockedJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", Seq("lang", "source"), shingleN = 2, threshold = 0.3)
+    }),
+
+    // MinHash+LSH near-dup pairs (rows-only; verified in ScalaTest
+    // against blocked exact Jaccard).
+    "dedup_minhash" -> ((spark, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 2, k = 32, rowsPerBand = 4, threshold = 0.5)
+    }),
+
+    // SimHash fingerprints (rows-only).
+    "dedup_simhash" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          Dedup.simhash64(TextFns.tokens(col("text"))).as("simhash"))
+    }),
+
+    // Token counting: whitespace + regex tokenizations.
+    "text_token_count" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(TextFns.tokens(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_re_tokens"),
+          length(col("text")).as("n_chars"))
+    }),
+
+    // Quality scoring: length / uniqueness / stopword signals.
+    "text_quality" -> ((spark, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      val stop = Seq("the", "a")
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_words"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("uniq_ratio"),
+          round(aggregate(transform(toks, t => length(t)), lit(0),
+            (acc, v) => acc + v).cast("double") / size(toks), 4).as("avg_word_len"),
+          round(size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
+            .cast("double") / size(toks), 4).as("stopword_ratio"))
+    }),
+
+    // Language-ID heuristic: keyword-set overlap argmax.
+    "text_langid" -> ((spark, dir) => {
+      val toks = array_distinct(TextFns.tokens(col("text")))
+      def score(ws: Seq[String]) =
+        size(array_intersect(toks, array(ws.map(lit): _*)))
+      Tables.documents(spark, dir)
+        .withColumn("s_sql", score(sqlWords))
+        .withColumn("s_infra", score(infraWords))
+        .withColumn("s_data", score(dataWords))
+        .select(col("doc_id"),
+          when(col("s_sql") >= col("s_infra") && col("s_sql") >= col("s_data"), "sql")
+            .when(col("s_infra") >= col("s_data"), "infra")
+            .otherwise("data").as("lang_pred"),
+          col("s_sql"), col("s_infra"), col("s_data"))
+    }),
+
+    // Rolling-hash document fingerprint.
+    "text_fingerprint" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextFns.fingerprint(TextFns.tokens(col("text"))).as("fp"))
+    })
+  )
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS dup_key, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_prefix" ->
+      """SELECT md5(substring(text, 1, 40)) AS dup_key, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" -> {
+      val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
+      s"""WITH base AS (
+         |  SELECT lang, source, doc_id AS doc, list_distinct($sh) AS sh FROM documents
+         |)
+         |SELECT l.lang, l.source, l.doc AS doc_a, r.doc AS doc_b,
+         |  round(${TextFns.jaccardSql("l.sh", "r.sh")}, 4) AS jaccard
+         |FROM base l JOIN base r
+         |  ON l.lang = r.lang AND l.source = r.source AND l.doc < r.doc
+         |WHERE round(${TextFns.jaccardSql("l.sh", "r.sh")}, 4) >= 0.3""".stripMargin
+    },
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_words,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,
+        |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_word_len,
+        |  round(len(list_filter(toks, t -> t IN ('the', 'a')))::DOUBLE / len(toks), 4) AS stopword_ratio
+        |FROM t""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> x IN ${inList(sqlWords)})) AS s_sql,
+         |    len(list_filter(toks, x -> x IN ${inList(infraWords)})) AS s_infra,
+         |    len(list_filter(toks, x -> x IN ${inList(dataWords)})) AS s_data
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN s_sql >= s_infra AND s_sql >= s_data THEN 'sql'
+         |       WHEN s_infra >= s_data THEN 'infra'
+         |       ELSE 'data' END AS lang_pred,
+         |  s_sql, s_infra, s_data
+         |FROM s""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${TextFns.fingerprintSql("string_split(text, ' ')")} AS fp
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search extension queries over `embeddings`
+  * (array<float>, 64-dim). Brute-force cosine top-k is the
+  * oracle-checked baseline (bit-identical double math with DuckDB);
+  * the bounded-heap aggregator form shares the same oracle; LSH is the
+  * recall-lossy scale path (rows-only + ScalaTest recall spec).
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val K = 5
+  /** 1-in-200 of the corpus are queries — keeps the brute-force
+    * all-pairs work bounded at bench scale.
+    */
+  val QueryMod = 200
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).where(col("vec_id") % QueryMod === 0)
+
+  val queries: Map[String, Q] = Map(
+    "ann_bruteforce_topk" -> ((spark, dir) => {
+      Similarity.bruteForceTopK(
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+    }),
+
+    "ann_aggregator_topk" -> ((spark, dir) => {
+      Similarity.aggregatorTopK(spark,
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+    }),
+
+    // LSH-bucketed ANN (recall-lossy; rows-only check).
+    "ann_lsh_topk" -> ((spark, dir) => {
+      Similarity.lshTopK(
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+    }),
+
+    // Embedding-cosine near-dup pairs over a 1-in-5 sample.
+    "dedup_embedding_cosine" -> ((spark, dir) => {
+      val sample = Tables.embeddings(spark, dir)
+        .where(col("vec_id") % 5 === 0)
+      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+      l.crossJoin(r)
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(Similarity.cosine(col("e_a"), col("e_b")), 4))
+        .where(col("cos") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+    })
+  )
+
+  private val topkOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $QueryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(${Similarity.cosineSql("q.q_emb", "e.embedding")}, 6) AS score
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, score,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> topkOracle,
+    "ann_aggregator_topk" -> topkOracle,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin
+  )
+}
