@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++
       JoinQueries.queries ++ AggWindowQueries.queries ++
-      ParityQueries.queries ++ TextQueries.queries ++ VectorQueries.queries
+      ParityQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
+      MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++
       JoinQueries.oracles ++ AggWindowQueries.oracles ++
-      ParityQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+      ParityQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact groups partition the input") {
+    val docs = Tables.documents(spark, sfDir)
+    val groups = Dedup.exactGroups(docs, md5(col("text")), col("doc_id"))
+    assert(groups.agg(sum("n_copies")).head().getLong(0) === docs.count())
+  }
+
+  test("minhash LSH finds the high-jaccard pairs (recall vs exact)") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    // ground truth: exact bigram-shingle jaccard >= 0.8 over all pairs
+    val toks = TextFns.tokens(col("text"))
+    val base = docs.select(col("doc_id").as("doc"),
+      array_distinct(TextFns.shingles(toks, 2)).as("sh"))
+    val l = base.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = base.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val truth = l.crossJoin(r).where(col("doc_a") < col("doc_b"))
+      .where(TextFns.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select("doc_a", "doc_b")
+    val found = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, k = 32, rowsPerBand = 4, threshold = 0.8)
+      .select("doc_a", "doc_b")
+    // at jaccard>=0.8 with 8 bands of 4 rows, collision prob ≈ 1
+    assert(truth.exceptAll(found).isEmpty, "LSH missed a high-jaccard pair")
+    // and found pairs are verified-exact so precision is 1 by construction
+    assert(found.exceptAll(truth).isEmpty)
+  }
+
+  test("simhash of identical token streams is identical, and close docs differ in few bits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table scan merge join"),
+      (2L, "spark table scan merge join"),
+      (3L, "completely different words entirely here")).toDF("id", "text")
+    val hs = df.select(col("id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    assert(hs(1L) !== hs(3L))
+  }
+
+  test("blocked jaccard pairs respect the threshold") {
+    val pairs = Dedup.blockedJaccardPairs(Tables.documents(spark, sfDir),
+      "doc_id", "text", Seq("lang", "source"), shingleN = 2, threshold = 0.3)
+    assert(pairs.where(col("jaccard") < 0.3).isEmpty)
+  }
+}

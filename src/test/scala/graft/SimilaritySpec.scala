@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def queries = Tables.embeddings(spark, sfDir).where(col("vec_id") % 100 === 0)
+
+  test("aggregator top-k equals window top-k") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val a = Similarity.bruteForceTopK(corpus, queries, 5)
+    val b = Similarity.aggregatorTopK(spark, corpus, queries, 5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("cosine is 1 for identical vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k is a subset of per-bucket exact scoring with positive recall") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val lsh = Similarity.lshTopK(corpus, queries, 5)
+    assert(lsh.count() > 0)
+    // every returned neighbor must share the query's signature bucket
+    val sigs = corpus.withColumn("sig",
+      Similarity.lshSignature(col("embedding"), 64, 8))
+      .select(col("vec_id"), col("sig"))
+    val joined = lsh
+      .join(sigs.withColumnRenamed("vec_id", "query_id").withColumnRenamed("sig", "qsig"), "query_id")
+      .join(sigs.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("sig", "nsig"), "neighbor_id")
+    assert(joined.where(col("qsig") =!= col("nsig")).isEmpty)
+  }
+}

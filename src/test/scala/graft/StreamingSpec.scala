@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("sessionize splits on gap and holds the open session in state") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1L, ts(0), "click", 1.0),
+      Ev(1L, ts(2), "view", 2.0),
+      Ev(1L, ts(30), "click", 3.0), // > 10 min gap → new session
+      Ev(2L, ts(5), "view", 5.0),
+      // sentinel far in the future flushes every open session
+      Ev(1L, Timestamp.valueOf("2024-01-02 00:00:00"), "flush", 0.0),
+      Ev(2L, Timestamp.valueOf("2024-01-02 00:00:00"), "flush", 0.0)
+    ).toDS()
+    val sessions = StreamingOps.sessionize(evs, gapMs = 10 * 60 * 1000)
+      .where(col("n_events") > 0 && col("total_value") > 0)
+      .collect()
+    val u1 = sessions.filter(_.user_id == 1L).sortBy(_.start_ts.getTime)
+    assert(u1.length === 2)
+    assert(u1(0).n_events === 2 && u1(0).total_value === 3.0)
+    assert(u1(1).n_events === 1 && u1(1).total_value === 3.0)
+    val u2 = sessions.filter(_.user_id == 2L)
+    assert(u2.length === 1 && u2(0).n_events === 1)
+  }
+
+  test("windowed counts with watermark run as a streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedTypeCounts(streamDf, "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.nonEmpty)
+      val click = spark.table("win_counts")
+        .where(col("event_type") === "click").agg(sum("n_events")).head().getLong(0)
+      assert(click === 2L)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Multimodal
+
+class TextFnsSpec extends SparkSpec {
+
+  test("shingles: n=2 over k tokens yields k-1 shingles; short docs yield none") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a", "").toDF("text")
+    val out = df.select(size(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(3, 0, 0))
+  }
+
+  test("jaccard bounds and identity") {
+    import spark.implicits._
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("x", "y")
+    val res = df.select(
+      TextFns.jaccard(TextFns.tokens(col("x")), TextFns.tokens(col("y"))).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(res(0) === 1.0)
+    assert(res(1) === 0.0)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val df = Seq("spark merge join", "join merge spark").toDF("text")
+    val fps = df.select(TextFns.fingerprint(TextFns.tokens(col("text"))).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fps(0) !== fps(1))
+  }
+
+  test("multimodal feature extraction matches a driver-side recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 25).map(_ =>
+      (0 until 1 + rnd.nextInt(50)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.assetsFromDocuments(docs))
+      .collect().map(f => f.asset_id -> f).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val bytes = t.getBytes("UTF-8")
+      val expect = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      assert(feats(i.toLong).checksum === expect)
+      assert(feats(i.toLong).n_bytes === bytes.length.toLong)
+      assert(Set("image", "audio", "video").contains(feats(i.toLong).media_type))
+    }
+  }
+
+  test("resize and frame-sample stubs preserve schema and shrink payloads") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val resized = Multimodal.resizeStub(spark, assets, 4).collect().head
+    assert(resized.payload.length === 4 && resized.declared_len === 4L)
+    val sampled = Multimodal.frameSampleStub(spark, assets, 3).collect().head
+    assert(sampled.payload.toSeq === "adgj".getBytes("UTF-8").toSeq)
+  }
+}
