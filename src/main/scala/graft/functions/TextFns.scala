@@ -20,19 +20,38 @@ object TextFns {
           sequence(lit(1), size(toks) - lit(n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Hashed word n-gram shingles (array<long>): xxhash64 over the n
+    * consecutive tokens directly — no intermediate shingle strings.
+    * Set-equivalent to hashing [[shingles]] output modulo 64-bit
+    * collisions; the cheap form for Jaccard/MinHash comparisons.
+    */
+  def hashedShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<long>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => xxhash64((0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+
   /** DuckDB twin of [[shingles]] over a list expression `toks`. */
   def shinglesSql(toks: String, n: Int): String =
     s"CASE WHEN len($toks) < $n THEN [] " +
       s"ELSE list_transform(range(1, len($toks) - ${n - 1} + 1), " +
       s"i -> array_to_string($toks[i:i+${n - 1}], ' ')) END"
 
-  /** Exact Jaccard similarity of two token arrays (set semantics). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard similarity of two DISTINCT-element arrays. Uses
+    * |A∩B| / (|A|+|B|-|A∩B|) so only the intersection is materialized
+    * (codegen CSE shares the repeated intersect; array_union would
+    * build a second hash set).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    i / (size(a) + size(b) - i)
+  }
 
-  /** DuckDB twin of [[jaccard]]. */
+  /** DuckDB twin of [[jaccard]] (inputs must be distinct-element). */
   def jaccardSql(a: String, b: String): String =
-    s"(len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b)))"
+    s"(len(list_intersect($a, $b))::DOUBLE / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b))))"
 
   /** Rolling polynomial fingerprint over tokens — deterministic 1e9+7
     * modular hash usable in both engines (no xxhash in DuckDB).

@@ -1,7 +1,6 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.GeoOps
 import graft.queries.Fixtures
@@ -40,16 +39,19 @@ object EventTotalsJob {
         sum(when(col("event_type") === "view", 1).otherwise(0)).as("week_view"),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("week_purchase"))
 
-    // Registrations: each user's first event (W7), geo-tagged.
-    val wReg = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+    // Registrations: each user's first event (W7), geo-tagged. min_by
+    // instead of a window: the per-user shuffle then moves only
+    // map-side-combined (user, first-event) rows, not all events.
     val regs = tagged
-      .withColumn("__rn", row_number().over(wReg))
-      .where(col("__rn") === 1)
+      .groupBy("user_id")
+      .agg(min_by(struct(col("zone_id"), col("week"), col("month")),
+        struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("first.zone_id"), col("first.week"), col("first.month"))
       .groupBy("zone_id", "week", "month")
       .agg(count(lit(1)).as("week_user"))
 
-    val wMonth = Window.partitionBy(col("zone_id"), col("month"))
+    val wMonth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("zone_id"), col("month"))
     weekly
       .join(regs, Seq("zone_id", "week", "month"), "left")
       .na.fill(0, Seq("week_user"))

@@ -57,14 +57,19 @@ object FriendRecsJob {
       .where(col("event_type").isin("signup", "view"))
       .select(col("event_type").as("channel"), col("user_id"))
       .distinct()
+    // The join key ("channel") has tiny cardinality — a shuffle join
+    // would collapse onto a handful of partitions (skew). Broadcast the
+    // deduped right side instead: parallelism follows the left side.
     val pairs = subs.select(col("channel"), col("user_id").as("left_user"))
-      .join(subs.select(col("channel"), col("user_id").as("right_user")), Seq("channel"))
+      .join(broadcast(subs.select(col("channel"), col("user_id").as("right_user"))), Seq("channel"))
       .where(col("left_user") =!= col("right_user"))
       .select("left_user", "right_user")
       .distinct()
 
-    // 3. Remove pairs that already messaged each other.
-    val fresh = pairs.join(contacts, Seq("left_user", "right_user"), "left_anti")
+    // 3. Remove pairs that already messaged each other. Contacts are
+    // bounded by the message count (≪ pairs): broadcast the anti side
+    // so the quadratic pair table never shuffles here.
+    val fresh = pairs.join(broadcast(contacts), Seq("left_user", "right_user"), "left_anti")
 
     // 4. Latest-event coordinates + act city per user.
     val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
@@ -84,9 +89,11 @@ object FriendRecsJob {
     val right = lastCoords.select(
       col("user_id").as("right_user"), col("lat").as("r_lat"), col("lon").as("r_lon"))
 
+    // lastCoords is one row per user (dimension-sized) — broadcast both
+    // decorations so the pair table streams map-side.
     fresh
-      .join(left, Seq("left_user"))
-      .join(right, Seq("right_user"))
+      .join(broadcast(left), Seq("left_user"))
+      .join(broadcast(right), Seq("right_user"))
       .withColumn("dist_km",
         round(Geo.haversineKm(col("l_lat"), col("l_lon"), col("r_lat"), col("r_lon")), 4))
       .where(col("dist_km") <= MaxDistKm)

@@ -87,7 +87,10 @@ object JoinQueries {
         .select(col("user_id"), col("event_type")).distinct()
       val l = ue.select(col("event_type"), col("user_id").as("left_user"))
       val r = ue.select(col("event_type"), col("user_id").as("right_user"))
-      l.join(r, Seq("event_type"))
+      // event_type has ~5 values: a shuffle join would skew onto 5
+      // partitions; broadcasting the deduped right side keeps the
+      // left side's parallelism.
+      l.join(broadcast(r), Seq("event_type"))
         .where(col("left_user") < col("right_user"))
         .groupBy("left_user", "right_user")
         .agg(count(lit(1)).as("shared_types"))
