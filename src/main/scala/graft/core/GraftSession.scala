@@ -24,6 +24,8 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft's native Catalyst expressions (token_fingerprint, ...)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

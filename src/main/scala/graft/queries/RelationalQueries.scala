@@ -144,6 +144,50 @@ object RelationalQueries {
         .agg(count(lit(1)).as("freq"))
     }),
 
+    // F4: per-row timezone conversion (tz is a COLUMN, collector.py:361-366).
+    "f4_from_utc_timestamp" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("tz", element_at(
+          array(lit("Australia/Sydney"), lit("Asia/Tokyo"), lit("UTC")),
+          (col("user_id") % 3 + 1).cast("int")))
+        .select(
+          col("event_id"), col("tz"),
+          date_format(from_utc_timestamp(col("ts"), col("tz")),
+            "yyyy-MM-dd HH:mm:ss").as("local_time"))
+    }),
+
+    // F6+F7: strip fractional seconds via split, then parse
+    // (mover.py:64-70's to_timestamp(split(s, "\\.")[0]) pattern).
+    "f6_parse_timestamp" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("raw", concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(".123")))
+        .select(
+          col("event_id"),
+          unix_timestamp(
+            to_timestamp(split(col("raw"), "\\.").getItem(0), "yyyy-MM-dd HH:mm:ss"))
+            .as("epoch_s"))
+    }),
+
+    // Rollup aggregation (beyond-reference completeness).
+    "agg_rollup" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("band", when(col("value") > 100, "high").otherwise("low"))
+        .rollup(col("event_type"), col("band"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("band"), lit("ALL")).as("band"),
+          col("n"), col("total"))
+    }),
+
+    // Pivot (wide conditional aggregation, beyond-reference).
+    "agg_pivot" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(round(sum("value"), 4))
+    }),
+
     // O1: global sort + deterministic top-k (orderBy + limit).
     "o1_sort_limit" -> ((spark, dir) => {
       Tables.orders(spark, dir)
@@ -248,6 +292,39 @@ object RelationalQueries {
       """SELECT word, count(*) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY 1""".stripMargin,
+
+    "f4_from_utc_timestamp" ->
+      """SELECT event_id,
+        |  (['Australia/Sydney', 'Asia/Tokyo', 'UTC'])[(user_id % 3) + 1] AS tz,
+        |  strftime(timezone(
+        |    (['Australia/Sydney', 'Asia/Tokyo', 'UTC'])[(user_id % 3) + 1],
+        |    timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS local_time
+        |FROM events""".stripMargin,
+
+    "f6_parse_timestamp" ->
+      """SELECT event_id,
+        |  CAST(epoch(strptime(
+        |    split_part(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || '.123', '.', 1),
+        |    '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s
+        |FROM events""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(band, 'ALL') AS band,
+        |  count(*) AS n, round(sum(value), 4) AS total
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band,
+        |    value
+        |  FROM events
+        |) GROUP BY ROLLUP (event_type, band)""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase
+        |FROM events GROUP BY 1""".stripMargin,
 
     "o1_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS total

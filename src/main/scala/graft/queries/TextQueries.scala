@@ -93,11 +93,13 @@ object TextQueries {
           col("s_sql"), col("s_infra"), col("s_data"))
     }),
 
-    // Rolling-hash document fingerprint.
+    // Rolling-hash document fingerprint — native codegen'd Catalyst
+    // expression (graft.expressions.TokenFingerprint); semantics are
+    // identical to the HOF form TextFns.fingerprint (spec-checked).
     "text_fingerprint" -> ((spark, dir) => {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          TextFns.fingerprint(TextFns.tokens(col("text"))).as("fp"))
+          graft.expressions.GraftFunctions.tokenFingerprint(col("text")).as("fp"))
     })
   )
 
