@@ -12,14 +12,40 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * needed) from the DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def inject(ext: SparkSessionExtensions, name: String, clazz: Class[_],
+                     builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      FunctionIdentifier("token_fingerprint"),
-      new ExpressionInfo(classOf[TokenFingerprint].getName, "token_fingerprint"),
-      (children: Seq[Expression]) => {
-        require(children.size == 1, "token_fingerprint takes exactly one argument")
-        TokenFingerprint(children.head)
-      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => builder(children)
+    ): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "token_fingerprint", classOf[TokenFingerprint], { cs =>
+      require(cs.size == 1, "token_fingerprint takes exactly one argument")
+      TokenFingerprint(cs.head)
+    })
+    inject(ext, "hashed_shingles", classOf[HashedShingles], { cs =>
+      require(cs.size == 2, "hashed_shingles(text, n)")
+      HashedShingles(cs.head, intArg(cs(1), "shingle size"))
+    })
+    inject(ext, "simhash64", classOf[SimHash64], { cs =>
+      require(cs.size == 1, "simhash64 takes exactly one argument")
+      SimHash64(cs.head)
+    })
+    inject(ext, "minhash_sig", classOf[MinHashSig], { cs =>
+      require(cs.size == 2, "minhash_sig(shingles, k)")
+      MinHashSig(cs.head, intArg(cs(1), "signature length"))
+    })
   }
 }
 
@@ -31,4 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def tokenFingerprint(c: Column): Column =
     org.apache.spark.sql.functions.call_function("token_fingerprint", c)
+
+  def hashedShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "hashed_shingles", c, org.apache.spark.sql.functions.lit(n))
+
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", c)
+
+  def minhashSig(c: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "minhash_sig", c, org.apache.spark.sql.functions.lit(k))
 }

@@ -1,0 +1,199 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text-hash kernels for the dedup operators.
+  *
+  * Spark's higher-order functions (transform/aggregate) are interpreted
+  * per element — measured as the dominant cost of shingling/minhash/
+  * simhash over the fixtures. Each expression here is one tight Java
+  * pass over the raw string / long array.
+  *
+  * Hash construction: FNV-1a 64 per token, Murmur3 fmix64 avalanche for
+  * combining — any well-mixed injective-ish hash gives identical
+  * Jaccard/minhash SEMANTICS (set sizes and min statistics), so these
+  * do not need to reproduce xxhash64 bit-for-bit.
+  */
+object TextHash {
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  @inline def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  /** FNV-1a 64 over a char range of s. */
+  @inline private def tokenHash(s: String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Per-token FNV hashes of the single-space-separated tokens. */
+  def tokenHashes(s: String): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        out += tokenHash(s, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Hashed word n-gram shingles (order-sensitive combine). */
+  def hashedShingles(s: String, n: Int): Array[Long] = {
+    val th = tokenHashes(s)
+    if (th.length < n) return Array.emptyLongArray
+    val out = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var acc = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) {
+        acc = fmix64(acc * 31L + th(i + j))
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over token hashes (sign vote per bit). */
+  def simhash64(s: String): Long = {
+    val th = tokenHashes(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** k seeded min-hashes over a long-array shingle set, one pass. */
+  def minhashSig(sh: ArrayData, k: Int): Array[Long] = {
+    val n = sh.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = sh.getLong(i)
+      var seed = 0
+      while (seed < k) {
+        val h = fmix64(s ^ (0x9e3779b97f4a7c15L * (seed + 1)))
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** array<long> of hashed word n-gram shingles of a string. */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.hashedShingles(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.expressions.TextHash.hashedShingles($c.toString(), $n));")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_shingles"
+}
+
+/** 64-bit SimHash of a string's whitespace tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHash.simhash64($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+/** k-entry MinHash signature (array<long>) of an array<long> shingle set. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "signature length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<long>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.minhashSig(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.expressions.TextHash.minhashSig($c, $k));")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}

@@ -22,16 +22,12 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k minimums of seeded xxhash64 over shingles.
-    * Returns an array<long> column of length k (null-safe: docs with no
-    * shingles get Long.MaxValue mins).
+  /** MinHash signature: k seeded minimums over a hashed-shingle set —
+    * native one-pass expression (graft.expressions.MinHashSig); docs
+    * with no shingles get Long.MaxValue mins.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      coalesce(
-        array_min(transform(shingleCol, s => xxhash64(lit(seed), s))),
-        lit(Long.MaxValue))
-    }: _*)
+    graft.expressions.GraftFunctions.minhashSig(shingleCol, k)
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -48,18 +44,17 @@ object Dedup {
                       shingleN: Int = 2, k: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val bands = k / rowsPerBand
-    val toks = TextFns.tokens(col(textCol))
-    // Shingles are compared as xxhash64 longs, not strings: identical
-    // Jaccard modulo 64-bit collisions, and set-intersections over
-    // longs are far cheaper than over shingle strings.
+    // Shingles are compared as hashed longs, not strings: identical
+    // Jaccard modulo 64-bit collisions, and both shingling and the
+    // k-min signature are native one-pass codegen'd expressions.
     val withSig = df
       .select(col(idCol).as("doc"),
-        array_distinct(TextFns.hashedShingles(toks, shingleN)).as("sh"))
+        array_distinct(graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       // Materialize: without this, projection collapsing inlines the
-      // 32-hash signature expression into every band hash (8× the
-      // work) and again into both join sides. The signature table is
-      // tiny (k longs + shingle hashes per doc) at any corpus size.
+      // signature expression into every band hash (8× the work) and
+      // again into both join sides. The signature table is tiny
+      // (k longs + shingle hashes per doc) at any corpus size.
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("doc"), col("sh"),
@@ -78,19 +73,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens (sign of per-bit vote of
-    * token xxhash64 bits). Pure expression tree, rows-only checkable
-    * (no xxhash64 in the oracle engine).
+    * token-hash bits) — native one-pass expression
+    * (graft.expressions.SimHash64); rows-only checkable (the hash
+    * family has no oracle-engine twin). Hamming distance between two
+    * simhashes is the built-in bit_count(a ^ b).
     */
-  def simhash64(toksCol: Column): Column = {
-    val hashed = transform(toksCol, t => xxhash64(t))
-    val bitCols = (0 until 64).map { i =>
-      val vote = aggregate(hashed, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash64(textCol: Column): Column =
+    graft.expressions.GraftFunctions.simhash64(textCol)
 
   /** Blocked exact n-gram-Jaccard near-dup pairs: all pairs within a
     * blocking key (e.g. lang+source) scored by shingle-set Jaccard.
@@ -100,7 +89,6 @@ object Dedup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], shingleN: Int,
                           threshold: Double): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
     // Array-intersect form. The alternative (inverted index: explode
     // shingles, shingle-level equi-join, count co-occurrences) was
     // measured 1.7× SLOWER on these fixtures: with dense vocabulary
@@ -110,7 +98,7 @@ object Dedup {
     // corpora the inverted-index shape would win instead.
     val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("doc") :+
-        array_distinct(TextFns.hashedShingles(toks, shingleN)).as("sh")): _*)
+        array_distinct(graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh")): _*)
     val l = base.select(blockCols.map(col) :+ col("doc").as("doc_a") :+ col("sh").as("sh_a"): _*)
     val r = base.select(blockCols.map(col) :+ col("doc").as("doc_b") :+ col("sh").as("sh_b"): _*)
     l.join(r, blockCols)

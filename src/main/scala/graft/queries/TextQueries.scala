@@ -45,11 +45,10 @@ object TextQueries {
         shingleN = 2, k = 32, rowsPerBand = 4, threshold = 0.5)
     }),
 
-    // SimHash fingerprints (rows-only).
+    // SimHash fingerprints (rows-only; native expression).
     "dedup_simhash" -> ((spark, dir) => {
       Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          Dedup.simhash64(TextFns.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
     }),
 
     // Token counting: whitespace + regex tokenizations.

@@ -39,7 +39,7 @@ class DedupSpec extends SparkSpec {
       (1L, "spark table scan merge join"),
       (2L, "spark table scan merge join"),
       (3L, "completely different words entirely here")).toDF("id", "text")
-    val hs = df.select(col("id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("h"))
+    val hs = df.select(col("id"), Dedup.simhash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hs(1L) === hs(2L))
     assert(hs(1L) !== hs(3L))
