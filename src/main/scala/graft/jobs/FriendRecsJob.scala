@@ -45,11 +45,14 @@ object FriendRecsJob {
         col("user_id"),
         (get_json_object(col("props"), "$.k").cast("long") % 100L).as("partner"))
       .where(col("partner").isNotNull && col("partner") =!= col("user_id"))
+    // Contact exclusion is direction-symmetric (the reference expands
+    // every message edge in both directions, F10), so candidates are
+    // generated and deduped as UNDIRECTED (lo < hi) pairs — half the
+    // distinct/anti volume — and both directions are emitted at the end.
     val contacts = msgs
-      .select(explode(array(
-        struct(col("user_id").as("left_user"), col("partner").as("right_user")),
-        struct(col("partner").as("left_user"), col("user_id").as("right_user")))).as("e"))
-      .select(col("e.left_user"), col("e.right_user"))
+      .select(
+        least(col("user_id"), col("partner")).as("lo"),
+        greatest(col("user_id"), col("partner")).as("hi"))
       .distinct()
 
     // 2. Candidate pairs: users sharing a "channel" (signup/view type).
@@ -60,16 +63,22 @@ object FriendRecsJob {
     // The join key ("channel") has tiny cardinality — a shuffle join
     // would collapse onto a handful of partitions (skew). Broadcast the
     // deduped right side instead: parallelism follows the left side.
-    val pairs = subs.select(col("channel"), col("user_id").as("left_user"))
-      .join(broadcast(subs.select(col("channel"), col("user_id").as("right_user"))), Seq("channel"))
-      .where(col("left_user") =!= col("right_user"))
-      .select("left_user", "right_user")
+    val pairs = subs.select(col("channel"), col("user_id").as("lo"))
+      .join(broadcast(subs.select(col("channel"), col("user_id").as("hi"))), Seq("channel"))
+      .where(col("lo") < col("hi"))
+      .select("lo", "hi")
       .distinct()
 
     // 3. Remove pairs that already messaged each other. Contacts are
     // bounded by the message count (≪ pairs): broadcast the anti side
-    // so the quadratic pair table never shuffles here.
-    val fresh = pairs.join(broadcast(contacts), Seq("left_user", "right_user"), "left_anti")
+    // so the pair table never shuffles here. Then expand to both
+    // directions (the datamart recommends symmetrically).
+    val fresh = pairs
+      .join(broadcast(contacts), Seq("lo", "hi"), "left_anti")
+      .select(explode(array(
+        struct(col("lo").as("left_user"), col("hi").as("right_user")),
+        struct(col("hi").as("left_user"), col("lo").as("right_user")))).as("e"))
+      .select(col("e.left_user"), col("e.right_user"))
 
     // 4. Latest-event coordinates + act city per user.
     val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
