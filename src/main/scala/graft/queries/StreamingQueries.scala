@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.streaming.StreamingOps
+
+/** The streaming operators exercised in batch mode against DuckDB
+  * oracles: Spark executes the same stateful/windowed plans over a
+  * bounded input, which makes the semantics oracle-checkable
+  * (gaps-and-islands SQL for sessionization; slide-enumeration for
+  * sliding windows). The streaming-mode behavior of the same operators
+  * is covered by StreamingSpec with a MemoryStream.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val GapMs: Long = 30L * 60 * 1000 // 30 min session gap
+
+  val queries: Map[String, Q] = Map(
+    // Gap-based sessionization (flatMapGroupsWithState in batch).
+    // Sentinel events one day past each user's last event flush the
+    // final open sessions; sentinels themselves stay in state.
+    "stream_sessionize" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val sentinels = ev.groupBy("user_id")
+        .agg(max(col("ts")).as("mx"))
+        .select(col("user_id"),
+          (col("mx") + expr("INTERVAL 1 DAY")).as("ts"),
+          lit("__flush").as("event_type"), lit(0.0).as("value"))
+      val evs = ev.unionByName(sentinels).as[StreamingOps.Ev]
+      StreamingOps.sessionize(evs, GapMs).toDF()
+        .select(
+          col("user_id"),
+          unix_timestamp(col("start_ts")).as("start_s"),
+          unix_timestamp(col("end_ts")).as("end_s"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+    }),
+
+    // Sliding event-time windows (10 min window, 5 min slide).
+    "stream_windowed_counts" -> ((spark, dir) => {
+      StreamingOps.windowedTypeCounts(
+        Tables.events(spark, dir), "10 minutes", "5 minutes", "15 minutes")
+        .select(
+          unix_timestamp(col("window_start")).as("win_start_s"),
+          col("event_type"), col("n_events"), col("total_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Gaps-and-islands: session breaks where the gap to the previous
+    // event exceeds GapMs; µs timestamps to match Spark.
+    "stream_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > $GapMs
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), grouped AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id,
+         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+         |  count(*) AS n_events,
+         |  round(sum(value), 4) AS total_value
+         |FROM grouped GROUP BY user_id, session_id""".stripMargin,
+
+    // Each event lands in exactly two 10-min/5-min-slide windows:
+    // starts at floor(ts/5min)*5min and 5 min before it.
+    "stream_windowed_counts" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |), expanded AS (
+        |  SELECT CAST(floor(epoch(ts) / 300) * 300 - s.off AS BIGINT) AS win_start_s,
+        |    event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 300]) AS off) s
+        |)
+        |SELECT win_start_s, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM expanded GROUP BY 1, 2""".stripMargin
+  )
+}
