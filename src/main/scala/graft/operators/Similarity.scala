@@ -107,6 +107,51 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into cells; each query exactly-scores only its `nProbe`
+    * nearest cells. The classic billion-scale layout: the corpus is
+    * clustered ONCE (and would be written bucketed-by-cell at rest),
+    * per-query work drops by ~nCells/nProbe, and recall is tunable via
+    * nProbe. Deterministic under the fixed seed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val cells = model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // Every query probes its nProbe nearest centroids (centroid table
+    // is tiny: nCells rows, broadcast as a literal array).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cells.join(probed, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k within matching signature
     * buckets only. Trades recall for a bucket-local join — the scale
     * path when queries are too many to broadcast-score the corpus.

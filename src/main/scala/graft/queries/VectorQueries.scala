@@ -41,6 +41,13 @@ object VectorQueries {
         Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
     }),
 
+    // IVF ANN: KMeans coarse quantizer + nProbe cell search
+    // (recall-lossy; rows-only check + SimilaritySpec recall test).
+    "ann_ivf_topk" -> ((spark, dir) => {
+      Similarity.ivfTopK(
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+    }),
+
     // Embedding-cosine near-dup pairs over a 1-in-5 sample.
     "dedup_embedding_cosine" -> ((spark, dir) => {
       val sample = Tables.embeddings(spark, dir)

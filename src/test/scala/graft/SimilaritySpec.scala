@@ -22,6 +22,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("IVF top-k has useful recall against brute force") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val hit = exact.intersect(ivf).count()
+    assert(nExact > 0)
+    val recall = hit.toDouble / nExact
+    assert(recall >= 0.2, f"IVF recall $recall%.2f too low")
+    // and IVF never returns more than k per query
+    assert(ivf.groupBy("query_id").count().where(col("count") > 5).isEmpty)
+  }
+
   test("LSH top-k is a subset of per-bucket exact scoring with positive recall") {
     val corpus = Tables.embeddings(spark, sfDir)
     val lsh = Similarity.lshTopK(corpus, queries, 5)
