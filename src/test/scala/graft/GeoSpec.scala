@@ -38,6 +38,17 @@ class GeoSpec extends SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("argmin is invariant under city-dictionary permutation") {
+    val events = Fixtures.geoEvents(spark, sfDir)
+    val cities = Fixtures.cities.map { case (id, n, la, lo, tz) => GeoOps.City(id, n, la, lo, tz) }
+    val a = GeoOps.tagNearestCity(events, cities, col("lat"), col("lon"))
+      .select("event_id", "city_id")
+    val b = GeoOps.tagNearestCity(events, scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(cities), col("lat"), col("lon"))
+      .select("event_id", "city_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("reference sin-variant stays close to asin haversine at small distance") {
     import spark.implicits._
     val df = Seq((-33.87, 151.21, -33.88, 151.22)).toDF("la1", "lo1", "la2", "lo2")

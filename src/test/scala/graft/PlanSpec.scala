@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{JoinQueries, RelationalQueries}
+
+/** Physical-plan shape assertions: the scale-design claims (pushdown,
+  * shuffle counts, broadcast strategy) are load-bearing, so they are
+  * pinned by tests, not just documented.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int = needle.r.findAllIn(p).size
+
+  test("filter-pushed scan: predicates reach the parquet reader") {
+    val p = plan(RelationalQueries.queries("s1_pruned_scan")(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("In(event_type"), p.take(800))
+  }
+
+  test("projection pruning: q1 scan reads only the needed columns") {
+    val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
+    val p = plan(df)
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_orderkey"), read)
+  }
+
+  test("geo argmin scale form is a pure projection — zero shuffles") {
+    val p = plan(JoinQueries.queries("geo_nearest_city_minby")(spark, sfDir))
+    assert(count(p, "Exchange hashpartitioning") === 0, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("users-demographic datamart shuffles events exactly once") {
+    val p = plan(graft.jobs.UsersDemographicJob.run(spark, sfDir))
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(1200))
+    assert(count(p, "Scan parquet") === 1)
+  }
+
+  test("dimension joins broadcast instead of shuffling") {
+    val p = plan(JoinQueries.queries("j2_left_join")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("whole-stage codegen covers the scan-to-aggregate hot path") {
+    val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
+    // AQE renders codegen spans only once THIS plan instance has run —
+    // drive its own RDD (a writer would clone the plan).
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    // codegen'd operators render with the "*(n)" star prefix
+    assert(p.contains("*(1)"), p.take(800))
+    assert("\\*\\(1\\) HashAggregate".r.findFirstIn(p).isDefined ||
+      "\\*\\(2\\) HashAggregate".r.findFirstIn(p).isDefined, p.take(800))
+  }
+}
