@@ -30,7 +30,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release operator-persisted intermediates
+      dt
     }
     // best-of-N per query: JVM/codegen warmup and background GC on a
     // shared box otherwise dominate single-shot numbers.
