@@ -73,6 +73,27 @@ object AggWindowQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Exact percentiles (interpolated, matches quantile_cont).
+    "agg_percentile" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+    }),
+
+    // F9 literal form: arrays_zip + explode of parallel arrays.
+    "f9_arrays_zip" -> ((spark, dir) => {
+      graft.core.Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("lens", transform(col("toks"), t => length(t)))
+        .select(col("doc_id"), explode(arrays_zip(col("toks"), col("lens"))).as("z"))
+        .select(col("doc_id"), col("z.toks").as("word"), col("z.lens").as("wlen"))
+        .where(col("word") =!= "")
+        .groupBy("wlen")
+        .agg(count(lit(1)).as("n"), countDistinct(col("word")).as("n_words"))
+    }),
+
     // W1: row_number top-k per group (top-2 events by value per user).
     "w1_rownum_topk" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -188,6 +209,17 @@ object AggWindowQueries {
     "a7_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "f9_arrays_zip" ->
+      """SELECT length(word) AS wlen, count(*) AS n, count(DISTINCT word) AS n_words
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY 1""".stripMargin,
 
     "w1_rownum_topk" ->
       """SELECT user_id, rn, event_id, round(value, 4) AS value FROM (

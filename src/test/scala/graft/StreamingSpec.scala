@@ -34,6 +34,34 @@ class StreamingSpec extends SparkSpec {
     assert(u2.length === 1 && u2(0).n_events === 1)
   }
 
+  test("file-source readStream → windowed agg → file sink round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (in, out, chk) = (s"$dir/in", s"$dir/out", s"$dir/chk")
+    // batch 1: two clicks inside the first 10-min window
+    Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val agg = StreamingOps.windowedTypeCounts(stream, "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream
+      .format("parquet").option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a late-hour event pushes the watermark past the first
+      // window's end; the no-data batch then flushes it (append mode)
+      Seq((Timestamp.valueOf("2024-01-01 11:30:00"), "view", 3.0))
+        .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val res = spark.read.parquet(out)
+      assert(res.where(col("event_type") === "click")
+        .agg(sum("n_events")).head().getLong(0) === 2L)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark run as a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
