@@ -73,6 +73,17 @@ object AggWindowQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Approximate aggregates (HLL count-distinct + t-digest quantile) —
+    // sketch implementations differ across engines, so rows-only check;
+    // exact twins are oracle-checked in a7/agg_percentile.
+    "a8_approx_agg" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("approx_p50"))
+    }),
+
     // Exact percentiles (interpolated, matches quantile_cont).
     "agg_percentile" -> ((spark, dir) => {
       Tables.events(spark, dir)

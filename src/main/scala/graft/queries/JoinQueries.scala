@@ -89,7 +89,8 @@ object JoinQueries {
       val r = ue.select(col("event_type"), col("user_id").as("right_user"))
       // event_type has ~5 values: a shuffle join would skew onto 5
       // partitions; broadcasting the deduped right side keeps the
-      // left side's parallelism.
+      // left side's parallelism. If the deduped side outgrew broadcast
+      // range, graft.operators.Skew.saltedJoin is the fallback.
       l.join(broadcast(r), Seq("event_type"))
         .where(col("left_user") < col("right_user"))
         .groupBy("left_user", "right_user")
