@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+
+/** Proximity-pair generation by spatial grid blocking.
+  *
+  * The reference computes user-pair distances on ALL candidate pairs
+  * and filters afterwards (reference src/spark/collector.py:1081-1091)
+  * — quadratic in users. At scale the proximity predicate must prune
+  * pair GENERATION: bucket points into a lat/lon grid sized so any
+  * pair within `maxKm` falls in the same or an adjacent cell, explode
+  * one side to its 3×3 neighborhood, equi-join on cell, then apply the
+  * exact haversine filter. Join volume drops from |P|² to
+  * Σ|cell|·|neighborhood| — linear for bounded densities.
+  *
+  * Each qualifying pair is emitted exactly once (the left side
+  * explodes to neighbors, the right side keeps its home cell; a pair's
+  * right-cell appears exactly once in the left's neighborhood).
+  *
+  * `minCosLat` bounds the longitude-degree shrink across the domain
+  * (cos of the highest |latitude| expected); it only affects cell
+  * SIZING, never correctness of the final exact filter.
+  */
+object GeoBlocking {
+
+  def pairsWithinKm(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                    maxKm: Double, minCosLat: Double = 0.5): DataFrame = {
+    require(maxKm > 0 && minCosLat > 0)
+    val latCellDeg = maxKm / 111.0
+    val lonCellDeg = maxKm / (111.0 * minCosLat)
+    def cellX(lon: Column): Column = floor(lon / lonCellDeg).cast("long")
+    def cellY(lat: Column): Column = floor(lat / latCellDeg).cast("long")
+
+    val base = points.select(
+      col(idCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),
+      cellX(col(lonCol)).as("cx"), cellY(col(latCol)).as("cy"))
+
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val l = base.select(
+      col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+      }: _*)).as("cell"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val r = base.select(
+      col("cx"), col("cy"),
+      col("id").as("id_b"), col("lat").as("lat_b"), col("lon").as("lon_b"))
+
+    l.join(r, Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist_km",
+        round(Geo.haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 4))
+      .where(col("dist_km") <= maxKm)
+      .select("id_a", "id_b", "dist_km")
+    // no dedup needed: b's single home cell appears exactly once in
+    // a's 3×3 neighborhood, and id_a < id_b kills the mirrored role.
+  }
+}
