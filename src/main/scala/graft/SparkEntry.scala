@@ -11,12 +11,14 @@ object SparkEntry {
     CoreQueries.queries ++ RelationalQueries.queries ++
       JoinQueries.queries ++ AggWindowQueries.queries ++
       ParityQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      MultimodalQueries.queries ++ StreamingQueries.queries
+      MultimodalQueries.queries ++ StreamingQueries.queries ++
+      TpchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++
       JoinQueries.oracles ++ AggWindowQueries.oracles ++
       ParityQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      MultimodalQueries.oracles ++ StreamingQueries.oracles
+      MultimodalQueries.oracles ++ StreamingQueries.oracles ++
+      TpchQueries.oracles
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Classic TPC-H-shaped analytics over the star schema — exercise the
+  * full relational stack (multiway joins, date predicates, top-k,
+  * grouped revenue math) as single composite plans. Join strategy:
+  * dimensions broadcast, facts stream.
+  */
+object TpchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q3-shaped: shipping priority — revenue of unshipped orders.
+    "tpch_q3_priority" -> ((spark, dir) => {
+      val cutoff = lit("1995-03-15").cast("date")
+      val c = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(spark, dir).where(col("o_orderdate").cast("date") < cutoff)
+      val l = Tables.lineitem(spark, dir).where(col("l_shipdate").cast("date") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    }),
+
+    // Q5-shaped: revenue by nation for suppliers in one region.
+    "tpch_q5_region_revenue" -> ((spark, dir) => {
+      val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(spark, dir)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val s = Tables.supplier(spark, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    }),
+
+    // Q10-shaped: top customers by returned-item revenue loss.
+    "tpch_q10_returns" -> ((spark, dir) => {
+      val l = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Typed Dataset API: case-class encoder + typed filter/groupByKey.
+    "typed_ops" -> ((spark, dir) => {
+      import spark.implicits._
+      final case class Li(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .as[(Long, Double, String)]
+        .filter(_._2 > 30.0)
+        .groupByKey(_._3)
+        .count()
+        .toDF("l_returnflag", "n_big")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q3_priority" ->
+      """SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "typed_ops" ->
+      """SELECT l_returnflag, count(*) AS n_big
+        |FROM lineitem WHERE l_quantity > 30 GROUP BY 1""".stripMargin
+  )
+}
