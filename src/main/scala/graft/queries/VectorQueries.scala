@@ -62,6 +62,42 @@ object VectorQueries {
     })
   )
 
+  /** DuckDB twin of Similarity.lshSignature: the ±1 hyperplane weights
+    * are evaluated HERE with java Math.sin (the same function Spark's
+    * codegen calls) and emitted as literal arrays, so the oracle never
+    * depends on the oracle engine's libm. Projections are strict
+    * left-to-right double dots on both sides → identical sign bits.
+    */
+  private def lshSigSql(emb: String, dim: Int, nBits: Int): String = {
+    val terms = (0 until nBits).map { p =>
+      val w = (0 until dim)
+        .map(d => if (math.sin(d + p * dim) >= 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($emb::DOUBLE[], $w::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  private val lshOracle: String = {
+    val sig = (e: String) => lshSigSql(e, 64, 8)
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${sig("embedding")} AS sig FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, sig FROM sigs
+       |  WHERE vec_id % $QueryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    round(${Similarity.cosineSql("q.q_emb", "s.embedding")}, 6) AS score
+       |  FROM sigs s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id
+       |)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, score,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+  }
+
   private val topkOracle: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
@@ -81,6 +117,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> topkOracle,
     "ann_aggregator_topk" -> topkOracle,
+    "ann_lsh_topk" -> lshOracle,
 
     "dedup_embedding_cosine" ->
       s"""WITH s AS (
