@@ -69,8 +69,8 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
   /** Brute-force cosine top-k via [[TopKAgg]] — same semantics as
@@ -86,7 +86,7 @@ object Similarity {
       .groupBy("query_id")
       .agg(topk(col("vec_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.id").as("neighbor_id"), round(col("s.score"), 4).as("score"))
   }
 
@@ -148,8 +148,8 @@ object Similarity {
       .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
   /** LSH-bucketed ANN: exact cosine top-k within matching signature
@@ -169,7 +169,7 @@ object Similarity {
       .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 }

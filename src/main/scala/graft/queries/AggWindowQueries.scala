@@ -21,7 +21,7 @@ object AggWindowQueries {
         .groupBy("user_id")
         .agg(
           concat_ws(",", array_sort(collect_list(col("event_type")))).as("types_sorted"),
-          size(collect_list(col("event_type"))).as("n_events"))
+          size(collect_list(col("event_type"))).cast("long").as("n_events"))
     }),
 
     // A3+W6: weekly counts with monthly totals replicated per week
@@ -99,7 +99,7 @@ object AggWindowQueries {
         .withColumn("toks", split(col("text"), " "))
         .withColumn("lens", transform(col("toks"), t => length(t)))
         .select(col("doc_id"), explode(arrays_zip(col("toks"), col("lens"))).as("z"))
-        .select(col("doc_id"), col("z.toks").as("word"), col("z.lens").as("wlen"))
+        .select(col("doc_id"), col("z.toks").as("word"), col("z.lens").cast("long").as("wlen"))
         .where(col("word") =!= "")
         .groupBy("wlen")
         .agg(count(lit(1)).as("n"), countDistinct(col("word")).as("n_words"))
@@ -112,7 +112,7 @@ object AggWindowQueries {
       Tables.events(spark, dir)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 2)
-        .select(col("user_id"), col("rn"), col("event_id"), round(col("value"), 4).as("value"))
+        .select(col("user_id"), col("rn").cast("long").as("rn"), col("event_id"), round(col("value"), 4).as("value"))
     }),
 
     // W2: first(ignoreNulls) over desc order — latest non-null value
@@ -163,7 +163,7 @@ object AggWindowQueries {
         .withColumn("drnk", dense_rank().over(w))
         .withColumn("next_event", lead(col("event_id"), 1).over(w))
         .where(col("rnk") <= 5)
-        .select(col("event_type"), col("rnk"), col("drnk"),
+        .select(col("event_type"), col("rnk").cast("long").as("rnk"), col("drnk").cast("long").as("drnk"),
           col("event_id"), col("next_event"))
     }),
 

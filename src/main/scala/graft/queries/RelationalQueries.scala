@@ -112,7 +112,7 @@ object RelationalQueries {
           col("event_id"),
           date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
           date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month"),
-          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"))
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("days_since"))
     }),
 
     // F6/F7 + string kernel: split/substring/lower/length/regexp.
@@ -122,7 +122,7 @@ object RelationalQueries {
           col("doc_id"),
           split(col("text"), " ").getItem(0).as("first_word"),
           substring(col("text"), 1, 10).as("prefix10"),
-          length(col("text")).as("text_len"),
+          length(col("text")).cast("long").as("text_len"),
           upper(col("lang")).as("lang_uc"),
           regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("source_num"))
     }),

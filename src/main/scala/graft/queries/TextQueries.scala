@@ -56,9 +56,9 @@ object TextQueries {
       Tables.documents(spark, dir)
         .select(
           col("doc_id"),
-          size(TextFns.tokens(col("text"))).as("n_ws_tokens"),
-          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_re_tokens"),
-          length(col("text")).as("n_chars"))
+          size(TextFns.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
     }),
 
     // Quality scoring: length / uniqueness / stopword signals.
@@ -68,7 +68,7 @@ object TextQueries {
       Tables.documents(spark, dir)
         .select(
           col("doc_id"),
-          size(toks).as("n_words"),
+          size(toks).cast("long").as("n_words"),
           round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("uniq_ratio"),
           round(aggregate(transform(toks, t => length(t)), lit(0),
             (acc, v) => acc + v).cast("double") / size(toks), 4).as("avg_word_len"),
@@ -80,7 +80,7 @@ object TextQueries {
     "text_langid" -> ((spark, dir) => {
       val toks = array_distinct(TextFns.tokens(col("text")))
       def score(ws: Seq[String]) =
-        size(array_intersect(toks, array(ws.map(lit): _*)))
+        size(array_intersect(toks, array(ws.map(lit): _*))).cast("long")
       Tables.documents(spark, dir)
         .withColumn("s_sql", score(sqlWords))
         .withColumn("s_infra", score(infraWords))

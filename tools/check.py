@@ -54,6 +54,11 @@ for name, sql in sorted(oracle_sql.items()):
     if sc != oc:
         print(f"FAIL {name}: columns spark={sc} oracle={oc}")
         n_fail += 1; fails.append(name); continue
+    # dtype parity (the driver may hash schemas too): int32 vs int64 etc.
+    dtw = [(c, str(spark_df[c].dtype), str(oracle_df[c].dtype)) for c in sc
+           if str(spark_df[c].dtype) != str(oracle_df[c].dtype)]
+    if dtw:
+        print(f"WARN {name}: dtype mismatch {dtw}")
     s = spark_df[sc].sort_values(sc, kind="mergesort").reset_index(drop=True)
     o = oracle_df[oc].sort_values(oc, kind="mergesort").reset_index(drop=True)
     if len(s) != len(o):
