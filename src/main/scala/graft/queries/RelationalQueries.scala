@@ -127,6 +127,18 @@ object RelationalQueries {
           regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("source_num"))
     }),
 
+    // Extended string family: edit distance, padding, reverse, repeat.
+    "f7b_string_family" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("w1", split(col("text"), " ").getItem(0))
+        .select(
+          col("doc_id"),
+          levenshtein(col("w1"), lit("spark")).cast("long").as("dist_spark"),
+          lpad(col("w1"), 8, "_").as("padded"),
+          reverse(col("w1")).as("reversed"),
+          concat(col("w1"), lit("|"), col("w1")).as("doubled"))
+    }),
+
     // JSON scalar functions over the events.props column.
     "f_json_extract" -> ((spark, dir) => {
       Tables.events(spark, dir)
@@ -281,6 +293,14 @@ object RelationalQueries {
         |  length(text) AS text_len,
         |  upper(lang) AS lang_uc,
         |  CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS source_num
+        |FROM documents""".stripMargin,
+
+    "f7b_string_family" ->
+      """SELECT doc_id,
+        |  levenshtein(split_part(text, ' ', 1), 'spark') AS dist_spark,
+        |  lpad(split_part(text, ' ', 1), 8, '_') AS padded,
+        |  reverse(split_part(text, ' ', 1)) AS reversed,
+        |  split_part(text, ' ', 1) || '|' || split_part(text, ' ', 1) AS doubled
         |FROM documents""".stripMargin,
 
     "f_json_extract" ->

@@ -62,6 +62,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup by key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = mem.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "click"), (1L, ts(1), "click"), (2L, ts(2), "view"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "click"), (3L, ts(4), "view"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark run as a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
