@@ -192,6 +192,33 @@ object RelationalQueries {
           col("n"), col("total"))
     }),
 
+    // Cube over two dimensions (beyond-reference).
+    "agg_cube" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("band", when(col("value") > 100, "high").otherwise("low"))
+        .cube(col("event_type"), col("band"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("band"), lit("ALL")).as("band"),
+          col("n"))
+    }),
+
+    // GROUPING SETS through the SQL surface (spark.sql entry point) —
+    // the reference's wk/mnth datamart is a hand-rolled version of this
+    // (SURVEY §3.3).
+    "agg_grouping_sets" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        .createOrReplaceTempView("ev_gs")
+      spark.sql(
+        """SELECT coalesce(event_type, 'ALL') AS event_type,
+          |  coalesce(week, 'ALL') AS week,
+          |  count(*) AS n, round(sum(value), 4) AS total
+          |FROM ev_gs
+          |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week))""".stripMargin)
+    }),
+
     // Pivot (wide conditional aggregation, beyond-reference).
     "agg_pivot" -> ((spark, dir) => {
       Tables.events(spark, dir)
@@ -338,6 +365,26 @@ object RelationalQueries {
         |    value
         |  FROM events
         |) GROUP BY ROLLUP (event_type, band)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(band, 'ALL') AS band,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band
+        |  FROM events
+        |) GROUP BY CUBE (event_type, band)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(week, 'ALL') AS week,
+        |  count(*) AS n, round(sum(value), 4) AS total
+        |FROM (
+        |  SELECT event_type,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, value
+        |  FROM events
+        |) GROUP BY GROUPING SETS ((event_type, week), (event_type), (week))""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,
