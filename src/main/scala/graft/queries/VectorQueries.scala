@@ -48,6 +48,29 @@ object VectorQueries {
         Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
     }),
 
+    // Cross-modal: do embedding near-dups agree with text near-dups?
+    // Joins the similarity and text-dedup families over the shared id
+    // space; emits both signals per candidate pair.
+    "xmodal_dup_agreement" -> ((spark, dir) => {
+      import graft.expressions.GraftFunctions
+      val sample = Tables.embeddings(spark, dir).where(col("vec_id") % 5 === 0)
+      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+      val embPairs = l.crossJoin(r)
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(Similarity.cosine(col("e_a"), col("e_b")), 4))
+        .where(col("cos") >= 0.3)
+        .select("vec_a", "vec_b", "cos")
+      val docs = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        array_distinct(GraftFunctions.hashedShingles(col("text"), 2)).as("sh"))
+      embPairs
+        .join(broadcast(docs.select(col("doc_id").as("vec_a"), col("sh").as("sh_a"))), Seq("vec_a"))
+        .join(broadcast(docs.select(col("doc_id").as("vec_b"), col("sh").as("sh_b"))), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("cos"),
+          round(graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("text_jaccard"))
+    }),
+
     // Embedding-cosine near-dup pairs over a 1-in-5 sample.
     "dedup_embedding_cosine" -> ((spark, dir) => {
       val sample = Tables.embeddings(spark, dir)
@@ -118,6 +141,25 @@ object VectorQueries {
     "ann_bruteforce_topk" -> topkOracle,
     "ann_aggregator_topk" -> topkOracle,
     "ann_lsh_topk" -> lshOracle,
+
+    "xmodal_dup_agreement" -> {
+      val sh = graft.functions.TextFns.shinglesSql("string_split(text, ' ')", 2)
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |  WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) >= 0.3
+         |), d AS (
+         |  SELECT doc_id, list_distinct($sh) AS sh FROM documents
+         |)
+         |SELECT p.vec_a, p.vec_b, p.cos,
+         |  round(${graft.functions.TextFns.jaccardSql("da.sh", "db.sh")}, 4) AS text_jaccard
+         |FROM pairs p
+         |JOIN d da ON p.vec_a = da.doc_id
+         |JOIN d db ON p.vec_b = db.doc_id""".stripMargin
+    },
 
     "dedup_embedding_cosine" ->
       s"""WITH s AS (
