@@ -167,6 +167,34 @@ object AggWindowQueries {
           col("event_id"), col("next_event"))
     }),
 
+    // RANGE frame: rolling 1-hour event-value sum per user, ordered by
+    // epoch seconds (beyond-reference; true sliding-window semantics).
+    "w10_range_frame" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600, 0)
+      Tables.events(spark, dir)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("rolling_1h", round(sum(col("value")).over(w), 4))
+        .groupBy("user_id")
+        .agg(round(max(col("rolling_1h")), 4).as("max_rolling_1h"))
+    }),
+
+    // Array-function family: contains/slice/zip_with arithmetic.
+    "f_array_family" -> ((spark, dir) => {
+      Tables.embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(aggregate(slice(col("embedding"), 1, 8).cast("array<double>"),
+            lit(0.0), (acc, v) => acc + v), 4).as("head8_sum"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v), 4).as("self_dot"))
+    }),
+
     // Explicit ROWS frame: running sum per user (beyond-reference).
     "w9_running_sum" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -272,6 +300,23 @@ object AggWindowQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
         |) WHERE rnk <= 5""".stripMargin,
+
+    "w10_range_frame" ->
+      """SELECT user_id, round(max(rolling_1h), 4) AS max_rolling_1h FROM (
+        |  SELECT user_id,
+        |    round(sum(value) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+        |  FROM events
+        |) GROUP BY 1""".stripMargin,
+
+    "f_array_family" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |  round(list_sum(embedding[1:8]::DOUBLE[]), 4) AS head8_sum,
+        |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS self_dot
+        |FROM embeddings""".stripMargin,
 
     "w9_running_sum" ->
       """SELECT event_id, user_id,
