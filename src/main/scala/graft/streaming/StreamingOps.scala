@@ -33,6 +33,27 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: click events joined to the same
+    * user's purchase events occurring within `withinSeconds` after the
+    * click. Both sides carry watermarks so Spark can bound the join
+    * state; the time-range predicate is what makes state pruning
+    * possible (an unbounded equi-join of streams would grow forever).
+    */
+  def clicksToPurchases(clicks: DataFrame, purchases: DataFrame,
+                        withinSeconds: Int, watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        round(col("purchase_value"), 4).as("purchase_value"))
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionAgg(startMs: Long, endMs: Long, n: Int, total: Double)
   final case class UserSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,

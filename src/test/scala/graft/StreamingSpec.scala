@@ -62,6 +62,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases within 10 min of a click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.clicksToPurchases(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      buys.toDF().toDF("user_id", "ts", "value"),
+      withinSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("cp_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 1.0), (2L, ts(5), 1.0))
+      buys.addData((1L, ts(4), 9.99), (1L, ts(40), 5.0), (2L, ts(6), 3.5))
+      q.processAllAvailable()
+      val rows = spark.table("cp_join")
+        .select("user_id", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // user 1's 10:40 purchase is outside the 10-min window
+      assert(rows === Set((1L, 9.99), (2L, 3.5)))
+    } finally q.stop()
+  }
+
   test("streaming dedup by key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
