@@ -43,6 +43,21 @@ object StreamingQueries {
           round(col("total_value"), 4).as("total_value"))
     }),
 
+    // Interval join in batch mode: purchases within 10 min of a click
+    // by the same user.
+    "stream_interval_join" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      StreamingOps.clicksToPurchases(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        withinSeconds = 600)
+        .select(
+          col("user_id"),
+          unix_timestamp(col("click_ts")).as("click_s"),
+          unix_timestamp(col("purchase_ts")).as("purchase_s"),
+          col("purchase_value"))
+    }),
+
     // Sliding event-time windows (10 min window, 5 min slide).
     "stream_windowed_counts" -> ((spark, dir) => {
       StreamingOps.windowedTypeCounts(
@@ -77,6 +92,22 @@ object StreamingQueries {
          |  count(*) AS n_events,
          |  round(sum(value), 4) AS total_value
          |FROM grouped GROUP BY user_id, session_id""".stripMargin,
+
+    "stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id,
+        |  CAST(floor(epoch(click_ts)) AS BIGINT) AS click_s,
+        |  CAST(floor(epoch(purchase_ts)) AS BIGINT) AS purchase_s,
+        |  round(value, 4) AS purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_ts >= click_ts
+        |  AND purchase_ts <= click_ts + INTERVAL 600 SECONDS""".stripMargin,
 
     // Each event lands in exactly two 10-min/5-min-slide windows:
     // starts at floor(ts/5min)*5min and 5 min before it.
