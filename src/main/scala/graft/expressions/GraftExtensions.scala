@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollectSizeToCount)
     inject(ext, "token_fingerprint", classOf[TokenFingerprint], { cs =>
       require(cs.size == 1, "token_fingerprint takes exactly one argument")
       TokenFingerprint(cs.head)
