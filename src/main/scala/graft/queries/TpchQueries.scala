@@ -58,6 +58,23 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // Correlated subquery through the SQL surface — Catalyst
+    // decorrelates the EXISTS into a join (SURVEY §4).
+    "sql_subquery" -> ((spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_sq")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_sq")
+      spark.sql(
+        """SELECT c_mktsegment, count(*) AS n_with_big_order
+          |FROM customer_sq c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders_sq o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+          |) AND c.c_acctbal > (
+          |  SELECT avg(c_acctbal) FROM customer_sq
+          |)
+          |GROUP BY 1""".stripMargin)
+    }),
+
     // Typed Dataset API: case-class encoder + typed filter/groupByKey.
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
@@ -106,6 +123,15 @@ object TpchQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "sql_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_with_big_order
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        |) AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY 1""".stripMargin,
 
     "typed_ops" ->
       """SELECT l_returnflag, count(*) AS n_big
