@@ -24,26 +24,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (elapsed, succeeded) — a failed query must NOT fold its
+    // near-zero elapsed time into best-of-N or the total.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // release operator-persisted intermediates
-      dt
+      (dt, ok)
     }
     // best-of-N per query: JVM/codegen warmup and background GC on a
     // shared box otherwise dominate single-shot numbers.
-    val results = (1 to iterations)
+    val runs = (1 to iterations)
       .flatMap(_ => SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => n -> once(n, f) })
-      .groupBy(_._1).map { case (n, runs) => n -> runs.map(_._2).min }
-      .toSeq.sortBy(_._1)
+    val byName = runs.groupBy(_._1)
+    val results = byName.collect {
+      case (n, rs) if rs.exists(_._2._2) => n -> rs.collect { case (_, (dt, true)) => dt }.min
+    }.toSeq.sortBy(_._1)
+    val failed = byName.collect { case (n, rs) if !rs.exists(_._2._2) => n }.toSeq.sorted
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iterations}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations}""")
     spark.stop()
   }
 }

@@ -44,7 +44,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // Integer division (DIV), not `/`: epoch-ns (~1.7e18) exceeds
+      // double's 2^53 mantissa, so fp divide-then-cast is off by 1us
+      // for ~1.6% of values and flips second-boundary-derived dates.
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

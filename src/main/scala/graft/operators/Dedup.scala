@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFns
 
 /** Document deduplication operators for large-scale training-data
@@ -51,11 +50,12 @@ object Dedup {
       .select(col(idCol).as("doc"),
         array_distinct(graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
-      // Materialize: without this, projection collapsing inlines the
-      // signature expression into every band hash (8× the work) and
-      // again into both join sides. The signature table is tiny
-      // (k longs + shingle hashes per doc) at any corpus size.
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // Shuffle barrier instead of persist: projection collapsing would
+      // inline the signature expression into every band hash (8× the
+      // work); an Exchange stops that, and the two self-join sides
+      // collapse into one computation via ReuseExchange — no cached
+      // blocks for callers to leak, no cache memory pressure at scale.
+      .repartition(col("doc"))
     val banded = withSig.select(
       col("doc"), col("sh"),
       posexplode(array((0 until bands).map { b =>

@@ -127,6 +127,9 @@ object AggWindowQueries {
         .withColumn("last_good_val", first(col("maybe_val"), ignoreNulls = true).over(w))
         .groupBy("user_id")
         .agg(round(max(col("last_good_val")), 4).as("last_good_val"))
+        // a user whose events are ALL 'error' has no non-null value; the
+        // oracle's WHERE drops such users entirely, so we must too.
+        .where(col("last_good_val").isNotNull)
     }),
 
     // W3: lag-based change detection (travel city-change kernel,

@@ -80,7 +80,9 @@ object RelationalQueries {
       Tables.events(spark, dir)
         .select(
           col("event_id").cast("int").as("event_id_i32"),
-          col("value").cast("long").as("value_floor"),
+          // floor-then-cast, not bare cast: cast("long") truncates toward
+          // zero while the oracle floors toward -inf; differs on negatives.
+          floor(col("value")).cast("long").as("value_floor"),
           col("ts").cast("date").cast("string").as("event_date"),
           lit(1).as("batch_flag"))
     }),
