@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(cs.size == 2, "minhash_sig(shingles, k)")
       MinHashSig(cs.head, intArg(cs(1), "signature length"))
     })
+    inject(ext, "dot_product", classOf[DotProduct], { cs =>
+      require(cs.size == 2, "dot_product(a, b)")
+      DotProduct(cs.head, cs(1))
+    })
+    inject(ext, "sorted_intersect_count", classOf[SortedIntersectCount], { cs =>
+      require(cs.size == 2, "sorted_intersect_count(a, b)")
+      SortedIntersectCount(cs.head, cs(1))
+    })
   }
 }
 
@@ -69,4 +77,10 @@ object GraftFunctions {
   def minhashSig(c: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "minhash_sig", c, org.apache.spark.sql.functions.lit(k))
+
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_product", a, b)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
 }

@@ -1,0 +1,133 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector kernels for the similarity operators.
+  *
+  * Spark's higher-order functions (zip_with/aggregate) evaluate an
+  * interpreted lambda per element — measured as the dominant cost of
+  * cosine scoring over the fixtures (3 dots × 64 elements × every
+  * candidate pair). Each kernel here is one tight Java loop over the
+  * raw ArrayData, safe inside whole-stage codegen.
+  *
+  * Numeric contract: [[VectorKernels.dot]] accumulates in double,
+  * strictly left-to-right, exactly like the HOF form
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` after an array<double>
+  * cast — so results stay bit-identical to DuckDB's
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])` and the oracle checks
+  * keep passing.
+  */
+object VectorKernels {
+
+  /** Strict left-to-right double dot product of two float arrays. */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Same kernel over double arrays. */
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** |A ∩ B| of two SORTED long arrays via linear merge — no hash set,
+    * no allocation. Callers sort once per row before the pair join.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+}
+
+/** Double dot product of two array<float> (or array<double>) columns. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<float> or two array<double> args, " +
+          s"got ${left.dataType} and ${right.dataType}")
+    }
+
+  private def kernel: String =
+    if (left.dataType.asInstanceOf[ArrayType].elementType == FloatType) "dotFF" else "dotDD"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (kernel == "dotFF")
+      VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.dotDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorKernels.$kernel($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product"
+}
+
+/** Intersection size of two sorted array<long> columns (merge scan). */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<long> args, " +
+          s"got ${left.dataType} and ${right.dataType}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorKernels.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "sorted_intersect_count"
+}

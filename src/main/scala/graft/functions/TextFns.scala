@@ -48,6 +48,17 @@ object TextFns {
     i / (size(a) + size(b) - i)
   }
 
+  /** Exact Jaccard of two SORTED distinct-element array<long> columns —
+    * native merge-scan intersection (graft.expressions
+    * .SortedIntersectCount): no per-pair hash set, no allocation. Same
+    * value as [[jaccard]]; callers array_sort once per row before the
+    * pair join.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val i = graft.expressions.GraftFunctions.sortedIntersectCount(a, b).cast("double")
+    i / (size(a) + size(b) - i)
+  }
+
   /** DuckDB twin of [[jaccard]] (inputs must be distinct-element). */
   def jaccardSql(a: String, b: String): String =
     s"(len(list_intersect($a, $b))::DOUBLE / " +

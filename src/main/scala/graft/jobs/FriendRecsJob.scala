@@ -1,7 +1,6 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Geo
 import graft.operators.GeoOps
@@ -56,56 +55,71 @@ object FriendRecsJob {
       .distinct()
 
     // 2. Candidate pairs: users sharing a "channel" (signup/view type).
-    val subs = geo
+    // Channel cardinality is tiny here, so the reference's per-channel
+    // equi join (J5) degenerates: it emits a quadratic intermediate
+    // that the following distinct must shuffle. Instead aggregate one
+    // boolean per channel per user (map-side combined), then a
+    // broadcast theta self-join on lo < hi keeping overlapping flags —
+    // each undirected pair is emitted exactly once, no distinct pass.
+    // With many selective channels the equi-join form wins instead;
+    // j5_self_join_pairs keeps the general set-intersect variant.
+    val subFlags = geo
       .where(col("event_type").isin("signup", "view"))
-      .select(col("event_type").as("channel"), col("user_id"))
-      .distinct()
-    // The join key ("channel") has tiny cardinality — a shuffle join
-    // would collapse onto a handful of partitions (skew). Broadcast the
-    // deduped right side instead: parallelism follows the left side.
-    val pairs = subs.select(col("channel"), col("user_id").as("lo"))
-      .join(broadcast(subs.select(col("channel"), col("user_id").as("hi"))), Seq("channel"))
-      .where(col("lo") < col("hi"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("event_type") === "signup").as("has_signup"),
+        max(col("event_type") === "view").as("has_view"))
+    val pairs = subFlags
+      .select(col("user_id").as("lo"), col("has_signup").as("s_lo"), col("has_view").as("v_lo"))
+      .join(broadcast(subFlags.select(
+        col("user_id").as("hi"), col("has_signup").as("s_hi"), col("has_view").as("v_hi"))),
+        col("lo") < col("hi"))
+      .where((col("s_lo") && col("s_hi")) || (col("v_lo") && col("v_hi")))
       .select("lo", "hi")
-      .distinct()
 
     // 3. Remove pairs that already messaged each other. Contacts are
     // bounded by the message count (≪ pairs): broadcast the anti side
-    // so the pair table never shuffles here. Then expand to both
-    // directions (the datamart recommends symmetrically).
-    val fresh = pairs
-      .join(broadcast(contacts), Seq("lo", "hi"), "left_anti")
+    // so the pair table never shuffles here.
+    val fresh = pairs.join(broadcast(contacts), Seq("lo", "hi"), "left_anti")
+
+    // 4. Latest-event coordinates + act city per user. max_by instead
+    // of a row_number window: the per-user shuffle then moves only
+    // map-side-combined (user, latest-event) rows, not every event.
+    val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
+      col("lat"), col("lon"))
+    val lastCoords = tagged
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("lat"), col("lon"), col("city_id"), col("timezone"),
+          col("ts").as("last_ts")),
+        struct(col("ts"), col("event_id"))).as("b"))
+      .select(col("user_id"), col("b.lat"), col("b.lon"),
+        col("b.city_id"), col("b.timezone"), col("b.last_ts").as("last_ts"))
+
+    // 5. Proximity filter on UNDIRECTED pairs (haversine is symmetric,
+    // including bit-exactly after rounding), so the distance is
+    // computed once per pair — half the coordinate joins and distance
+    // evaluations of a filter-after-expansion plan. lastCoords is one
+    // row per user (dimension-sized): broadcast, pairs stream map-side.
+    val nearby = fresh
+      .join(broadcast(lastCoords.select(
+        col("user_id").as("lo"), col("lat").as("lo_lat"), col("lon").as("lo_lon"))), Seq("lo"))
+      .join(broadcast(lastCoords.select(
+        col("user_id").as("hi"), col("lat").as("hi_lat"), col("lon").as("hi_lon"))), Seq("hi"))
+      .where(round(Geo.haversineKm(
+        col("lo_lat"), col("lo_lon"), col("hi_lat"), col("hi_lon")), 4) <= MaxDistKm)
+      .select("lo", "hi")
+
+    // 6. Expand survivors to both directions (the datamart recommends
+    // symmetrically) and decorate from the left user's latest event.
+    nearby
       .select(explode(array(
         struct(col("lo").as("left_user"), col("hi").as("right_user")),
         struct(col("hi").as("left_user"), col("lo").as("right_user")))).as("e"))
       .select(col("e.left_user"), col("e.right_user"))
-
-    // 4. Latest-event coordinates + act city per user.
-    val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
-      col("lat"), col("lon"))
-    val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val lastCoords = tagged
-      .withColumn("__rn", row_number().over(wDesc))
-      .where(col("__rn") === 1)
-      .select(col("user_id"), col("lat"), col("lon"),
-        col("city_id"), col("timezone"), col("ts").as("last_ts"))
-
-    // 5-6. Proximity filter + decoration.
-    val left = lastCoords.select(
-      col("user_id").as("left_user"), col("lat").as("l_lat"), col("lon").as("l_lon"),
-      col("city_id").as("zone_id"), col("timezone"), col("last_ts"))
-    val right = lastCoords.select(
-      col("user_id").as("right_user"), col("lat").as("r_lat"), col("lon").as("r_lon"))
-
-    // lastCoords is one row per user (dimension-sized) — broadcast both
-    // decorations so the pair table streams map-side.
-    fresh
-      .join(broadcast(left), Seq("left_user"))
-      .join(broadcast(right), Seq("right_user"))
-      .withColumn("dist_km",
-        round(Geo.haversineKm(col("l_lat"), col("l_lon"), col("r_lat"), col("r_lon")), 4))
-      .where(col("dist_km") <= MaxDistKm)
+      .join(broadcast(lastCoords.select(
+        col("user_id").as("left_user"), col("city_id").as("zone_id"),
+        col("timezone"), col("last_ts"))), Seq("left_user"))
       .select(
         col("left_user").as("user_id"),
         col("right_user").as("rec_to_add_user_id"),

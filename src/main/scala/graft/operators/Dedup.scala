@@ -48,7 +48,8 @@ object Dedup {
     // k-min signature are native one-pass codegen'd expressions.
     val withSig = df
       .select(col(idCol).as("doc"),
-        array_distinct(graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh"))
+        array_sort(array_distinct(
+          graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN))).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       // Shuffle barrier instead of persist: projection collapsing would
       // inline the signature expression into every band hash (8× the
@@ -67,7 +68,7 @@ object Dedup {
     l.join(r, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(TextFns.jaccardSorted(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .distinct()
   }
@@ -96,9 +97,12 @@ object Dedup {
     // per-pair hashed-array intersect is bounded by O(|A|+|B|) longs
     // and benefits from the size-ratio prune below; for sparse-overlap
     // corpora the inverted-index shape would win instead.
+    // Sorted once per row here so the per-pair intersection is a native
+    // merge scan (SortedIntersectCount) instead of a hash-set build.
     val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("doc") :+
-        array_distinct(graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh")): _*)
+        array_sort(array_distinct(
+          graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN))).as("sh")): _*)
     val l = base.select(blockCols.map(col) :+ col("doc").as("doc_a") :+ col("sh").as("sh_a"): _*)
     val r = base.select(blockCols.map(col) :+ col("doc").as("doc_b") :+ col("sh").as("sh_b"): _*)
     l.join(r, blockCols)
@@ -108,7 +112,7 @@ object Dedup {
       // skip their O(|A|+|B|) intersection entirely. Output-equivalent.
       .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
         greatest(size(col("sh_a")), size(col("sh_b"))) * threshold)
-      .withColumn("jaccard", round(TextFns.jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", round(TextFns.jaccardSorted(col("sh_a"), col("sh_b")), 4))
       .where(col("jaccard") >= threshold)
       .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+ col("jaccard")): _*)
   }

@@ -22,14 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two array<float> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Strict left-to-right double dot product — native codegen'd
+    * expression (graft.expressions.DotProduct), bit-identical to the
+    * HOF form aggregate(zip_with(_*_), 0.0, _+_) over array<double>
+    * and to DuckDB's list_dot_product over DOUBLE[].
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.dotProduct(a, b)
+
+  /** Euclidean norm of an embedding column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Double-precision cosine similarity of two array<float> columns.
+    * For pair joins prefer precomputing [[norm]] per SIDE before the
+    * join and dividing dot by the norm product — one dot per pair
+    * instead of three.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** DuckDB twin of [[cosine]] (embedding lists cast to DOUBLE[]). */
   def cosineSql(a: String, b: String): String =
@@ -60,10 +70,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
     val scored = corpus
+      .withColumn("c_nrm", norm(col("embedding")))
       .join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored
@@ -79,10 +92,13 @@ object Similarity {
   def aggregatorTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
     corpus
+      .withColumn("c_nrm", norm(col("embedding")))
       .join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
       .groupBy("query_id")
       .agg(topk(col("vec_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -97,12 +113,11 @@ object Similarity {
   def lshSignature(emb: Column, dim: Int, nBits: Int): Column = {
     val ed = emb.cast("array<double>")
     val bitCols = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(ed, transform(sequence(lit(0), lit(dim - 1)),
-          d => when(sin(d + lit(p * dim)) >= 0, 1.0).otherwise(-1.0)),
-          (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      // ±1 weights are a LITERAL array (evaluated here with the same
+      // java Math.sin the codegen'd form called), dotted natively.
+      val weights = array((0 until dim).map(d =>
+        lit(if (math.sin(d + p * dim) >= 0) 1.0 else -1.0)): _*)
+      when(dot(ed, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -119,8 +134,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // Random init + few iterations: the coarse quantizer only has to
+    // spread the corpus across cells, not converge — k-means|| init
+    // alone costs more passes than the whole fit needs here.
     val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(featured)
     val cells = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
@@ -145,7 +164,9 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id").asc)
     cells.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding"))), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -160,13 +181,15 @@ object Similarity {
               dim: Int = 64, nBits: Int = 8): DataFrame = {
     val sig = (df: DataFrame) => df.withColumn("sig", lshSignature(col("embedding"), dim, nBits))
     val q = sig(queries).select(col("sig"),
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = sig(corpus)
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val c = sig(corpus).withColumn("c_nrm", norm(col("embedding")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     c.join(q, Seq("sig"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

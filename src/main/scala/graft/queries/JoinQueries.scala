@@ -80,21 +80,27 @@ object JoinQueries {
         .select(col("week"), col("event_type"), col("n"), col("total_value"))
     }),
 
-    // J5: self equi join generating user pairs sharing an event_type
+    // J5: self join generating user pairs sharing event_types
     // (reference's channel co-subscriber pairs, collector.py:1000-1008).
+    // The naive per-type equi join emits a quadratic intermediate that
+    // the count aggregation must then shuffle (~5× the output size).
+    // Instead: one sorted type-set per user (tiny map-side-combined
+    // agg), broadcast theta self-join on user order, and the shared
+    // count is a native merge-intersect per pair — the post-agg plan
+    // never shuffles. When types are many and selective, the equi-join
+    // + count form wins instead (the intermediate stays near-linear);
+    // Skew.saltedJoin covers the hot-key middle ground.
     "j5_self_join_pairs" -> ((spark, dir) => {
-      val ue = Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type")).distinct()
-      val l = ue.select(col("event_type"), col("user_id").as("left_user"))
-      val r = ue.select(col("event_type"), col("user_id").as("right_user"))
-      // event_type has ~5 values: a shuffle join would skew onto 5
-      // partitions; broadcasting the deduped right side keeps the
-      // left side's parallelism. If the deduped side outgrew broadcast
-      // range, graft.operators.Skew.saltedJoin is the fallback.
-      l.join(broadcast(r), Seq("event_type"))
-        .where(col("left_user") < col("right_user"))
-        .groupBy("left_user", "right_user")
-        .agg(count(lit(1)).as("shared_types"))
+      val typeSets = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(xxhash64(col("event_type")))).as("types"))
+      val l = typeSets.select(col("user_id").as("left_user"), col("types").as("t_l"))
+      val r = typeSets.select(col("user_id").as("right_user"), col("types").as("t_r"))
+      l.join(broadcast(r), col("left_user") < col("right_user"))
+        .withColumn("shared_types",
+          graft.expressions.GraftFunctions.sortedIntersectCount(col("t_l"), col("t_r")).cast("long"))
+        .where(col("shared_types") >= 1)
+        .select(col("left_user"), col("right_user"), col("shared_types"))
     }),
 
     // J6: left anti join — customers with no order above 400k.
@@ -112,6 +118,45 @@ object JoinQueries {
         .join(Tables.orders(spark, dir),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey").as("custkey"))
+    }),
+
+    // Range join (non-equi): band each event's value against a tiny
+    // banding dimension ON lo <= value < hi. Broadcast nested loop is
+    // exactly right here — the bands table is rows-countable; with a
+    // LARGE band table the scale path is aligned-width bucketing
+    // (floor(value/width)) turning it into an equi join.
+    "j9_range_join" -> ((spark, dir) => {
+      import spark.implicits._
+      val bands = Seq(
+        (0.0, 40.0, "low"), (40.0, 80.0, "mid"),
+        (80.0, 120.0, "high"), (120.0, 1e9, "extreme"))
+        .toDF("lo", "hi", "band")
+      Tables.events(spark, dir)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    }),
+
+    // As-of join (backward): each event picks the user's most recent
+    // order on-or-before the event time — union+carry single-shuffle
+    // plan (graft.operators.AsofJoin), oracled by DuckDB's native
+    // ASOF LEFT JOIN.
+    "j10_asof_join" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // (key, time) made unique on the right: one row per customer-day.
+      val ord = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(count(lit(1)).as("n_day_orders"),
+          round(max("o_totalprice"), 4).as("max_price"))
+        .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+        .withColumn("order_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      graft.operators.AsofJoin.backward(ev, ord,
+        key = "user_id", leftTime = "ts", rightTime = "o_ts",
+        payloadCols = Seq("order_date", "n_day_orders", "max_price"))
+        .select(col("event_id"), col("user_id"),
+          col("order_date").as("last_order_date"),
+          col("n_day_orders"), col("max_price"))
     }),
 
     // Full outer join of two per-user aggregates (beyond-reference op).
@@ -172,6 +217,27 @@ object JoinQueries {
     "j7_semi_join" ->
       """SELECT c_custkey AS custkey FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "j9_range_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (0.0, 40.0, 'low'), (40.0, 80.0, 'mid'),
+        |  (80.0, 120.0, 'high'), (120.0, 1000000000.0, 'extreme'))
+        |SELECT band, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1""".stripMargin,
+
+    "j10_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |    count(*) AS n_day_orders, round(max(o_totalprice), 4) AS max_price
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, o.order_date AS last_order_date,
+        |  o.n_day_orders, o.max_price
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_ts""".stripMargin,
 
     "j8_full_outer_join" ->
       """WITH clicks AS (

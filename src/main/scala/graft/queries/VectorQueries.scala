@@ -53,12 +53,16 @@ object VectorQueries {
     // space; emits both signals per candidate pair.
     "xmodal_dup_agreement" -> ((spark, dir) => {
       import graft.expressions.GraftFunctions
+      // Norms are computed once per row BEFORE the quadratic join —
+      // one native dot per pair instead of three interpreted ones.
       val sample = Tables.embeddings(spark, dir).where(col("vec_id") % 5 === 0)
-      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
+      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
       val embPairs = l.crossJoin(r)
         .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(Similarity.cosine(col("e_a"), col("e_b")), 4))
+        .withColumn("cos", round(
+          Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
         .where(col("cos") >= 0.3)
         .select("vec_a", "vec_b", "cos")
       val docs = Tables.documents(spark, dir).select(
@@ -75,11 +79,13 @@ object VectorQueries {
     "dedup_embedding_cosine" -> ((spark, dir) => {
       val sample = Tables.embeddings(spark, dir)
         .where(col("vec_id") % 5 === 0)
-      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
+      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
       l.crossJoin(r)
         .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(Similarity.cosine(col("e_a"), col("e_b")), 4))
+        .withColumn("cos", round(
+          Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
         .where(col("cos") >= 0.35)
         .select(col("vec_a"), col("vec_b"), col("cos"))
     })

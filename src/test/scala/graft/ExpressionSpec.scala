@@ -54,4 +54,41 @@ class ExpressionSpec extends SparkSpec {
     val expected = graft.expressions.TokenFingerprint.compute("spark merge join")
     assert(r === expected)
   }
+
+  test("native dot_product is bit-identical to the HOF aggregate/zip_with form") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
+        (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val both = emb.select(
+      GraftFunctions.dotProduct(col("embedding"), col("embedding")).as("native"),
+      hofDot(col("embedding"), col("embedding")).as("hof"))
+    // exact equality, not approx: same left-to-right double accumulation
+    assert(both.where(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("dot_product handles double arrays and nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
+      (None, Some(Array(1.0)))
+    ).toDF("a", "b")
+    val out = df.select(GraftFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .collect()
+    assert(out(0).getDouble(0) === 32.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"),
+        array_sort(array_distinct(GraftFunctions.hashedShingles(col("text"), 2))).as("sh"))
+    val l = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val r = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    val pairs = l.crossJoin(r).where(col("a") < col("b")).limit(500)
+    val both = pairs.select(
+      GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")).as("native"),
+      size(array_intersect(col("sh_a"), col("sh_b"))).as("builtin"))
+    assert(both.where(col("native") =!= col("builtin")).isEmpty)
+  }
 }
