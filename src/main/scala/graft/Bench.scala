@@ -24,6 +24,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Optional comma-separated query-name filter for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
     // returns (elapsed, succeeded) — a failed query must NOT fold its
     // near-zero elapsed time into best-of-N or the total.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
@@ -41,7 +46,7 @@ object Bench {
     // best-of-N per query: JVM/codegen warmup and background GC on a
     // shared box otherwise dominate single-shot numbers.
     val runs = (1 to iterations)
-      .flatMap(_ => SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => n -> once(n, f) })
+      .flatMap(_ => selected.toSeq.sortBy(_._1).map { case (n, f) => n -> once(n, f) })
     val byName = runs.groupBy(_._1)
     val results = byName.collect {
       case (n, rs) if rs.exists(_._2._2) => n -> rs.collect { case (_, (dt, true)) => dt }.min
