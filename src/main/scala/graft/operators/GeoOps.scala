@@ -61,17 +61,20 @@ object GeoOps {
       .drop("__best")
   }
 
-  /** Parity path: crossJoin(broadcast(cities)) + row_number window. */
+  /** Parity path: crossJoin(broadcast(cities)) + row_number window.
+    * Same unrounded-compare / round-the-winner scheme as
+    * [[tagNearestCity]] (one BigDecimal round per event, not per pair).
+    */
   def tagNearestCityWindowed(events: DataFrame, cities: DataFrame,
                              lat: Column, lon: Column, eventKey: Column): DataFrame = {
-    val dist = round(
-      Geo.haversineKm(lat, lon, col("city_lat"), col("city_lon")), 4)
-    val w = Window.partitionBy(eventKey).orderBy(col("dist_km").asc, col("city_id").asc)
+    val dist = Geo.haversineKm(lat, lon, col("city_lat"), col("city_lon"))
+    val w = Window.partitionBy(eventKey).orderBy(col("__dist").asc, col("city_id").asc)
     events
       .crossJoin(broadcast(cities))
-      .withColumn("dist_km", dist)
+      .withColumn("__dist", dist)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .drop("__rn", "city_lat", "city_lon")
+      .withColumn("dist_km", round(col("__dist"), 4))
+      .drop("__rn", "__dist", "city_lat", "city_lon")
   }
 }

@@ -122,43 +122,52 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
-    * corpus into cells; each query exactly-scores only its `nProbe`
-    * nearest cells. The classic billion-scale layout: the corpus is
-    * clustered ONCE (and would be written bucketed-by-cell at rest),
-    * per-query work drops by ~nCells/nProbe, and recall is tunable via
-    * nProbe. Deterministic under the fixed seed.
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into cells; each query exactly-scores only its `nProbe` nearest
+    * cells. The classic billion-scale layout: the corpus is assigned
+    * ONCE (and would be written bucketed-by-cell at rest), per-query
+    * work drops by ~nCells/nProbe, and recall is tunable via nProbe.
+    *
+    * The codebook is a deterministic pseudo-random SAMPLE of the corpus
+    * (order by hash of id, take nCells) — how large-scale IVF trains in
+    * practice (quantizers fit on samples, not the full corpus), and the
+    * dictionary-sized result is folded into LITERAL arrays so cell
+    * assignment is a pure broadcast-free projection over native dots,
+    * exactly like the nearest-city argmin kernel. A k-means refinement
+    * of the sampled codebook would raise recall slightly but costs an
+    * iterative fit that dwarfs the search itself at bench scale.
+    *
+    * Cell ranking uses dot(q, centroid)/|centroid| — equivalent to
+    * cosine for ranking because |q| is a common positive factor.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    // nCells rows to the driver: the codebook is dictionary-sized.
+    val codebook: Array[(Int, Array[Float], Double)] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val emb = r.getSeq[Float](1).toArray
+        (i, emb, math.sqrt(emb.map(x => x.toDouble * x).sum))
+      }
 
-    // Random init + few iterations: the coarse quantizer only has to
-    // spread the corpus across cells, not converge — k-means|| init
-    // alone costs more passes than the whole fit needs here.
-    val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(featured)
-    val cells = model.transform(featured)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    def cellScores(emb: Column): Column = array((codebook.map { case (i, c, n) =>
+      struct((dot(emb, typedLit(c)) / lit(n)).as("s"), lit(i).as("cell"))
+    }): _*)
 
-    // Every query probes its nProbe nearest centroids (centroid table
-    // is tiny: nCells rows, broadcast as a literal array).
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-      .toDF("cell", "centroid")
+    // Corpus assignment: argmax cell score — zero-shuffle projection.
+    val cells = corpus.select(col("vec_id"), col("embedding"),
+      array_max(cellScores(col("embedding"))).getField("cell").as("cell"))
+
+    // Every query probes its nProbe best cells — also a projection:
+    // sort the nCells (score, cell) structs, slice the top, explode.
     val probed = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
-      .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("q_emb"), col("sc.cell").as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
