@@ -37,10 +37,18 @@ object Main {
     })
     val spark = GraftSession.local(s"graft-$jobName")
     try {
-      val overwrote = Sinks.writeDatamart(job(spark, inDir), outPath, singleFile)
-      if (overwrote)
-        System.err.println(s"[graft] $outPath existed — overwrote (idempotent rerun)")
-      println(s"[graft] $jobName -> $outPath done")
+      // C1/C2 (reference collector.py:623-625, 841-848): the result is
+      // persisted across its two materializations — the datamart write
+      // and the row-count report (the reference's show(100) debug
+      // surface, O3) — then explicitly unpersisted.
+      val result = job(spark, inDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      try {
+        val overwrote = Sinks.writeDatamart(result, outPath, singleFile)
+        if (overwrote)
+          System.err.println(s"[graft] $outPath existed — overwrote (idempotent rerun)")
+        println(s"[graft] $jobName -> $outPath done (${result.count()} rows)")
+      } finally result.unpersist()
     } finally spark.stop()
   }
 }
