@@ -45,6 +45,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("j5 pair generation shuffles only the per-user aggregation, never the pairs") {
+    val p = plan(JoinQueries.queries("j5_self_join_pairs")(spark, sfDir))
+    // one exchange per side's type-set agg; the quadratic pair stream
+    // itself flows through the broadcast theta join with no shuffle.
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("friend-recs datamart joins are all broadcast — no sort-merge join") {
+    val p = plan(graft.jobs.FriendRecsJob.run(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(count(p, "Exchange hashpartitioning") <= 6, p.take(1500))
+  }
+
+  test("IVF cell assignment and probing are projections — only the top-k shuffles") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val p = plan(graft.operators.Similarity.ivfTopK(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") % 200 === 0), 5))
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
