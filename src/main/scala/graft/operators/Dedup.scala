@@ -82,6 +82,56 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     graft.expressions.GraftFunctions.simhash64(textCol)
 
+  /** Connected components over an undirected pair graph — the step
+    * that turns near-duplicate PAIRS into dedup CLUSTERS (each cluster
+    * keeps one canonical document). Iterative min-label propagation:
+    * every node takes the minimum label among itself and its
+    * neighbors, repeated until a fixpoint — O(diameter) rounds, each a
+    * self-equi-join + min aggregation, the standard Spark shape for
+    * union-find at scale (driver loops over ROUNDS, never over rows;
+    * each round's convergence check is a metadata-cheap count).
+    *
+    * Component id = min node id in the component (deterministic).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // Materialize the symmetrized edge set once — every round joins
+    // against it, and without the checkpoint each round would re-run
+    // the whole upstream plan (scan, extraction, distinct).
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    // Labels only ever decrease, so the label sum strictly decreases
+    // until the fixpoint: sum equality IS the convergence test — one
+    // scalar per round instead of a change-detection join.
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node pulls the min label among itself and its neighbors;
+      // localCheckpoint truncates the lineage so round N+1 doesn't
+      // replan/replay rounds 1..N
+      val next = sym
+        .join(labels.withColumnRenamed("node", "b2"),
+          col("b") === col("b2"))
+        .select(col("a").as("node"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("node")
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Blocked exact n-gram-Jaccard near-dup pairs: all pairs within a
     * blocking key (e.g. lang+source) scored by shingle-set Jaccard.
     * Scale: the quadratic pair generation is confined to blocks; for

@@ -92,6 +92,21 @@ object TextQueries {
           col("s_sql"), col("s_infra"), col("s_data"))
     }),
 
+    // Connected components over the click contact graph — near-dup
+    // pairs → dedup clusters (component id = min member id). The
+    // oracle is a DuckDB recursive-CTE transitive closure; Spark runs
+    // iterative min-label propagation (log-diameter rounds).
+    "graph_components" -> ((spark, dir) => {
+      val edges = Tables.events(spark, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 100L).as("partner"))
+        .where(col("partner").isNotNull && col("partner") =!= col("user_id"))
+        .distinct()
+      Dedup.connectedComponents(edges, "user_id", "partner")
+        .select(col("node").as("user_id"), col("lbl").as("component"))
+    }),
+
     // Rolling-hash document fingerprint — native codegen'd Catalyst
     // expression (graft.expressions.TokenFingerprint); semantics are
     // identical to the HOF form TextFns.fingerprint (spec-checked).
@@ -158,6 +173,23 @@ object TextQueries {
          |       ELSE 'data' END AS lang_pred,
          |  s_sql, s_infra, s_data
          |FROM s""".stripMargin,
+
+    "graph_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id AS a,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS b
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 IS NOT NULL
+        |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 <> user_id
+        |), sym AS (
+        |  SELECT a, b FROM e UNION SELECT b, a FROM e
+        |), reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |)
+        |SELECT a AS user_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, ${TextFns.fingerprintSql("string_split(text, ' ')")} AS fp

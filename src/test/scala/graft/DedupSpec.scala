@@ -50,4 +50,19 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", Seq("lang", "source"), shingleN = 2, threshold = 0.3)
     assert(pairs.where(col("jaccard") < 0.3).isEmpty)
   }
+
+  test("connected components labels chains, isolated pairs, and cycles") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain + cycle back), {10,11}, {20,21,22}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
