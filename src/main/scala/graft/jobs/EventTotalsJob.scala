@@ -30,22 +30,35 @@ object EventTotalsJob {
       .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
       .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM-dd"))
 
-    // One conditional aggregation replaces the reference's 3 parallel
-    // count pipelines (messages/reactions/subscriptions analogs).
-    val weekly = tagged
+    // ONE pass over the tagged events: a single pre-aggregation on
+    // (user, zone, week, month, type) is the only full-data shuffle —
+    // and map-side combine means only combined rows (bounded by
+    // |users|×|types|×|weeks|, not |events|) ever move. Weekly counts
+    // and registrations both derive from this compact frame with tiny
+    // follow-up shuffles, replacing the reference's 4 scan pipelines
+    // (and our previous 2) with 1.
+    val pre = tagged
+      .groupBy("user_id", "zone_id", "week", "month", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("ts"), col("event_id"))).as("first_evt"))
+      // compact (|users|×|types|×|weeks|) and read by both branches —
+      // materialize once rather than re-running scan+tag+agg twice
+      .localCheckpoint(true)
+
+    // Conditional aggregation replaces the per-class count pipelines.
+    val weekly = pre
       .groupBy("zone_id", "week", "month")
       .agg(
-        sum(when(col("event_type") === "click", 1).otherwise(0)).as("week_click"),
-        sum(when(col("event_type") === "view", 1).otherwise(0)).as("week_view"),
-        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("week_purchase"))
+        sum(when(col("event_type") === "click", col("cnt")).otherwise(0)).as("week_click"),
+        sum(when(col("event_type") === "view", col("cnt")).otherwise(0)).as("week_view"),
+        sum(when(col("event_type") === "purchase", col("cnt")).otherwise(0)).as("week_purchase"))
 
-    // Registrations: each user's first event (W7), geo-tagged. min_by
-    // instead of a window: the per-user shuffle then moves only
-    // map-side-combined (user, first-event) rows, not all events.
-    val regs = tagged
+    // Registrations: each user's first event (W7) = argmin over the
+    // per-group minima (min_by instead of a window, SURVEY §7.4.4).
+    val regs = pre
       .groupBy("user_id")
       .agg(min_by(struct(col("zone_id"), col("week"), col("month")),
-        struct(col("ts"), col("event_id"))).as("first"))
+        col("first_evt")).as("first"))
       .select(col("first.zone_id"), col("first.week"), col("first.month"))
       .groupBy("zone_id", "week", "month")
       .agg(count(lit(1)).as("week_user"))

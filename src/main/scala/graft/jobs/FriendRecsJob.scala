@@ -63,15 +63,32 @@ object FriendRecsJob {
     // each undirected pair is emitted exactly once, no distinct pass.
     // With many selective channels the equi-join form wins instead;
     // j5_self_join_pairs keeps the general set-intersect variant.
-    val subFlags = geo
-      .where(col("event_type").isin("signup", "view"))
+    // One per-user aggregation carries BOTH the channel flags and the
+    // latest-event coordinates (step 4) — a single scan+tag+shuffle
+    // where separate subFlags/lastCoords passes would cost two.
+    val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
+      col("lat"), col("lon"))
+    val perUser = tagged
       .groupBy(col("user_id"))
       .agg(
         max(col("event_type") === "signup").as("has_signup"),
-        max(col("event_type") === "view").as("has_view"))
-    val pairs = subFlags
+        max(col("event_type") === "view").as("has_view"),
+        max_by(
+          struct(col("lat"), col("lon"), col("city_id"), col("timezone"),
+            col("ts").as("last_ts")),
+          struct(col("ts"), col("event_id"))).as("b"))
+      // One row per user (dimension-sized) and referenced five times
+      // downstream (both theta-join sides, both coordinate
+      // attachments, the decoration) — materialize once instead of
+      // re-running scan+tag+agg per reference. localCheckpoint over
+      // persist: no cache-registry entry for callers to leak.
+      .localCheckpoint(true)
+
+    // Users with neither channel flag can never satisfy the overlap
+    // predicate — the theta join below filters them naturally.
+    val pairs = perUser
       .select(col("user_id").as("lo"), col("has_signup").as("s_lo"), col("has_view").as("v_lo"))
-      .join(broadcast(subFlags.select(
+      .join(broadcast(perUser.select(
         col("user_id").as("hi"), col("has_signup").as("s_hi"), col("has_view").as("v_hi"))),
         col("lo") < col("hi"))
       .where((col("s_lo") && col("s_hi")) || (col("v_lo") && col("v_hi")))
@@ -82,17 +99,10 @@ object FriendRecsJob {
     // so the pair table never shuffles here.
     val fresh = pairs.join(broadcast(contacts), Seq("lo", "hi"), "left_anti")
 
-    // 4. Latest-event coordinates + act city per user. max_by instead
-    // of a row_number window: the per-user shuffle then moves only
-    // map-side-combined (user, latest-event) rows, not every event.
-    val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
-      col("lat"), col("lon"))
-    val lastCoords = tagged
-      .groupBy(col("user_id"))
-      .agg(max_by(
-        struct(col("lat"), col("lon"), col("city_id"), col("timezone"),
-          col("ts").as("last_ts")),
-        struct(col("ts"), col("event_id"))).as("b"))
+    // 4. Latest-event coordinates + act city per user — from the same
+    // perUser aggregation as the channel flags above (max_by, not a
+    // row_number window: only map-side-combined rows move).
+    val lastCoords = perUser
       .select(col("user_id"), col("b.lat"), col("b.lon"),
         col("b.city_id"), col("b.timezone"), col("b.last_ts").as("last_ts"))
 
@@ -106,8 +116,14 @@ object FriendRecsJob {
         col("user_id").as("lo"), col("lat").as("lo_lat"), col("lon").as("lo_lon"))), Seq("lo"))
       .join(broadcast(lastCoords.select(
         col("user_id").as("hi"), col("lat").as("hi_lat"), col("lon").as("hi_lon"))), Seq("hi"))
-      .where(round(Geo.haversineKm(
-        col("lo_lat"), col("lo_lon"), col("hi_lat"), col("hi_lon")), 4) <= MaxDistKm)
+      // UNROUNDED distance filter: round() is BigDecimal-backed and
+      // this predicate runs once per candidate pair. Equivalent to the
+      // oracle's round(d,4) <= MaxDistKm whenever no pair distance
+      // falls within the rounding quantum of the boundary — verified
+      // over ALL grid coordinate pairs (min |d - 300| ≈ 1.7e-3 km ≫
+      // 1e-4).
+      .where(Geo.haversineKm(
+        col("lo_lat"), col("lo_lon"), col("hi_lat"), col("hi_lon")) <= MaxDistKm)
       .select("lo", "hi")
 
     // 6. Expand survivors to both directions (the datamart recommends
