@@ -58,6 +58,19 @@ object StreamingQueries {
           col("purchase_value"))
     }),
 
+    // Native session windows (session_window groupBy) — the built-in
+    // engine counterpart of the custom-state sessionize above; both
+    // run streaming-or-batch. 30-min gap, same session grain.
+    "stream_session_window" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .select(
+          col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_s"),
+          col("n_events"), col("total_value"))
+    }),
+
     // Sliding event-time windows (10 min window, 5 min slide).
     "stream_windowed_counts" -> ((spark, dir) => {
       StreamingOps.windowedTypeCounts(
@@ -92,6 +105,30 @@ object StreamingQueries {
          |  count(*) AS n_events,
          |  round(sum(value), 4) AS total_value
          |FROM grouped GROUP BY user_id, session_id""".stripMargin,
+
+    // session_window merges OVERLAPPING [ts, ts+gap) intervals, so the
+    // break condition is diff >= gap (vs the strict > of the
+    // custom-state sessionize).
+    "stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), grouped AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM grouped GROUP BY user_id, sid""".stripMargin,
 
     "stream_interval_join" ->
       """WITH c AS (
