@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, Dedup}
+
+import scala.util.Random
+
+/** Randomized-input equivalence tests for the graph and as-of
+  * operators, against independent driver-side reference
+  * implementations (BFS union-find; per-row linear scan). Seeded RNG
+  * so failures reproduce.
+  */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  test("connected components matches driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val nNodes = 30 + trial * 20
+      val edges = Seq.fill(nNodes)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> {
+          // min node id within the component
+          val root = find(n)
+          edges.flatMap(e => Seq(e._1, e._2)).filter(m => find(m) == root).min
+        }).toMap
+
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("as-of join matches per-row linear scan on random series") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val left = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, ts(rnd.nextInt(500).toLong), i))
+    // right side unique on (key, time) as the operator contract requires
+    val right = Seq.fill(150)((rnd.nextInt(5).toLong, ts(rnd.nextInt(500).toLong), rnd.nextDouble()))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+
+    val expected = left.map { case (k, t, id) =>
+      val cands = right.filter(r => r._1 == k && !r._2.after(t))
+      id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2.getTime)._3))
+    }.toMap
+
+    val out = AsofJoin.backward(
+      left.toDF("k", "t", "id"), right.toDF("k", "qt", "v"),
+      "k", "t", "qt", Seq("v")).collect()
+    assert(out.length === left.length)
+    out.foreach { r =>
+      val id = r.getAs[Int]("id")
+      val got = if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Double]("v"))
+      assert(got === expected(id), s"row id $id")
+    }
+  }
+}
