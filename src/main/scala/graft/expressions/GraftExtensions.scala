@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollectSizeToCount)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     inject(ext, "token_fingerprint", classOf[TokenFingerprint], { cs =>
       require(cs.size == 1, "token_fingerprint takes exactly one argument")
       TokenFingerprint(cs.head)

@@ -37,4 +37,40 @@ class RuleSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.contains("collect_set"), optimized.take(600))
   }
+
+  test("row_number top-k windows plan as partial+final TopKPerKey, results unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+    def q() = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"), p.take(1200))
+    assert(!p.toLowerCase.contains("windowexec"), p.take(1200))
+    // the partial stage bounds what shuffles: exactly one key exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
+
+    val on = q().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.topk.enabled", "false")
+    try {
+      val offPlan = q().queryExecution.executedPlan.toString
+      assert(!offPlan.contains("TopKPerKey"), offPlan.take(600))
+      assert(on === q().collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.set("spark.graft.topk.enabled", "true")
+  }
+
+  test("rank()/frames/multi-window-expression plans are NOT rewritten") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+    // rank() has different tie semantics — must stay a window
+    val ranked = Tables.events(spark, sfDir)
+      .withColumn("r", rank().over(w)).where(col("r") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // a second window expression rides along — must stay a window
+    val multi = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mx", max(col("value")).over(Window.partitionBy(col("user_id"))))
+      .where(col("rn") <= 3)
+    assert(multi.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
