@@ -27,8 +27,11 @@ object EventTotalsJob {
       .select(
         col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("city_id").as("zone_id"))
-      .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
-      .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM-dd"))
+      // group on DATE keys (8-byte comparisons); the yyyy-MM-dd string
+      // rendering happens once per OUTPUT row at the end, not twice
+      // per input row here
+      .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+      .withColumn("month", date_trunc("month", col("ts")).cast("date"))
 
     // ONE pass over the tagged events: a single pre-aggregation on
     // (user, zone, week, month, type) is the only full-data shuffle —
@@ -73,5 +76,9 @@ object EventTotalsJob {
       .withColumn("month_purchase", sum(col("week_purchase")).over(wMonth))
       .withColumn("month_user", sum(col("week_user")).over(wMonth))
       .orderBy(col("zone_id"), col("week"), col("month"))
+      // render the date keys as strings only now — output-cardinality
+      // work (chronological order == lexicographic for yyyy-MM-dd)
+      .withColumn("week", date_format(col("week"), "yyyy-MM-dd"))
+      .withColumn("month", date_format(col("month"), "yyyy-MM-dd"))
   }
 }

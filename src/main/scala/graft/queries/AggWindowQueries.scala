@@ -27,13 +27,16 @@ object AggWindowQueries {
     // A3+W6: weekly counts with monthly totals replicated per week
     // (the reference's wk/mnth datamart grain, collector.py:668-673).
     "a3_weekly_monthly" -> ((spark, dir) => {
+      // group on DATE keys; render strings at output cardinality
       val wk = Tables.events(spark, dir)
-        .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
-        .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM-dd"))
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+        .withColumn("month", date_trunc("month", col("ts")).cast("date"))
         .groupBy("month", "week", "event_type")
         .agg(count(lit(1)).as("week_cnt"))
       wk.withColumn("month_cnt",
         sum(col("week_cnt")).over(Window.partitionBy(col("month"), col("event_type"))))
+        .withColumn("week", date_format(col("week"), "yyyy-MM-dd"))
+        .withColumn("month", date_format(col("month"), "yyyy-MM-dd"))
     }),
 
     // A4: distinct projection.

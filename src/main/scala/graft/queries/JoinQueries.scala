@@ -73,11 +73,12 @@ object JoinQueries {
     // J4: inner join of two aggregates on a composite key.
     "j4_composite_key_join" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
-        .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
       val counts = ev.groupBy("week", "event_type").agg(count(lit(1)).as("n"))
       val vals = ev.groupBy("week", "event_type").agg(round(sum("value"), 4).as("total_value"))
       counts.join(vals, Seq("week", "event_type"))
-        .select(col("week"), col("event_type"), col("n"), col("total_value"))
+        .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+          col("event_type"), col("n"), col("total_value"))
     }),
 
     // J5: self join generating user pairs sharing event_types
