@@ -92,6 +92,31 @@ object TextQueries {
           col("s_sql"), col("s_infra"), col("s_data"))
     }),
 
+    // TF-IDF top terms per document: term frequencies × inverse
+    // document frequency, top-3 terms per doc (keyword extraction).
+    // The IDF table is corpus-vocabulary-sized → broadcast; the final
+    // top-k is the row_number pattern the TopKPerKey operator plans.
+    "text_tfidf_topterms" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.count() // corpus size: one scalar, known pre-plan
+      val words = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val idf = words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word").asc)
+      tf.join(broadcast(idf), Seq("word"))
+        .withColumn("tfidf", round(col("tf") * col("idf"), 4))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"),
+          col("word"), col("tfidf"))
+    }),
+
     // Connected components over the click contact graph — near-dup
     // pairs → dedup clusters (component id = min member id). The
     // oracle is a DuckDB recursive-CTE transitive closure; Spark runs
@@ -173,6 +198,26 @@ object TextQueries {
          |       ELSE 'data' END AS lang_pred,
          |  s_sql, s_infra, s_data
          |FROM s""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), w AS (
+        |  SELECT doc_id, word FROM words WHERE word <> ''
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT word, count(*) AS df,
+        |    ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+        |  FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1
+        |)
+        |SELECT doc_id, rn, word, tfidf FROM (
+        |  SELECT tf.doc_id, tf.word, round(tf.tf * idf.idf, 4) AS tfidf,
+        |    row_number() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * idf.idf, 4) DESC, tf.word ASC) AS rn
+        |  FROM tf JOIN idf USING (word)
+        |) WHERE rn <= 3""".stripMargin,
 
     "graph_components" ->
       """WITH RECURSIVE e AS (
