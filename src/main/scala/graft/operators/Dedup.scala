@@ -95,32 +95,32 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // Materialize the symmetrized edge set once — every round joins
-    // against it, and without the checkpoint each round would re-run
-    // the whole upstream plan (scan, extraction, distinct).
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // Materialize the symmetrized edge set once (WITH self-loops, so
+    // "min over self and neighbors" is a single join+agg per round,
+    // no union branch) — every round joins against it, and without
+    // the checkpoint each round would re-run the whole upstream plan.
+    val directed = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(directed.select(col("a"), col("a").as("b")))
+      .unionByName(directed.select(col("b").as("a"), col("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node"), col("a").as("lbl")).distinct()
     // Labels only ever decrease, so the label sum strictly decreases
     // until the fixpoint: sum equality IS the convergence test — one
-    // scalar per round instead of a change-detection join.
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // scalar per round instead of a change-detection join. Sentinel
+    // start: the first round always runs.
+    var prevSum = -1L
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node pulls the min label among itself and its neighbors;
+      // each node pulls the min label over its closed neighborhood;
       // localCheckpoint truncates the lineage so round N+1 doesn't
       // replan/replay rounds 1..N
       val next = sym
-        .join(labels.withColumnRenamed("node", "b2"),
-          col("b") === col("b2"))
-        .select(col("a").as("node"), col("lbl"))
-        .unionByName(labels)
-        .groupBy("node")
+        .join(labels, col("b") === col("node"))
+        .groupBy(col("a").as("node"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
