@@ -40,7 +40,9 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // release operator-persisted intermediates
+      // catalog cache is defensive (operators no longer persist);
+      // localCheckpoint blocks are GC-managed by the ContextCleaner
+      spark.catalog.clearCache()
       (dt, ok)
     }
     // best-of-N per query: JVM/codegen warmup and background GC on a

@@ -41,8 +41,11 @@ object Main {
       // persisted across its two materializations — the datamart write
       // and the row-count report (the reference's show(100) debug
       // surface, O3) — then explicitly unpersisted.
+      // MEMORY_AND_DISK rather than the reference's MEMORY_ONLY:
+      // a mart larger than storage memory should spill, not silently
+      // recompute the whole plan for the count
       val result = job(spark, inDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val overwrote = Sinks.writeDatamart(result, outPath, singleFile)
         if (overwrote)

@@ -22,7 +22,10 @@ object JobArgs {
 
   val MaxDepth = 150
   val WarnDepth = 100
-  private val dttmFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  // STRICT + era-less year: the default SMART resolver would silently
+  // accept impossible dates like 2026-02-31 (clamping to Feb 28)
+  private val dttmFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss")
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
 
   private def requireArg(cond: Boolean, msg: => String): Unit =
     if (!cond) throw new IllegalArgumentException(msg)
@@ -47,10 +50,10 @@ object JobArgs {
     requireArg(depth <= MaxDepth, s"depth must be <= $MaxDepth, got $depth")
     requireArg(hasScheme(srcPath), s"srcPath must be a URI or absolute path, got '$srcPath'")
     requireArg(hasScheme(tgtPath), s"tgtPath must be a URI or absolute path, got '$tgtPath'")
-    try dttmFmt.parse(processedDttm)
+    try java.time.LocalDateTime.parse(processedDttm, dttmFmt)
     catch { case _: java.time.format.DateTimeParseException =>
       throw new IllegalArgumentException(
-        s"processedDttm must be yyyy-MM-dd HH:mm:ss, got '$processedDttm'")
+        s"processedDttm must be a valid yyyy-MM-dd HH:mm:ss, got '$processedDttm'")
     }
     val warnings =
       if (depth > WarnDepth)

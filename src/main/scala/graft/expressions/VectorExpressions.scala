@@ -23,12 +23,19 @@ import org.apache.spark.sql.types._
   */
 object VectorKernels {
 
-  /** Strict left-to-right double dot product of two float arrays. */
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Strict left-to-right double dot product of two float arrays.
+    * Null result (matching `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * semantics) when lengths differ or any element is null — a
+    * truncated or corrupt embedding must fall OUT of rankings, not
+    * score a plausible partial product.
+    */
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -36,11 +43,13 @@ object VectorKernels {
   }
 
   /** Same kernel over double arrays. */
-  def dotDD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -88,6 +97,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def kernel: String =
     if (left.dataType.asInstanceOf[ArrayType].elementType == FloatType) "dotFF" else "dotDD"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     if (kernel == "dotFF")
       VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -96,7 +107,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.VectorKernels.$kernel($a, $b);")
+      s"""java.lang.Double ${ev.value}_r = graft.expressions.VectorKernels.$kernel($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)

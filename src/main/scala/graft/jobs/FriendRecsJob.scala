@@ -116,12 +116,11 @@ object FriendRecsJob {
         col("user_id").as("lo"), col("lat").as("lo_lat"), col("lon").as("lo_lon"))), Seq("lo"))
       .join(broadcast(lastCoords.select(
         col("user_id").as("hi"), col("lat").as("hi_lat"), col("lon").as("hi_lon"))), Seq("hi"))
-      // UNROUNDED distance filter: round() is BigDecimal-backed and
-      // this predicate runs once per candidate pair. Equivalent to the
-      // oracle's round(d,4) <= MaxDistKm whenever no pair distance
-      // falls within the rounding quantum of the boundary — verified
-      // over ALL grid coordinate pairs (min |d - 300| ≈ 1.7e-3 km ≫
-      // 1e-4).
+      // UNROUNDED distance filter, matching the oracle's unrounded
+      // predicate: round() is BigDecimal-backed and this runs once per
+      // candidate pair. Cross-engine agreement is safe — the nearest
+      // pair distance to the 300 km boundary over ALL grid coordinate
+      // pairs is 1.7e-3 km away, dwarfing libm ulp differences.
       .where(Geo.haversineKm(
         col("lo_lat"), col("lo_lon"), col("hi_lat"), col("hi_lon")) <= MaxDistKm)
       .select("lo", "hi")

@@ -85,16 +85,21 @@ object Dedup {
   /** Connected components over an undirected pair graph — the step
     * that turns near-duplicate PAIRS into dedup CLUSTERS (each cluster
     * keeps one canonical document). Iterative min-label propagation:
-    * every node takes the minimum label among itself and its
-    * neighbors, repeated until a fixpoint — O(diameter) rounds, each a
-    * self-equi-join + min aggregation, the standard Spark shape for
-    * union-find at scale (driver loops over ROUNDS, never over rows;
-    * each round's convergence check is a metadata-cheap count).
+    * every node takes the minimum label over its closed neighborhood,
+    * repeated until a fixpoint — O(diameter) rounds (near-dup cluster
+    * graphs are dense, so diameters are small; a path graph is the
+    * worst case), each a self-equi-join + min aggregation, the
+    * standard Spark shape for union-find at scale (driver loops over
+    * ROUNDS, never over rows; convergence is one scalar per round).
+    *
+    * Throws IllegalStateException if maxIter rounds don't reach the
+    * fixpoint — silently returning split components would corrupt
+    * downstream dedup.
     *
     * Component id = min node id in the component (deterministic).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     // Materialize the symmetrized edge set once (WITH self-loops, so
     // "min over self and neighbors" is a single join+agg per round,
     // no union branch) — every round joins against it, and without
@@ -123,12 +128,19 @@ object Dedup {
         .groupBy(col("a").as("node"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      // sum() over zero rows is null — an empty edge set is already
+      // converged (no nodes, no labels)
+      val sumRow = next.agg(sum(col("lbl"))).head()
+      val newSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the graph's diameter exceeds maxIter; raise it")
     labels
   }
 

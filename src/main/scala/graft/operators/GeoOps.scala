@@ -24,8 +24,11 @@ import graft.functions.Geo
   *     window partitioning — correct but strictly worse; do not use
   *     at scale.
   *
-  * Distance ties are broken by city_id; distances are rounded to 4
-  * decimals first so both engines (and the DuckDB oracle) agree.
+  * Both forms rank by the UNROUNDED distance (ties broken by city_id)
+  * and round only the reported dist_km — the DuckDB oracles rank the
+  * same way with the same double formula, and the fixture's minimum
+  * best-vs-2nd-city gap (0.087 km) dwarfs any cross-engine libm ulp.
+  * round() itself stays off the per-row hot path (BigDecimal-backed).
   */
 object GeoOps {
 

@@ -159,23 +159,25 @@ object Similarity {
     }): _*)
 
     // Corpus assignment: argmax cell score — zero-shuffle projection.
+    // Norms ride along so exact scoring later costs ONE dot per pair.
     val cells = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_nrm"),
       array_max(cellScores(col("embedding"))).getField("cell").as("cell"))
 
     // Every query probes its nProbe best cells — also a projection:
     // sort the nCells (score, cell) structs, slice the top, explode.
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
         explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, nProbe)).as("sc"))
-      .select(col("query_id"), col("q_emb"), col("sc.cell").as("cell"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("sc.cell").as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     cells.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding"))), 6))
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

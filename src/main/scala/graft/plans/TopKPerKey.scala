@@ -130,30 +130,59 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     val inputAttrs = child.output
     val partialLocal = isPartial
     val outputAttrs = output
+    // Memory bound for the partial (map-side) stage: once this many
+    // distinct keys are buffered, rows for NEW keys pass straight
+    // through to the shuffle — always correct (partial top-k must only
+    // emit a superset of each key's top k), it just stops saving
+    // shuffle volume for the long tail. The final stage is bounded by
+    // the OUTPUT size (≤ k rows per key survive the shuffle).
+    val maxPartialKeys =
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partialMaxKeys", "262144").toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, inputAttrs)
       val ordering = RowOrdering.create(orderLocal, inputAttrs)
       // heap head = the WORST retained row (reverse order) so a better
       // incoming row evicts it in O(log k)
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
       if (partialLocal) {
-        heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+        val buffered = iter.filter { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null && heaps.size() < maxPartialKeys) {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap == null) true // over budget: pass through unbuffered
+          else {
+            if (heap.size < kLocal) heap.add(row.copy())
+            else if (ordering.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+            false
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        // pass-through rows stream first; buffered winners follow once
+        // the input is exhausted
+        buffered ++ heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
       } else {
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kLocal) heap.add(row.copy())
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+        }
+        import scala.jdk.CollectionConverters._
         val toUnsafe = UnsafeProjection.create(outputAttrs.map(_.dataType).toArray)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)

@@ -18,14 +18,18 @@ object JoinQueries {
     case (id, n, la, lo, tz) => GeoOps.City(id, n, la, lo, tz)
   }
 
-  /** Shared oracle for both nearest-city forms. */
+  /** Shared oracle for both nearest-city forms. Ranks by the UNROUNDED
+    * distance exactly like the Spark kernels (identical double formula
+    * on both engines; the fixture's min best-vs-2nd gap of 0.087 km
+    * dwarfs any cross-engine libm ulp) — ties broken by city_id.
+    */
   private val nearestCityOracle: String =
     s"""WITH ${Fixtures.citiesCte}, ${Fixtures.geoEventsCte}
        |SELECT event_id, city_id, city_name FROM (
        |  SELECT e.event_id, c.city_id, c.city_name,
        |    row_number() OVER (
        |      PARTITION BY e.event_id
-       |      ORDER BY round(${Geo.haversineSql("e.lat", "e.lon", "c.city_lat", "c.city_lon")}, 4) ASC,
+       |      ORDER BY ${Geo.haversineSql("e.lat", "e.lon", "c.city_lat", "c.city_lon")} ASC,
        |        c.city_id ASC) AS rn
        |  FROM geo_events e CROSS JOIN cities c
        |) WHERE rn = 1""".stripMargin

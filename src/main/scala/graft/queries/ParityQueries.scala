@@ -14,7 +14,9 @@ object ParityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Geo-tagged events CTE (argmin city per event), shared by oracles.
-    * ts is cast to µs TIMESTAMP to match Spark's precision.
+    * ts is cast to µs TIMESTAMP to match Spark's precision; ranking is
+    * by the UNROUNDED distance, matching the Spark kernels (same
+    * double formula; fixture min gap 0.087 km ≫ libm ulp).
     */
   private val taggedCte: String =
     s"""tagged AS (
@@ -23,7 +25,7 @@ object ParityQueries {
        |  FROM (
        |    SELECT e.*, c.city_id, c.city_name, c.timezone,
        |      row_number() OVER (PARTITION BY e.event_id
-       |        ORDER BY round(${Geo.haversineSql("e.lat", "e.lon", "c.city_lat", "c.city_lon")}, 4) ASC,
+       |        ORDER BY ${Geo.haversineSql("e.lat", "e.lon", "c.city_lat", "c.city_lon")} ASC,
        |          c.city_id ASC) AS rn
        |    FROM geo_events e CROSS JOIN cities c
        |  ) WHERE rn = 1)""".stripMargin
@@ -143,6 +145,6 @@ object ParityQueries {
          |FROM fresh f
          |JOIN last_coords l ON f.left_user = l.user_id
          |JOIN last_coords r ON f.right_user = r.user_id
-         |WHERE round(${Geo.haversineSql("l.lat", "l.lon", "r.lat", "r.lon")}, 4) <= ${FriendRecsJob.MaxDistKm}""".stripMargin
+         |WHERE ${Geo.haversineSql("l.lat", "l.lon", "r.lat", "r.lon")} <= ${FriendRecsJob.MaxDistKm}""".stripMargin
   )
 }

@@ -79,6 +79,21 @@ class ExpressionSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("dot_product nulls out mismatched lengths and null elements, like zip_with") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)), // truncated embedding
+      (Array(1.0, 2.0), Array(1.0, 2.0))
+    ).toDF("a", "b")
+    val out = df.select(GraftFunctions.dotProduct(col("a"), col("b")).as("d")).collect()
+    assert(out(0).isNullAt(0)) // must NOT score a partial product
+    assert(out(1).getDouble(0) === 5.0)
+
+    val withNullElem = spark.sql(
+      "SELECT dot_product(array(1.0D, NULL), array(1.0D, 2.0D)) AS d")
+    assert(withNullElem.head().isNullAt(0))
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     val docs = Tables.documents(spark, sfDir).limit(100)
       .select(col("doc_id"),

@@ -47,4 +47,9 @@ class JobArgsSpec extends AnyFunSuite {
   test("processedDttm must be yyyy-MM-dd HH:mm:ss") {
     intercept[IllegalArgumentException](ok(dttm = "2026-08-12T00:00:00"))
   }
+
+  test("impossible calendar datetimes are rejected (STRICT resolver)") {
+    intercept[IllegalArgumentException](ok(dttm = "2026-02-31 00:00:00"))
+    intercept[IllegalArgumentException](ok(dttm = "2026-08-12 24:00:00"))
+  }
 }

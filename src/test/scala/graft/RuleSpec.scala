@@ -59,6 +59,17 @@ class RuleSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.topk.enabled", "true")
   }
 
+  test("partial-stage key cap: pass-through keeps results exact") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+    def q() = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+    val normal = q().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.topk.partialMaxKeys", "1") // force pass-through
+    try assert(q().collect().map(_.toString).sorted.toSeq === normal)
+    finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
+  }
+
   test("rank()/frames/multi-window-expression plans are NOT rewritten") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
