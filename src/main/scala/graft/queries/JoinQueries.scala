@@ -164,6 +164,21 @@ object JoinQueries {
           col("n_day_orders"), col("max_price"))
     }),
 
+    // Salted equi-join on the SKEWED low-cardinality key (event_type,
+    // ~5 values): the hot key fans out across 8 salt partitions while
+    // the dimension side replicates 8×. Output equals the plain join
+    // (oracle-checked); Skew.salt is deterministic, never rand().
+    "skew_salted_join" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val typeStats = ev.groupBy("event_type")
+        .agg(round(avg("value"), 4).as("type_avg"))
+      graft.operators.Skew.saltedJoin(ev, typeStats, Seq("event_type"),
+        leftId = "event_id", saltFactor = 8)
+        .withColumn("dev", round(col("value") - col("type_avg"), 4))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(max(col("dev")), 4).as("max_dev"))
+    }),
+
     // Full outer join of two per-user aggregates (beyond-reference op).
     "j8_full_outer_join" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
@@ -243,6 +258,16 @@ object JoinQueries {
         |  o.n_day_orders, o.max_price
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.o_ts""".stripMargin,
+
+    "skew_salted_join" ->
+      """WITH ts AS (
+        |  SELECT event_type, round(avg(value), 4) AS type_avg
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(max(round(e.value - ts.type_avg, 4)), 4) AS max_dev
+        |FROM events e JOIN ts USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     "j8_full_outer_join" ->
       """WITH clicks AS (
