@@ -164,6 +164,20 @@ object JoinQueries {
           col("n_day_orders"), col("max_price"))
     }),
 
+    // Grid-blocked proximity pairs — the 100 TB path for the
+    // friend-recs distance step: pair GENERATION is pruned to
+    // same-or-adjacent grid cells (linear for bounded densities), the
+    // exact haversine filter then runs only on candidates. Oracle is
+    // the naive all-pairs filter — results must be identical.
+    "geo_blocked_pairs" -> ((spark, dir) => {
+      val pts = Fixtures.geoEvents(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("lat"), col("lon")), struct(col("ts"), col("event_id"))).as("b"))
+        .select(col("user_id"), col("b.lat").as("lat"), col("b.lon").as("lon"))
+      graft.operators.GeoBlocking.pairsWithinKm(
+        pts, "user_id", "lat", "lon", maxKm = 120.0, minCosLat = 0.71)
+    }),
+
     // Salted equi-join on the SKEWED low-cardinality key (event_type,
     // ~5 values): the hot key fans out across 8 salt partitions while
     // the dimension side replicates 8×. Output equals the plain join
@@ -258,6 +272,20 @@ object JoinQueries {
         |  o.n_day_orders, o.max_price
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.o_ts""".stripMargin,
+
+    "geo_blocked_pairs" -> {
+      s"""WITH ${Fixtures.geoEventsCte},
+         |pts AS (
+         |  SELECT user_id, lat, lon FROM (
+         |    SELECT user_id, lat, lon, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM geo_events
+         |  ) WHERE rn = 1)
+         |SELECT a.user_id AS id_a, b.user_id AS id_b,
+         |  round(${graft.functions.Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")}, 4) AS dist_km
+         |FROM pts a JOIN pts b ON a.user_id < b.user_id
+         |WHERE round(${graft.functions.Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")}, 4) <= 120.0""".stripMargin
+    },
 
     "skew_salted_join" ->
       """WITH ts AS (
