@@ -23,7 +23,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // best-of-4 by default: the box shows multi-second noise bursts,
+    // and one extra sweep measurably stabilizes per-query minima
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
     // Optional comma-separated query-name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
