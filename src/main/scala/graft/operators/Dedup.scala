@@ -86,11 +86,12 @@ object Dedup {
     * that turns near-duplicate PAIRS into dedup CLUSTERS (each cluster
     * keeps one canonical document). Iterative min-label propagation:
     * every node takes the minimum label over its closed neighborhood,
-    * repeated until a fixpoint — O(diameter) rounds (near-dup cluster
-    * graphs are dense, so diameters are small; a path graph is the
-    * worst case), each a self-equi-join + min aggregation, the
-    * standard Spark shape for union-find at scale (driver loops over
-    * ROUNDS, never over rows; convergence is one scalar per round).
+    * combined with pointer jumping (each node also pulls its LABEL's
+    * current label), repeated until a fixpoint — O(log diameter)
+    * rounds even on path graphs, each round two small joins + a min
+    * aggregation: the standard Spark shape for union-find at scale
+    * (driver loops over ROUNDS, never over rows; convergence is one
+    * scalar per round).
     *
     * Throws IllegalStateException if maxIter rounds don't reach the
     * fixpoint — silently returning split components would corrupt
@@ -121,11 +122,26 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       // each node pulls the min label over its closed neighborhood;
+      // from round 3 on, ALSO its label's own current label (pointer
+      // jumping — labels chase their targets, halving chain depth per
+      // round, O(log diameter) total). Dense near-dup graphs converge
+      // in the first rounds without paying the extra join+exchange;
+      // chain-shaped graphs engage the jump instead of crawling.
       // localCheckpoint truncates the lineage so round N+1 doesn't
-      // replan/replay rounds 1..N
-      val next = sym
+      // replan/replay rounds 1..N.
+      val viaNeighbors = sym
         .join(labels, col("b") === col("node"))
-        .groupBy(col("a").as("node"))
+        .select(col("a").as("node"), col("lbl"))
+      val propagated =
+        if (iter < 2) viaNeighbors
+        else {
+          val l2 = labels.select(col("node").as("n2"), col("lbl").as("lbl2"))
+          viaNeighbors.unionByName(labels
+            .join(l2, col("lbl") === col("n2"))
+            .select(col("node"), col("lbl2").as("lbl")))
+        }
+      val next = propagated
+        .groupBy("node")
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
       // sum() over zero rows is null — an empty edge set is already

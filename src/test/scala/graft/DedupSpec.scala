@@ -51,6 +51,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("jaccard") < 0.3).isEmpty)
   }
 
+  test("connected components converges on a long chain in O(log n) rounds") {
+    import spark.implicits._
+    // path graph 1-2-...-40: diameter 39; pointer jumping must close it
+    // well inside 10 rounds (min-label alone would need ~39)
+    val chain = (1 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, "a", "b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 40 && got.values.forall(_ === 1L))
+  }
+
+  test("connected components fails loudly when maxIter is exceeded") {
+    import spark.implicits._
+    val chain = (1 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 2)
+    }
+  }
+
   test("connected components labels chains, isolated pairs, and cycles") {
     import spark.implicits._
     // components: {1,2,3,4} (chain + cycle back), {10,11}, {20,21,22}
