@@ -70,6 +70,27 @@ class RuleSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
   }
 
+  test("top-k heap ordering honors null ordering exactly like row_number") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, Some(5.0), 1L), (1L, None, 2L), (1L, Some(9.0), 3L),
+      (2L, None, 4L), (2L, None, 5L), (2L, Some(1.0), 6L)
+    ).toDF("k", "v", "id")
+    def topk(nullsFirst: Boolean) = {
+      val ord = if (nullsFirst) col("v").desc_nulls_first else col("v").desc_nulls_last
+      val w = Window.partitionBy(col("k")).orderBy(ord, col("id").asc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    for (nf <- Seq(true, false)) {
+      val on = topk(nf)
+      spark.conf.set("spark.graft.topk.enabled", "false")
+      try assert(topk(nf) === on, s"nullsFirst=$nf")
+      finally spark.conf.set("spark.graft.topk.enabled", "true")
+    }
+  }
+
   test("rank()/frames/multi-window-expression plans are NOT rewritten") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
