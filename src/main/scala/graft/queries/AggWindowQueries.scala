@@ -87,6 +87,22 @@ object AggWindowQueries {
           round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("approx_p50"))
     }),
 
+    // Statistical aggregates (corr/covar/stddev) — the stat-function
+    // family the reference lacks. Regressors are small-magnitude
+    // (days, not epochs) so 4-decimal rounding sits far above fp
+    // accumulation error on both engines.
+    "agg_stats" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("days",
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("double"))
+        .groupBy("event_type")
+        .agg(
+          round(corr(col("value"), col("days")), 4).as("corr_vd"),
+          round(covar_samp(col("value"), col("days")), 4).as("covar_vd"),
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+    }),
+
     // Exact percentiles (interpolated, matches quantile_cont).
     "agg_percentile" -> ((spark, dir) => {
       Tables.events(spark, dir)
@@ -254,6 +270,18 @@ object AggWindowQueries {
     "a7_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT event_type,
+        |  round(corr(value, days), 4) AS corr_vd,
+        |  round(covar_samp(value, days), 4) AS covar_vd,
+        |  round(stddev_samp(value), 4) AS sd_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS days
+        |  FROM events
+        |) GROUP BY 1""".stripMargin,
 
     "agg_percentile" ->
       """SELECT event_type,
