@@ -182,6 +182,32 @@ object RelationalQueries {
             .as("epoch_s"))
     }),
 
+    // Map-type functions (beyond reference — SURVEY §1.2 notes the
+    // reference uses no maps): construct, extract, keys, cardinality.
+    "f_map_family" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("m", map(
+          lit("base"), col("value"),
+          lit("double"), col("value") * 2))
+        .select(
+          col("event_id"),
+          round(element_at(col("m"), "double"), 4).as("double_val"),
+          size(col("m")).cast("long").as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"))
+    }),
+
+    // Calendar arithmetic family: add_months (end-of-month clamping),
+    // last_day, quarter, day-of-week name.
+    "f_date_arith" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          date_format(add_months(col("ts").cast("date"), 1), "yyyy-MM-dd").as("plus_month"),
+          date_format(last_day(col("ts").cast("date")), "yyyy-MM-dd").as("month_end"),
+          quarter(col("ts")).cast("long").as("qtr"),
+          date_format(col("ts"), "E").as("dow"))
+    }),
+
     // Rollup aggregation (beyond-reference completeness).
     "agg_rollup" -> ((spark, dir) => {
       Tables.events(spark, dir)
@@ -355,6 +381,21 @@ object RelationalQueries {
         |  CAST(epoch(strptime(
         |    split_part(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || '.123', '.', 1),
         |    '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s
+        |FROM events""".stripMargin,
+
+    "f_map_family" ->
+      """SELECT event_id,
+        |  round((MAP {'base': value, 'double': value * 2})['double'][1], 4) AS double_val,
+        |  CAST(cardinality(MAP {'base': value, 'double': value * 2}) AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(map_keys(MAP {'base': value, 'double': value * 2})), ',') AS keys_sorted
+        |FROM events""".stripMargin,
+
+    "f_date_arith" ->
+      """SELECT event_id,
+        |  strftime(CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus_month,
+        |  strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(quarter(CAST(ts AS DATE)) AS BIGINT) AS qtr,
+        |  strftime(CAST(ts AS DATE), '%a') AS dow
         |FROM events""".stripMargin,
 
     "agg_rollup" ->
