@@ -189,6 +189,21 @@ object AggWindowQueries {
           col("event_id"), col("next_event"))
     }),
 
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // / nth_value (completes the window family beyond w8's ranks).
+    "w11_distribution" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(spark, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 4))
+        .withColumn("cume", round(cume_dist().over(w), 4))
+        .withColumn("third_id", nth_value(col("event_id"), 3).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("event_type"),
+          col("quartile"), col("pct_rank"), col("cume"), col("third_id"))
+    }),
+
     // RANGE frame: rolling 1-hour event-value sum per user, ordered by
     // epoch seconds (beyond-reference; true sliding-window semantics).
     "w10_range_frame" -> ((spark, dir) => {
@@ -334,6 +349,17 @@ object AggWindowQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
         |) WHERE rnk <= 5""".stripMargin,
+
+    "w11_distribution" ->
+      """SELECT event_id, event_type,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume,
+        |  nth_value(event_id, 3) OVER (
+        |    PARTITION BY event_type ORDER BY value ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin,
 
     "w10_range_frame" ->
       """SELECT user_id, round(max(rolling_1h), 4) AS max_rolling_1h FROM (
