@@ -92,6 +92,18 @@ object TextQueries {
           col("s_sql"), col("s_infra"), col("s_data"))
     }),
 
+    // Heavy hitters over the corpus vocabulary: Misra-Gries sketch
+    // nominates candidates (bounded memory, provable superset), an
+    // exact count over the broadcast candidate set filters to the true
+    // frequent words — output exact, so fully oracle-checked.
+    "text_heavy_hitters" -> ((spark, dir) => {
+      val words = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      graft.operators.HeavyHitters.topItems(
+        words, "word", minFreqFraction = 0.01, sketchK = 256)
+    }),
+
     // TF-IDF top terms per document: term frequencies × inverse
     // document frequency, top-3 terms per doc (keyword extraction).
     // The IDF table is corpus-vocabulary-sized → broadcast; the final
@@ -198,6 +210,15 @@ object TextQueries {
          |       ELSE 'data' END AS lang_pred,
          |  s_sql, s_infra, s_data
          |FROM s""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) WHERE word <> ''
+        |)
+        |SELECT word, count(*) AS freq FROM w GROUP BY 1
+        |HAVING count(*) > (SELECT CAST(count(*) * 0.01 AS BIGINT) FROM w)""".stripMargin,
 
     "text_tfidf_topterms" ->
       """WITH words AS (

@@ -51,6 +51,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("jaccard") < 0.3).isEmpty)
   }
 
+  test("heavy hitters equals the exact group-by-having result") {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val total = words.count()
+    val exact = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .where(col("freq") > (total * 0.02).toLong)
+    val got = graft.operators.HeavyHitters.topItems(words, "word", 0.02, sketchK = 128)
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty)
+    assert(got.count() > 0, "fixture should have frequent words")
+  }
+
+  test("Misra-Gries sketch never misses an above-threshold item") {
+    import spark.implicits._
+    // adversarial: one item at 12%, the rest a long uniform tail
+    val items = (Seq.fill(120)("hot") ++ (1 to 880).map(i => s"t$i"))
+    val df = scala.util.Random.shuffle(items).toDF("w").repartition(7)
+    val cands = df.select(graft.operators.HeavyHitters.misraGries(col("w"), 16).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.contains("hot"))
+    assert(cands.size <= 16)
+  }
+
   test("connected components converges on a long chain in O(log n) rounds") {
     import spark.implicits._
     // path graph 1-2-...-40: diameter 39; pointer jumping must close it
