@@ -29,6 +29,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
+  /** Cluster session: no master set here — spark-submit / the cluster
+    * manager provides it (YARN, k8s, standalone). Shuffle partitions
+    * default to a cluster-appropriate width; AQE coalesces down at
+    * runtime, so oversizing is the safe direction. All other engine
+    * confs are identical to local mode — the plans the tests pin are
+    * the plans a cluster runs.
+    */
+  def cluster(appName: String, shufflePartitions: Int = 512): SparkSession =
+    tuned(SparkSession.builder().appName(appName), shufflePartitions)
+      .getOrCreate()
+
   /** Local session for tests / bench. One JVM, `cores` task threads. */
   def local(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
     val spark = tuned(
