@@ -42,6 +42,21 @@ class FormatsSpec extends SparkSpec {
   test("CSV round-trip with explicit schema is lossless")(roundTrip("csv"))
   test("ORC round-trip is lossless")(roundTrip("orc"))
 
+  test("mergeSchema unions drifted partition schemas (S2 semantic)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // partition 1 predates the `score` column; partition 2 has it
+    Seq((1L, "a")).toDF("id", "tag")
+      .write.parquet(s"$dir/date=2024-01-01")
+    Seq((2L, "b", 0.5)).toDF("id", "tag", "score")
+      .write.parquet(s"$dir/date=2024-01-02")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "tag", "score", "date"))
+    val row1 = merged.where(col("id") === 1).head()
+    assert(row1.isNullAt(row1.fieldIndex("score"))) // old rows null-fill
+    assert(merged.where(col("id") === 2).head().getAs[Double]("score") === 0.5)
+  }
+
   test("text-format reads push filters and prune columns like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_plan").toString
     projected.write.mode("overwrite").orc(dir)
