@@ -75,6 +75,41 @@ object TpchQueries {
           |GROUP BY 1""".stripMargin)
     }),
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT (per-customer
+    // top order) — Catalyst decorrelates into a ranked join.
+    "sql_lateral" -> ((spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("cust_lat")
+      Tables.orders(spark, dir).createOrReplaceTempView("ord_lat")
+      spark.sql(
+        """SELECT c_custkey, t.o_orderkey, t.total
+          |FROM cust_lat,
+          |LATERAL (
+          |  SELECT o_orderkey, round(o_totalprice, 4) AS total
+          |  FROM ord_lat WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+          |) t""".stripMargin)
+    }),
+
+    // Recursive CTE (new in Spark 4): a weekly date spine left-joined
+    // to event counts — gap weeks surface with 0 instead of vanishing.
+    "sql_recursive_cte" -> ((spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("ev_rec")
+      spark.sql(
+        """WITH RECURSIVE spine(week) AS (
+          |  SELECT DATE '2024-01-01' AS week
+          |  UNION ALL
+          |  SELECT CAST(week + INTERVAL 7 DAY AS DATE) FROM spine
+          |  WHERE week < DATE '2024-03-18'
+          |),
+          |wk AS (
+          |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, count(*) AS n
+          |  FROM ev_rec GROUP BY 1
+          |)
+          |SELECT date_format(s.week, 'yyyy-MM-dd') AS week,
+          |  coalesce(n, 0) AS n_events
+          |FROM spine s LEFT JOIN wk ON s.week = wk.week""".stripMargin)
+    }),
+
     // Typed Dataset API: case-class encoder + typed filter/groupByKey.
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
@@ -132,6 +167,30 @@ object TpchQueries {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
         |) AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |GROUP BY 1""".stripMargin,
+
+    "sql_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.total
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 4) AS total
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+        |) t""".stripMargin,
+
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE spine(week) AS (
+        |  SELECT DATE '2024-01-01' AS week
+        |  UNION ALL
+        |  SELECT CAST(week + INTERVAL 7 DAY AS DATE) FROM spine
+        |  WHERE week < DATE '2024-03-18'
+        |),
+        |wk AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, count(*) AS n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT strftime(s.week, '%Y-%m-%d') AS week,
+        |  coalesce(n, 0) AS n_events
+        |FROM spine s LEFT JOIN wk ON s.week = wk.week""".stripMargin,
 
     "typed_ops" ->
       """SELECT l_returnflag, count(*) AS n_big
