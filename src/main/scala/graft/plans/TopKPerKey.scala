@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Sort, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -87,6 +87,20 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
         rankLimit(cond, al.toAttribute).exists(k => k >= 1 && k <= MaxK) =>
       TopKPerKeyNode(rankLimit(cond, al.toAttribute).get, parts, order,
         al.toAttribute, child)
+
+    // Decorrelated LATERAL ... ORDER BY ... LIMIT k shape: the subquery
+    // rewrite emits a GLOBAL Sort below an order-less row_number window
+    // (ranking rides on the sort). Rank by the Sort's order directly
+    // and drop the global sort — the most expensive node in that plan.
+    case Filter(cond,
+      Window(Seq(al @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(parts, Seq(),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+        _, _, Sort(sortOrder, true, sortChild, _), _))
+      if parts.nonEmpty && sortOrder.nonEmpty &&
+        rankLimit(cond, al.toAttribute).exists(k => k >= 1 && k <= MaxK) =>
+      TopKPerKeyNode(rankLimit(cond, al.toAttribute).get, parts, sortOrder,
+        al.toAttribute, sortChild)
   }
 }
 

@@ -70,6 +70,14 @@ class RuleSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
   }
 
+  test("decorrelated LATERAL LIMIT plans drop the global sort for TopKPerKey") {
+    val df = graft.queries.TpchQueries.queries("sql_lateral")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"), p.take(1500))
+    // the decorrelation's global range-partitioned sort must be gone
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+  }
+
   test("top-k heap ordering honors null ordering exactly like row_number") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
