@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Sort, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -90,17 +90,41 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     // Decorrelated LATERAL ... ORDER BY ... LIMIT k shape: the subquery
     // rewrite emits a GLOBAL Sort below an order-less row_number window
-    // (ranking rides on the sort). Rank by the Sort's order directly
-    // and drop the global sort — the most expensive node in that plan.
+    // (ranking rides on the sort), usually with a Project in between.
+    // Rank by the Sort's order directly and drop the global sort — the
+    // most expensive node in that plan — keeping any projection ABOVE
+    // the top-k (plus the rank attr) so its pruning still applies.
     case Filter(cond,
       Window(Seq(al @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(parts, Seq(),
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
-        _, _, Sort(sortOrder, true, sortChild, _), _))
+        _, _, SortBelowProjection(projList, sortOrder, sortChild), _))
       if parts.nonEmpty && sortOrder.nonEmpty &&
+        AttributeSet(parts.flatMap(_.references))
+          .subsetOf(sortChild.outputSet) &&
         rankLimit(cond, al.toAttribute).exists(k => k >= 1 && k <= MaxK) =>
-      TopKPerKeyNode(rankLimit(cond, al.toAttribute).get, parts, sortOrder,
-        al.toAttribute, sortChild)
+      val topk = TopKPerKeyNode(rankLimit(cond, al.toAttribute).get, parts,
+        sortOrder, al.toAttribute, sortChild)
+      projList match {
+        case Some(pl) => Project(pl :+ al.toAttribute, topk)
+        case None => topk
+      }
+  }
+
+  /** Matches a global Sort, optionally under a row-preserving Project
+    * whose inputs (and the sort's own references) all come from the
+    * sort's child — so the top-k can rank on the child directly.
+    */
+  private object SortBelowProjection {
+    def unapply(p: LogicalPlan): Option[(Option[Seq[NamedExpression]], Seq[SortOrder], LogicalPlan)] =
+      p match {
+        case Sort(so, true, c, _) => Some((None, so, c))
+        case Project(pl, Sort(so, true, c, _))
+          if AttributeSet(pl.flatMap(_.references) ++ so.flatMap(_.references))
+            .subsetOf(c.outputSet) =>
+          Some((Some(pl), so, c))
+        case _ => None
+      }
   }
 }
 
