@@ -75,6 +75,33 @@ object TpchQueries {
           |GROUP BY 1""".stripMargin)
     }),
 
+    // Q6-shaped: forecast revenue change — a pure scan+filter+agg whose
+    // predicates all reach the parquet reader.
+    "tpch_q6_forecast" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .where(col("l_shipdate").cast("date") >= lit("1994-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1995-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+    }),
+
+    // Q12-shaped (fixture columns): late-shipment counts by line
+    // status with an order-priority split — late = shipped more than
+    // 90 days after the order date.
+    "tpch_q12_shipmode" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .where(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 90)
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("low_line_count"))
+    }),
+
     // LATERAL correlated subquery with ORDER BY + LIMIT (per-customer
     // top order) — Catalyst decorrelates into a ranked join.
     "sql_lateral" -> ((spark, dir) => {
@@ -166,6 +193,24 @@ object TpchQueries {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
         |) AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
         |GROUP BY 1""".stripMargin,
 
     "sql_lateral" ->
