@@ -115,9 +115,11 @@ object Dedup {
     var labels = sym.select(col("a").as("node"), col("a").as("lbl")).distinct()
     // Labels only ever decrease, so the label sum strictly decreases
     // until the fixpoint: sum equality IS the convergence test — one
-    // scalar per round instead of a change-detection join. Sentinel
-    // start: the first round always runs.
-    var prevSum = -1L
+    // scalar per round instead of a change-detection join. A boolean
+    // first-round flag, NOT a sentinel sum: any sentinel value is a
+    // legitimate label sum on graphs with negative ids.
+    var prevSum = 0L
+    var haveSum = false
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -148,8 +150,11 @@ object Dedup {
       // converged (no nodes, no labels)
       val sumRow = next.agg(sum(col("lbl"))).head()
       val newSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      converged = newSum == prevSum
+      converged = haveSum && newSum == prevSum
+      // empty graph: no labels, nothing can ever change
+      if (sumRow.isNullAt(0)) converged = true
       prevSum = newSum
+      haveSum = true
       labels = next
       iter += 1
     }

@@ -49,12 +49,14 @@ object GeoBlocking {
       col("cx"), col("cy"),
       col("id").as("id_b"), col("lat").as("lat_b"), col("lon").as("lon_b"))
 
+    // Filter on the UNROUNDED distance (engine convention: round is
+    // BigDecimal-backed and boundary behavior must match the oracles,
+    // which also compare unrounded); only the REPORTED distance rounds.
     l.join(r, Seq("cx", "cy"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("dist_km",
-        round(Geo.haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 4))
-      .where(col("dist_km") <= maxKm)
-      .select("id_a", "id_b", "dist_km")
+      .withColumn("__d", Geo.haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      .where(col("__d") <= maxKm)
+      .select(col("id_a"), col("id_b"), round(col("__d"), 4).as("dist_km"))
     // no dedup needed: b's single home cell appears exactly once in
     // a's 3×3 neighborhood, and id_a < id_b kills the mirrored role.
   }

@@ -65,10 +65,16 @@ object HeavyHitters {
       s"sketchK=$sketchK must exceed 1/minFreqFraction=${1 / minFreqFraction} " +
         "or the sketch may miss qualifying items")
     val mg = udaf(new MisraGries(sketchK), ExpressionEncoder[String]())
-    val total = items.count()
+    // total rides along in the sketch pass — two passes over the
+    // items plan total, as documented, not three
+    val sketchRow = items
+      .agg(count(lit(1)).as("total"), mg(col(itemCol)).as("cands"))
+      .head()
+    val total = sketchRow.getLong(0)
     val threshold = (total * minFreqFraction).toLong
-    val candidates = items.select(mg(col(itemCol)).as("cands"))
-      .select(explode(col("cands")).as(itemCol))
+    val spark = items.sparkSession
+    import spark.implicits._
+    val candidates = sketchRow.getSeq[String](1).toDF(itemCol)
     items
       .join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(itemCol)

@@ -120,8 +120,12 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
       p match {
         case Sort(so, true, c, _) => Some((None, so, c))
         case Project(pl, Sort(so, true, c, _))
-          if AttributeSet(pl.flatMap(_.references) ++ so.flatMap(_.references))
-            .subsetOf(c.outputSet) =>
+          if pl.forall(_.deterministic) &&
+            AttributeSet(pl.flatMap(_.references) ++ so.flatMap(_.references))
+              .subsetOf(c.outputSet) =>
+          // determinism guard: hoisting a projection above the top-k
+          // changes how many rows it evaluates on — only safe when the
+          // expressions are pure
           Some((Some(pl), so, c))
         case _ => None
       }

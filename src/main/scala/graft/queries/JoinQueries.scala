@@ -284,7 +284,7 @@ object JoinQueries {
          |SELECT a.user_id AS id_a, b.user_id AS id_b,
          |  round(${graft.functions.Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")}, 4) AS dist_km
          |FROM pts a JOIN pts b ON a.user_id < b.user_id
-         |WHERE round(${graft.functions.Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")}, 4) <= 120.0""".stripMargin
+         |WHERE ${graft.functions.Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 120.0""".stripMargin
     },
 
     "skew_salted_join" ->

@@ -218,7 +218,7 @@ object TextQueries {
         |  ) WHERE word <> ''
         |)
         |SELECT word, count(*) AS freq FROM w GROUP BY 1
-        |HAVING count(*) > (SELECT CAST(count(*) * 0.01 AS BIGINT) FROM w)""".stripMargin,
+        |HAVING count(*) > (SELECT CAST(floor(count(*) * 0.01) AS BIGINT) FROM w)""".stripMargin,
 
     "text_tfidf_topterms" ->
       """WITH words AS (
