@@ -15,10 +15,13 @@ class OperatorPropertiesSpec extends SparkSpec {
   test("connected components matches driver-side union-find on random graphs") {
     import spark.implicits._
     val rnd = new Random(7)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 4) {
       val nNodes = 30 + trial * 20
+      // trial 4 shifts ids negative: label sums may pass through any
+      // value, including former sentinel candidates like -1
+      val shift = if (trial == 4) -nNodes / 2 else 0
       val edges = Seq.fill(nNodes)(
-        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        ((rnd.nextInt(nNodes) + shift).toLong, (rnd.nextInt(nNodes) + shift).toLong))
         .filter { case (a, b) => a != b }
       // reference: union-find over the same edges
       val parent = scala.collection.mutable.Map[Long, Long]()
