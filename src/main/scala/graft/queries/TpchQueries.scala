@@ -102,6 +102,19 @@ object TpchQueries {
             .as("low_line_count"))
     }),
 
+    // Q14-shaped: promo revenue share — broadcast part dimension,
+    // conditional-sum ratio in one aggregation.
+    "tpch_q14_promo" -> ((spark, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(spark, dir)
+        .where(col("l_shipdate").cast("date") >= lit("1995-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1995-04-01").cast("date"))
+        .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) /
+            sum(rev), 4).as("promo_revenue_pct"))
+    }),
+
     // LATERAL correlated subquery with ORDER BY + LIMIT (per-customer
     // top order) — Catalyst decorrelates into a ranked join.
     "sql_lateral" -> ((spark, dir) => {
@@ -212,6 +225,15 @@ object TpchQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
         |GROUP BY 1""".stripMargin,
+
+    "tpch_q14_promo" ->
+      """SELECT round(
+        |  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'""".stripMargin,
 
     "sql_lateral" ->
       """SELECT c_custkey, t.o_orderkey, t.total
