@@ -140,10 +140,11 @@ object Similarity {
     * Cell ranking uses dot(q, centroid)/|centroid| — equivalent to
     * cosine for ranking because |q| is a common positive factor.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // nCells rows to the driver: the codebook is dictionary-sized.
-    val codebook: Array[(Int, Array[Float], Double)] = corpus
+  /** Deterministic sampled codebook: nCells corpus vectors by hash
+    * order, with precomputed norms. Dictionary-sized driver collect.
+    */
+  private def sampleCodebook(corpus: DataFrame, nCells: Int): Array[(Int, Array[Float], Double)] =
+    corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCells)
@@ -154,22 +155,39 @@ object Similarity {
         (i, emb, math.sqrt(emb.map(x => x.toDouble * x).sum))
       }
 
-    def cellScores(emb: Column): Column = array((codebook.map { case (i, c, n) =>
+  private def cellScores(codebook: Array[(Int, Array[Float], Double)])(emb: Column): Column =
+    array(codebook.map { case (i, c, n) =>
       struct((dot(emb, typedLit(c)) / lit(n)).as("s"), lit(i).as("cell"))
-    }): _*)
+    }: _*)
+
+  /** Corpus cell assignment — the zero-shuffle projection form of the
+    * coarse quantizer, also usable to WRITE the corpus bucketed by
+    * cell at rest (partitionBy("cell")) so probes prune partitions.
+    * Norms ride along so later exact scoring costs one dot per pair.
+    */
+  def assignCells(corpus: DataFrame, nCells: Int): DataFrame = {
+    val scores = cellScores(sampleCodebook(corpus, nCells)) _
+    corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_nrm"),
+      array_max(scores(col("embedding"))).getField("cell").as("cell"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val codebook = sampleCodebook(corpus, nCells)
+    val scores = cellScores(codebook) _
 
     // Corpus assignment: argmax cell score — zero-shuffle projection.
-    // Norms ride along so exact scoring later costs ONE dot per pair.
     val cells = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("c_nrm"),
-      array_max(cellScores(col("embedding"))).getField("cell").as("cell"))
+      array_max(scores(col("embedding"))).getField("cell").as("cell"))
 
     // Every query probes its nProbe best cells — also a projection:
     // sort the nCells (score, cell) structs, slice the top, explode.
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"),
-        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, nProbe)).as("sc"))
+        explode(slice(reverse(array_sort(scores(col("embedding")))), 1, nProbe)).as("sc"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("sc.cell").as("cell"))
 
     val w = Window.partitionBy(col("query_id"))

@@ -50,4 +50,21 @@ class SimilaritySpec extends SparkSpec {
       .join(sigs.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("sig", "nsig"), "neighbor_id")
     assert(joined.where(col("qsig") =!= col("nsig")).isEmpty)
   }
+
+  test("IVF cells written bucketed-by-cell prune partitions for probes") {
+    // the at-rest layout SCALE.md describes: corpus partitioned by
+    // coarse cell, so a probe reads only its nProbe directories
+    val corpus = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rest").toString
+    val cells = Similarity.assignCells(corpus, nCells = 8)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === corpus.count())
+    val probed = back.where(col("cell").isin(1, 3))
+    val plan = probed.queryExecution.executedPlan.toString
+    // partition filters (not data filters) must carry the cell predicate
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"), plan.take(900))
+    val cellsRead = probed.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cellsRead.subsetOf(Set(1, 3)))
+  }
 }
