@@ -60,7 +60,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations}""")
+    // "value" deliberately LAST: log collectors that keep only the tail
+    // of a long line must still see the headline metric.
+    println(f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}""")
     spark.stop()
   }
 }

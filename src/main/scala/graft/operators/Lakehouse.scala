@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-style table-maintenance operators the reference's daily
+  * datamart rewrite (SURVEY §2.1 S6: errorifexists→overwrite) implies
+  * but never implements: keyed upsert (MERGE INTO semantics) and SCD
+  * Type-2 historization. Both are single-shuffle plans — the upsert is
+  * one full-outer hash join on the merge key, the historization one
+  * window partitioning — so they scale linearly with the delta size.
+  */
+object Lakehouse {
+
+  /** MERGE INTO semantics over two snapshots with identical schemas:
+    * source rows overwrite target rows on the key, unmatched source
+    * rows insert, unmatched target rows are kept. Emits the merged
+    * table plus a `merge_action` tag (insert/update/keep) so callers
+    * can audit or filter the change set.
+    *
+    * Scale: one full-outer shuffle join on the key columns; with a
+    * bucketed/pre-partitioned target the exchange on the target side
+    * disappears. Source columns win via coalesce — a null in a source
+    * data column therefore means "no new value", matching the
+    * update-set-all-columns MERGE shape.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(target.columns.sameElements(source.columns),
+      s"mergeUpsert needs identical schemas; got ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    def tag(df: DataFrame, side: String): DataFrame =
+      df.select((keys.map(col) ++ dataCols.map(c => col(c).as(s"__${side}_$c")) :+
+        lit(true).as(s"__${side}_present")): _*)
+    tag(target, "t").join(tag(source, "s"), keys, "full_outer")
+      .select((keys.map(col) ++
+        dataCols.map(c => coalesce(col(s"__s_$c"), col(s"__t_$c")).as(c)) :+
+        when(col("__t_present").isNull, lit("insert"))
+          .when(col("__s_present").isNull, lit("keep"))
+          .otherwise(lit("update")).as("merge_action")): _*)
+  }
+
+  /** SCD Type-2 historization of a change log: collapse consecutive
+    * rows with an unchanged tracked attribute, keep one row per
+    * attribute run with its validity interval
+    * [valid_from, valid_to) and an is_current flag (open interval).
+    *
+    * Determinism: ordering is (tsCol, tieCol) — callers must pass a
+    * tie-breaking column so equal-timestamp rows collapse identically
+    * on every engine. Scale: two window passes over the SAME
+    * (key, ts, tie) partitioning+ordering — Catalyst plans one
+    * exchange and one sort, the second WindowExec reuses both.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           attr: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__attr", attr)
+      .withColumn("__prev", lag(col("__attr"), 1).over(w))
+      .where(col("__prev").isNull || col("__attr") =!= col("__prev"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("__attr").as("attr_value"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

@@ -240,6 +240,30 @@ object AggWindowQueries {
       Tables.events(spark, dir)
         .withColumn("running_value", round(sum(col("value")).over(w), 4))
         .select(col("event_id"), col("user_id"), col("running_value"))
+    }),
+
+    // Linear-regression aggregates (slope/intercept/R²) — one pass,
+    // partial-aggregable moment sketches, per return flag.
+    "agg_regr" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+    }),
+
+    // Boolean/conditional aggregate family: count_if, bool_and/bool_or,
+    // interpolated median — all map-side-combinable.
+    "agg_bool_median" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          count_if(col("value") > 50).as("n_gt50"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          bool_or(col("value") > 99).as("any_gt99"),
+          round(median(col("value")), 4).as("med_value"))
     })
   )
 
@@ -383,6 +407,22 @@ object AggWindowQueries {
         |  round(sum(value) OVER (
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "agg_bool_median" ->
+      """SELECT event_type,
+        |  CAST(count_if(value > 50) AS BIGINT) AS n_gt50,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(value > 99) AS any_gt99,
+        |  round(median(value), 4) AS med_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Lakehouse
+
+/** Table-maintenance semantics over the fixture star schema: keyed
+  * MERGE-upsert of a dimension snapshot and SCD Type-2 historization
+  * of an attribute change log (graft.operators.Lakehouse).
+  */
+object LakehouseQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-customer order rollup for one date half-space — the
+    * "dimension snapshot" both lakehouse queries merge/compare.
+    */
+  private def custSnapshot(spark: SparkSession, dir: String, before: Boolean): DataFrame = {
+    val cut = lit("1996-01-01").cast("date")
+    val o = Tables.orders(spark, dir)
+    val side = if (before) col("o_orderdate").cast("date") < cut
+               else col("o_orderdate").cast("date") >= cut
+    o.where(side)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_spend"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MERGE INTO semantics: the post-cutoff snapshot upserts into the
+    // pre-cutoff snapshot; source columns win, unmatched rows tagged.
+    "merge_upsert" -> ((spark, dir) => {
+      val target = custSnapshot(spark, dir, before = true)
+      val source = custSnapshot(spark, dir, before = false)
+      Lakehouse.mergeUpsert(target, source, Seq("custkey"))
+    }),
+
+    // SCD Type-2: historize each user's value-band changes from the
+    // event log — one row per band run with [from, to) validity.
+    "scd2_history" -> ((spark, dir) => {
+      val band = when(col("value") > 100, lit("high"))
+        .when(col("value") > 50, lit("mid"))
+        .otherwise(lit("low"))
+      Lakehouse.scd2(Tables.events(spark, dir), "user_id", "ts", "event_id", band)
+        .select(col("user_id"), col("attr_value").as("band"),
+          unix_timestamp(col("valid_from")).as("from_s"),
+          unix_timestamp(col("valid_to")).as("to_s"),
+          col("is_current"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 4) AS total_spend
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 4) AS total_spend
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(s.custkey, t.custkey) AS custkey,
+        |  coalesce(s.n_orders, t.n_orders) AS n_orders,
+        |  coalesce(s.total_spend, t.total_spend) AS total_spend,
+        |  CASE WHEN t.custkey IS NULL THEN 'insert'
+        |       WHEN s.custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS merge_action
+        |FROM t FULL OUTER JOIN s ON t.custkey = s.custkey""".stripMargin,
+
+    "scd2_history" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN value > 100 THEN 'high'
+        |         WHEN value > 50 THEN 'mid' ELSE 'low' END AS band
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, ts, band,
+        |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM b
+        |), ch AS (
+        |  SELECT user_id, event_id, ts, band FROM c
+        |  WHERE prev IS NULL OR band <> prev
+        |)
+        |SELECT user_id, band,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS from_s,
+        |  CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS to_s,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  )
+}

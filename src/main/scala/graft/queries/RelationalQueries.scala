@@ -149,6 +149,18 @@ object RelationalQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
     }),
 
+    // Semi-structured VARIANT path (Spark 4): parse once, then typed
+    // path extraction — the shredded-at-scan lakehouse pattern. A
+    // missing path through try_variant_get yields NULL, not an error.
+    "f_variant" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .withColumn("vr", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          expr("variant_get(vr, '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(vr, '$.missing', 'bigint')").as("missing_k"))
+    }),
+
     // F9/F10: explode over split words (generator), word frequencies.
     "f9_explode_words" -> ((spark, dir) => {
       Tables.documents(spark, dir)
@@ -361,6 +373,12 @@ object RelationalQueries {
     "f_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+
+    "f_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_k
         |FROM events""".stripMargin,
 
     "f9_explode_words" ->

@@ -151,6 +151,22 @@ object TextQueries {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           graft.expressions.GraftFunctions.tokenFingerprint(col("text")).as("fp"))
+    }),
+
+    // PII redaction — the scrub step of a training-data pipeline.
+    // The fixture text is clean, so PII is synthesized deterministically
+    // per doc, then redacted with codegen'd regexp_replace (emails,
+    // then 3+-digit runs). Patterns stay in the RE2 ∩ java.util.regex
+    // dialect intersection so the oracle runs them verbatim.
+    "text_pii_redact" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("raw", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example code "), (col("n_chars") * 37).cast("string")))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("raw"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+            "[0-9][0-9][0-9]+", "<NUM>").as("redacted"))
     })
   )
 
@@ -259,6 +275,16 @@ object TextQueries {
 
     "text_fingerprint" ->
       s"""SELECT doc_id, ${TextFns.fingerprintSql("string_split(text, ' ')")} AS fp
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example code ' || CAST(n_chars * 37 AS VARCHAR),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin
   )
 }

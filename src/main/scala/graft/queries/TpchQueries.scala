@@ -150,6 +150,66 @@ object TpchQueries {
           |FROM spine s LEFT JOIN wk ON s.week = wk.week""".stripMargin)
     }),
 
+    // Q4-shaped: order-priority check — EXISTS over late-shipped lines;
+    // Catalyst plans the EXISTS as a left-semi hash join.
+    "tpch_q4_priority" -> ((spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("ord_q4")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_q4")
+      spark.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM ord_q4 o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM li_q4
+          |  WHERE l_orderkey = o.o_orderkey
+          |    AND CAST(l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 60)
+          |)
+          |GROUP BY 1""".stripMargin)
+    }),
+
+    // Q17-shaped: small-quantity revenue — correlated scalar aggregate
+    // subquery (per-part average), decorrelated into an aggregate+join.
+    "tpch_q17_small_qty" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_q17")
+      Tables.part(spark, dir).createOrReplaceTempView("part_q17")
+      spark.sql(
+        """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+          |FROM li_q17 l JOIN part_q17 p ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1' AND l_quantity < (
+          |  SELECT 0.2 * avg(l_quantity) FROM li_q17 WHERE l_partkey = p.p_partkey
+          |)""".stripMargin)
+    }),
+
+    // Q18-shaped: large-volume orders — IN over a grouped HAVING
+    // subquery; the big agg runs once, then semi-joins the fact scan.
+    "tpch_q18_large_orders" -> ((spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("ord_q18")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_q18")
+      Tables.customer(spark, dir).createOrReplaceTempView("cust_q18")
+      spark.sql(
+        """SELECT c_name, c_custkey, o_orderkey,
+          |  round(sum(l_quantity), 4) AS total_qty
+          |FROM cust_q18 JOIN ord_q18 ON c_custkey = o_custkey
+          |JOIN li_q18 ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM li_q18 GROUP BY 1 HAVING sum(l_quantity) > 250
+          |)
+          |GROUP BY 1, 2, 3
+          |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin)
+    }),
+
+    // Q19-shaped: disjunctive join predicates (OR-of-ANDs) — one hash
+    // join on the equi key, residual disjunction evaluated post-probe.
+    "tpch_q19_disjunction" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    }),
+
     // Typed Dataset API: case-class encoder + typed filter/groupByKey.
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
@@ -261,6 +321,42 @@ object TpchQueries {
 
     "typed_ops" ->
       """SELECT l_returnflag, count(*) AS n_big
-        |FROM lineitem WHERE l_quantity > 30 GROUP BY 1""".stripMargin
+        |FROM lineitem WHERE l_quantity > 30 GROUP BY 1""".stripMargin,
+
+    "tpch_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |    AND CAST(l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+        |)
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND l_quantity < (
+        |  SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = p.p_partkey
+        |)""".stripMargin,
+
+    "tpch_q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  round(sum(l_quantity), 4) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+        |)
+        |GROUP BY 1, 2, 3
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q19_disjunction" ->
+      """SELECT count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
   )
 }

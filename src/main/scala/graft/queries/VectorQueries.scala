@@ -88,6 +88,22 @@ object VectorQueries {
           Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
         .where(col("cos") >= 0.35)
         .select(col("vec_a"), col("vec_b"), col("cos"))
+    }),
+
+    // Feature standardization: per-dimension z-score stats over the
+    // corpus, then each vector's standardized L2 norm. The stats frame
+    // is dimension-sized (64 rows) → broadcast back; both aggregations
+    // are partial-combinable, so the plan is two narrow shuffles
+    // regardless of corpus size.
+    "vec_standardize" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val stats = e.groupBy("pos")
+        .agg(avg(col("v")).as("m"), stddev_samp(col("v")).as("sd"))
+      e.join(broadcast(stats), Seq("pos"))
+        .groupBy("vec_id")
+        .agg(round(sqrt(sum(pow((col("v") - col("m")) / col("sd"), 2))), 4).as("znorm"))
     })
   )
 
@@ -174,6 +190,18 @@ object VectorQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
          |FROM s a JOIN s b ON a.vec_id < b.vec_id
-         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin
+         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin,
+
+    "vec_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    unnest(embedding)::DOUBLE AS v,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT pos, avg(v) AS m, stddev_samp(v) AS sd FROM e GROUP BY 1
+        |)
+        |SELECT vec_id, round(sqrt(sum(pow((v - m) / sd, 2))), 4) AS znorm
+        |FROM e JOIN s USING (pos) GROUP BY 1""".stripMargin
   )
 }
