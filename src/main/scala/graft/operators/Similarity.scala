@@ -202,6 +202,82 @@ object Similarity {
         col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Product quantization (PQ): split the embedding into `m` subspaces,
+    * quantize each sub-vector against a per-subspace codebook of
+    * `nCodes` centroids, and store only the m small codes per vector —
+    * the classic billion-scale in-RAM layout (m bytes/vector instead of
+    * dim×4). Scoring is ADC (asymmetric distance computation): each
+    * QUERY precomputes one m×nCodes table of sub-dot-products (a tiny
+    * projection), and each candidate costs m table lookups instead of a
+    * dim-wide dot — per-pair work drops dim/m-fold.
+    *
+    * Codebooks are deterministic hash-order samples of the corpus
+    * (same rationale as [[ivfTopK]]'s coarse quantizer: quantizers
+    * train on samples at scale; the dictionary-sized result folds into
+    * literal arrays, so both encode and table-build are zero-shuffle
+    * codegen'd projections).
+    */
+  private def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int, nCodes: Int)
+      : Array[Array[Array[Double]]] = {
+    val sample = sampleCodebook(corpus, nCodes)
+    Array.tabulate(m)(s =>
+      sample.map(_._2.slice(s * subDim, (s + 1) * subDim).map(_.toDouble)))
+  }
+
+  private def subVec(emb: Column, s: Int, subDim: Int): Column =
+    slice(emb, s * subDim + 1, subDim).cast("array<double>")
+
+  /** Encode the corpus: per subspace the argmin-L2 code, plus the
+    * reconstructed norm for the cosine denominator. Zero-shuffle
+    * projection; the encoded frame is what a PQ index stores at rest.
+    * ||x_s − c||² ranks as (|c|² − 2·x_s·c) — |x_s|² is constant per row.
+    */
+  def pqEncode(corpus: DataFrame, dim: Int = 64, m: Int = 16, nCodes: Int = 16): DataFrame = {
+    val subDim = dim / m
+    val books = pqCodebooks(corpus, m, subDim, nCodes)
+    val cwNormSq = books.map(_.map(w => w.map(x => x * x).sum))
+    val codeCols = (0 until m).map { s =>
+      array_min(array((0 until nCodes).map { c =>
+        struct(
+          (lit(cwNormSq(s)(c)) - lit(2.0) * dot(subVec(col("embedding"), s, subDim),
+            typedLit(books(s)(c)))).as("d"),
+          lit(c).as("code"))
+      }: _*)).getField("code").as(s"c$s")
+    }
+    val reconNormSq = (0 until m).map(s =>
+      element_at(typedLit(cwNormSq(s).toSeq), col(s"c$s") + 1))
+      .reduce(_ + _)
+    corpus.select(col("vec_id") +: codeCols: _*)
+      .withColumn("recon_nrm", sqrt(reconNormSq))
+  }
+
+  /** PQ/ADC approximate top-k (recall-lossy; recall spec-gated).
+    * Queries build literal-codebook lookup tables and broadcast; the
+    * encoded corpus is scored by m element_at lookups per pair.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int = 64, m: Int = 16, nCodes: Int = 16): DataFrame = {
+    val subDim = dim / m
+    val books = pqCodebooks(corpus, m, subDim, nCodes)
+    val encoded = pqEncode(corpus, dim, m, nCodes)
+    val tableCols = (0 until m).map { s =>
+      array((0 until nCodes).map(c =>
+        dot(subVec(col("embedding"), s, subDim), typedLit(books(s)(c)))): _*).as(s"t$s")
+    }
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id") +: norm(col("embedding")).as("q_nrm") +: tableCols: _*))
+    val approxDot = (0 until m).map(s =>
+      element_at(col(s"t$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    encoded.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(approxDot / (col("q_nrm") * col("recon_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k within matching signature
     * buckets only. Trades recall for a bucket-local join — the scale
     * path when queries are too many to broadcast-score the corpus.

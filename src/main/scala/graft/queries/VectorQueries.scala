@@ -48,6 +48,13 @@ object VectorQueries {
         Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
     }),
 
+    // PQ/ADC ANN: product-quantized codes + per-query lookup tables
+    // (recall-lossy; rows-only check + SimilaritySpec recall test).
+    "ann_pq_topk" -> ((spark, dir) => {
+      Similarity.pqTopK(
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+    }),
+
     // Cross-modal: do embedding near-dups agree with text near-dups?
     // Joins the similarity and text-dedup families over the shared id
     // space; emits both signals per candidate pair.

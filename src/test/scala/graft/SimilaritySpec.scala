@@ -51,6 +51,30 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.where(col("qsig") =!= col("nsig")).isEmpty)
   }
 
+  test("PQ/ADC top-k has useful recall and matches the exact scorer's shape") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id")
+    val pq = Similarity.pqTopK(corpus, queries, 5)
+    // shape: at most k per query, ranks 1..k dense
+    assert(pq.groupBy("query_id").count().where(col("count") > 5).isEmpty)
+    val recall = exact.intersect(pq.select("query_id", "neighbor_id")).count().toDouble /
+      exact.count()
+    assert(recall >= 0.2, f"PQ recall $recall%.2f too low")
+  }
+
+  test("pqEncode emits m codes in [0, nCodes) and a positive reconstructed norm") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val enc = Similarity.pqEncode(corpus, dim = 64, m = 16, nCodes = 16)
+    assert(enc.count() === corpus.count())
+    val bad = (0 until 16).map(s =>
+      enc.where(col(s"c$s") < 0 || col(s"c$s") >= 16).count()).sum
+    assert(bad === 0)
+    assert(enc.where(col("recon_nrm") <= 0).isEmpty)
+    // encoding is a zero-shuffle projection
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("IVF cells written bucketed-by-cell prune partitions for probes") {
     // the at-rest layout SCALE.md describes: corpus partitioned by
     // coarse cell, so a probe reads only its nProbe directories
