@@ -210,6 +210,155 @@ object TpchQueries {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
     }),
 
+    // Q7-shaped: volume shipping between two nations — the double
+    // nation-dimension join (supplier nation × customer nation) with a
+    // symmetric pair predicate; both nation dims broadcast.
+    "tpch_q7_volume" -> ((spark, dir) => {
+      val n1 = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(spark, dir)
+        .where(col("l_shipdate").cast("date").between("1995-01-01", "1996-12-31"))
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    }),
+
+    // Q8-shaped: national market share within a region for one part
+    // type — a conditional-sum ratio over a 6-way star join.
+    "tpch_q8_mktshare" -> ((spark, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val custNations = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNations = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir).where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(spark, dir)
+            .where(col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNations), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0.0)) / sum(rev),
+          4).as("mkt_share"))
+    }),
+
+    // Q9-shaped: product profit by nation and year. The fixture has no
+    // partsupp, so supply cost is synthesized deterministically from the
+    // part dimension (0.6 × retail price) — same plan shape: fact scan
+    // through part+supplier+nation broadcasts, orders join, two-key agg.
+    "tpch_q9_profit" -> ((spark, dir) => {
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir).where(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(amount), 4).as("sum_profit"))
+    }),
+
+    // Q13-shaped: customer order-count distribution — outer join with
+    // an extra join-side predicate, then an aggregate of an aggregate.
+    "tpch_q13_custdist" -> ((spark, dir) => {
+      val o = Tables.orders(spark, dir).where(col("o_orderpriority") =!= "1-URGENT")
+      Tables.customer(spark, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15-shaped: top supplier by quarterly revenue — a reused CTE with
+    // a scalar-subquery max over it (the revenue agg runs once under
+    // AQE; the max is a one-row broadcast back).
+    "tpch_q15_top_supplier" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_q15")
+      Tables.supplier(spark, dir).createOrReplaceTempView("supp_q15")
+      spark.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+          |  FROM li_q15
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          |  GROUP BY 1
+          |)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supp_q15 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)
+    }),
+
+    // Q21-shaped: suppliers who kept orders waiting — the EXISTS /
+    // NOT-EXISTS double self-join on the fact table ("some other
+    // supplier on the order, but no OTHER supplier was late").
+    // Lateness = shipped >90 days after the order date (the fixture
+    // has no commit/receipt dates).
+    "tpch_q21_waiting" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_q21")
+      Tables.orders(spark, dir).createOrReplaceTempView("ord_q21")
+      Tables.supplier(spark, dir).createOrReplaceTempView("supp_q21")
+      spark.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supp_q21
+          |JOIN li_q21 l1 ON s_suppkey = l1.l_suppkey
+          |JOIN ord_q21 o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND CAST(l1.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 90)
+          |  AND EXISTS (
+          |    SELECT 1 FROM li_q21 l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          |  )
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM li_q21 l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND CAST(l3.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 90)
+          |  )
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name ASC
+          |LIMIT 20""".stripMargin)
+    }),
+
+    // Q22-shaped: global sales opportunity — customers with
+    // above-average balances and no large orders, bucketed by a
+    // "country code" (last two digits of the customer name; the
+    // fixture has no phone column). Anti-join + scalar subquery.
+    "tpch_q22_opportunity" -> ((spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("cust_q22")
+      Tables.orders(spark, dir).createOrReplaceTempView("ord_q22")
+      spark.sql(
+        """SELECT substring(c_name, -2, 2) AS cntrycode,
+          |  count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+          |FROM cust_q22 c
+          |WHERE c_acctbal > (
+          |  SELECT avg(c_acctbal) FROM cust_q22 WHERE c_acctbal > 0.0
+          |)
+          |AND NOT EXISTS (
+          |  SELECT 1 FROM ord_q22 o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+          |)
+          |GROUP BY 1""".stripMargin)
+    }),
+
     // Typed Dataset API: case-class encoder + typed filter/groupByKey.
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
@@ -350,6 +499,105 @@ object TpchQueries {
         |)
         |GROUP BY 1, 2, 3
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8_mktshare" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "tpch_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1
+        |) GROUP BY 1""".stripMargin,
+
+    "tpch_q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+
+    "tpch_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        |  )
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+        |  )
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
+
+    "tpch_q22_opportunity" ->
+      """SELECT right(c_name, 2) AS cntrycode,
+        |  count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        |)
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        |)
+        |GROUP BY 1""".stripMargin,
 
     "tpch_q19_disjunction" ->
       """SELECT count(*) AS n_lines,
