@@ -12,7 +12,7 @@ object SparkEntry {
       JoinQueries.queries ++ AggWindowQueries.queries ++
       ParityQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       MultimodalQueries.queries ++ StreamingQueries.queries ++
-      TpchQueries.queries ++ LakehouseQueries.queries
+      TpchQueries.queries ++ LakehouseQueries.queries ++ SamplingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +20,5 @@ object SparkEntry {
       JoinQueries.oracles ++ AggWindowQueries.oracles ++
       ParityQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
       MultimodalQueries.oracles ++ StreamingQueries.oracles ++
-      TpchQueries.oracles ++ LakehouseQueries.oracles
+      TpchQueries.oracles ++ LakehouseQueries.oracles ++ SamplingQueries.oracles
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is a pure projection or filter over a hash of a
+  * stable row id — no rand(), no state, no shuffle. That is the
+  * property a 100 TB pipeline needs: re-running a stage (or adding
+  * columns, or repartitioning) never changes which rows are sampled,
+  * and train/val/test membership is reproducible from the id alone.
+  *
+  * Two hash families:
+  *   - [[modBucket]]: Knuth multiplicative hashing (id × 2654435761
+  *     mod buckets). Weaker mixing but expressible in ANY engine's
+  *     integer arithmetic — this is the DuckDB-oracle-checkable form.
+  *   - [[xxBucket]]: xxhash64-based. The production default (full
+  *     avalanche; safe for adversarial/sequential ids).
+  *
+  * The reference repo has no sampling surface; this is part of the
+  * training-data extension mandated by the builder prompt.
+  */
+object Sampling {
+
+  /** Knuth's 2^32/phi multiplier. ids up to ~3.4e9 cannot overflow a
+    * signed 64-bit product; beyond that wrap-around stays deterministic
+    * in Spark (non-ANSI) but stops matching engines that trap overflow
+    * — use [[xxBucket]] there.
+    */
+  val KnuthMultiplier = 2654435761L
+
+  /** Oracle-expressible bucket in [0, buckets): (id*K) mod buckets. */
+  def modBucket(id: Column, buckets: Int): Column =
+    pmod(id * lit(KnuthMultiplier), lit(buckets.toLong))
+
+  /** DuckDB twin of [[modBucket]] (positive ids ⇒ % == pmod). */
+  def modBucketSql(id: String, buckets: Int): String =
+    s"(($id * $KnuthMultiplier) % $buckets)"
+
+  /** Production bucket in [0, buckets): full-avalanche xxhash64. */
+  def xxBucket(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id), lit(buckets.toLong))
+
+  /** Deterministic train/val/test (or any weighted) split label.
+    * Weights are per-mille slices of the bucket space, assigned in the
+    * given order; they must sum to ≤ 1000 (the remainder falls into
+    * the LAST label). Membership depends only on the id.
+    */
+  def splitLabel(id: Column, weights: Seq[(String, Int)],
+                 bucket: (Column, Int) => Column = modBucket): Column = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1000,
+      "split weights are per-mille and must sum to <= 1000")
+    val b = bucket(id, 1000)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
+      case (((label, _), cut), rest) => when(b < cut, label).otherwise(rest)
+    }
+  }
+
+  /** Per-stratum deterministic Bernoulli sample: keep a row iff its
+    * hash bucket falls under the stratum's per-mille allocation.
+    * Replaces rand()-based df.stat.sampleBy with a reproducible
+    * filter that survives re-runs and repartitioning.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, id: Column,
+                       perMille: Map[String, Int], defaultPerMille: Int,
+                       bucket: (Column, Int) => Column = modBucket): DataFrame = {
+    val alloc = perMille.foldRight(lit(defaultPerMille): Column) {
+      case ((s, m), rest) => when(strata === s, m).otherwise(rest)
+    }
+    df.where(bucket(id, 1000) < alloc)
+  }
+
+  /** Deterministic "reservoir": the k rows with the smallest
+    * xxhash64(id) — a uniform-without-replacement sample that is
+    * stable across runs, partitionings, and (unlike a true reservoir
+    * scan) cluster topology. Distributed cost is a per-partition
+    * bounded top-k then a k-row driver merge (TakeOrderedAndProject),
+    * no full shuffle.
+    */
+  def consistentSample(df: DataFrame, id: Column, k: Int): DataFrame =
+    df.orderBy(xxhash64(id).asc, id.asc).limit(k)
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Layout, Sampling}
+
+/** Deterministic sampling / splitting / layout queries over `events`.
+  * All three use engine-portable integer arithmetic (multiplicative
+  * hash, bit interleave), so every row-level membership decision is
+  * hash-compared against the DuckDB twin — not just row counts.
+  */
+object SamplingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SplitWeights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+  private val StrataPerMille = Map("click" -> 100, "purchase" -> 500, "view" -> 200)
+  private val DefaultPerMille = 50
+
+  val queries: Map[String, Q] = Map(
+    // Train/val/test split: membership is a pure function of the row
+    // id — reproducible across runs, partitionings, and engines.
+    "sample_hash_split" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          Sampling.splitLabel(col("event_id"), SplitWeights).as("split"))
+    }),
+
+    // Per-stratum deterministic Bernoulli sample with differing
+    // allocations (replaces rand()-based sampleBy).
+    "sample_stratified" -> ((spark, dir) => {
+      Sampling.stratifiedSample(
+        Tables.events(spark, dir), col("event_type"), col("event_id"),
+        StrataPerMille, DefaultPerMille)
+        .select(col("event_id"), col("event_type"))
+    }),
+
+    // Morton (Z-order) clustering key over two dimensions — the value
+    // a layout-optimizing writer range-partitions by (Layout
+    // .zorderCluster); checked bit-for-bit against DuckDB.
+    "layout_zorder" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          Layout.zorderKey(
+            pmod(col("event_id"), lit(65536L)),
+            pmod(col("user_id"), lit(65536L))).as("zkey"))
+    })
+  )
+
+  private val splitSql: String = {
+    val b = Sampling.modBucketSql("event_id", 1000)
+    // Same cut points as SplitWeights, same first-match-wins order.
+    s"""SELECT event_id,
+       |  CASE WHEN $b < 800 THEN 'train'
+       |       WHEN $b < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM events""".stripMargin
+  }
+
+  private val stratifiedSql: String = {
+    val b = Sampling.modBucketSql("event_id", 1000)
+    val alloc = StrataPerMille.foldRight(DefaultPerMille.toString) {
+      case ((s, m), rest) => s"CASE WHEN event_type = '$s' THEN $m ELSE $rest END"
+    }
+    s"SELECT event_id, event_type FROM events WHERE $b < $alloc"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash_split" -> splitSql,
+    "sample_stratified" -> stratifiedSql,
+    "layout_zorder" ->
+      s"""SELECT event_id,
+         |  ${Layout.zorderKeySql("event_id % 65536", "user_id % 65536")} AS zkey
+         |FROM events""".stripMargin
+  )
+}
