@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(cs.size == 2, "hashed_shingles(text, n)")
       HashedShingles(cs.head, intArg(cs(1), "shingle size"))
     })
+    inject(ext, "token_hashes", classOf[TokenHashes], { cs =>
+      require(cs.size == 1, "token_hashes takes exactly one argument")
+      TokenHashes(cs.head)
+    })
     inject(ext, "simhash64", classOf[SimHash64], { cs =>
       require(cs.size == 1, "simhash64 takes exactly one argument")
       SimHash64(cs.head)
@@ -72,6 +76,9 @@ object GraftFunctions {
   def hashedShingles(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "hashed_shingles", c, org.apache.spark.sql.functions.lit(n))
+
+  def tokenHashes(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("token_hashes", c)
 
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)

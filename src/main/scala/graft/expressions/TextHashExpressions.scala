@@ -149,6 +149,35 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "hashed_shingles"
 }
 
+/** array<long> of per-token FNV-1a hashes of a string's space-separated
+  * tokens — the shared kernel under [[SimHash64]], exposed so the
+  * simhash vote/bit logic can be differentially rebuilt from Spark
+  * built-ins (explode + sum votes) and compared (dedup_simhash query).
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hashes requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.tokenHashes(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.expressions.TextHash.tokenHashes($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_hashes"
+}
+
 /** 64-bit SimHash of a string's whitespace tokens. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 

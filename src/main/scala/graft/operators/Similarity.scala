@@ -128,30 +128,75 @@ object Similarity {
     * ONCE (and would be written bucketed-by-cell at rest), per-query
     * work drops by ~nCells/nProbe, and recall is tunable via nProbe.
     *
-    * The codebook is a deterministic pseudo-random SAMPLE of the corpus
-    * (order by hash of id, take nCells) — how large-scale IVF trains in
-    * practice (quantizers fit on samples, not the full corpus), and the
-    * dictionary-sized result is folded into LITERAL arrays so cell
-    * assignment is a pure broadcast-free projection over native dots,
-    * exactly like the nearest-city argmin kernel. A k-means refinement
-    * of the sampled codebook would raise recall slightly but costs an
-    * iterative fit that dwarfs the search itself at bench scale.
+    * The codebook is Lloyd-trained on a deterministic hash-ordered
+    * SAMPLE of the corpus — how large-scale IVF trains in practice
+    * (quantizers fit on samples, not the full corpus; the fit is a
+    * driver-side loop over ≤2k points). The dictionary-sized result is
+    * folded into LITERAL arrays so cell assignment is a pure
+    * broadcast-free projection over native dots, exactly like the
+    * nearest-city argmin kernel.
     *
     * Cell ranking uses dot(q, centroid)/|centroid| — equivalent to
     * cosine for ranking because |q| is a common positive factor.
     */
-  /** Deterministic sampled codebook: nCells corpus vectors by hash
-    * order, with precomputed norms. Dictionary-sized driver collect.
+  /** Deterministic hash-ordered sample of corpus vectors — the
+    * training set for both quantizers. Bounded driver collect
+    * (sampleN rows) regardless of corpus size: quantizers train on
+    * samples at scale, then broadcast as literals/reference objects.
     */
-  private def sampleCodebook(corpus: DataFrame, nCells: Int): Array[(Int, Array[Float], Double)] =
+  private def collectSample(corpus: DataFrame, sampleN: Int): Array[Array[Double]] =
     corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCells)
+      .limit(sampleN)
       .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
+  /** Deterministic Lloyd k-means on the driver over a collected
+    * sample: init = first k sample points (hash order), argmin-L2
+    * assignment, empty clusters keep their previous centroid. A few
+    * iterations lift quantizer quality far above raw sampled
+    * codebooks (recall floor of IVF/PQ), at zero distributed cost.
+    */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    val dim = points(0).length
+    var centroids = Array.tabulate(math.min(k, points.length))(i => points(i).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+      }
+      centroids = Array.tabulate(centroids.length)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Lloyd-trained coarse codebook with precomputed norms. Centroids
+    * are rounded to float so [[dot]] sees matching array<float> types.
+    */
+  private def sampleCodebook(corpus: DataFrame, nCells: Int): Array[(Int, Array[Float], Double)] =
+    lloyd(collectSample(corpus, math.max(nCells * 32, 512)), nCells, iters = 5)
       .zipWithIndex
-      .map { case (r, i) =>
-        val emb = r.getSeq[Float](1).toArray
+      .map { case (c, i) =>
+        val emb = c.map(_.toFloat)
         (i, emb, math.sqrt(emb.map(x => x.toDouble * x).sum))
       }
 
@@ -173,7 +218,7 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 8): DataFrame = {
     val codebook = sampleCodebook(corpus, nCells)
     val scores = cellScores(codebook) _
 
@@ -217,65 +262,92 @@ object Similarity {
     * literal arrays, so both encode and table-build are zero-shuffle
     * codegen'd projections).
     */
+  /** Per-subspace Lloyd-trained codebooks over the shared sample. */
   private def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int, nCodes: Int)
       : Array[Array[Array[Double]]] = {
-    val sample = sampleCodebook(corpus, nCodes)
+    val sample = collectSample(corpus, math.max(nCodes * 32, 512))
     Array.tabulate(m)(s =>
-      sample.map(_._2.slice(s * subDim, (s + 1) * subDim).map(_.toDouble)))
+      lloyd(sample.map(_.slice(s * subDim, (s + 1) * subDim)), nCodes, iters = 5))
   }
 
-  private def subVec(emb: Column, s: Int, subDim: Int): Column =
-    slice(emb, s * subDim + 1, subDim).cast("array<double>")
+  import graft.expressions.{PqAdcScore, PqAdcTables, PqEncode, PqReconNorm}
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
 
   /** Encode the corpus: per subspace the argmin-L2 code, plus the
     * reconstructed norm for the cosine denominator. Zero-shuffle
-    * projection; the encoded frame is what a PQ index stores at rest.
-    * ||x_s − c||² ranks as (|c|² − 2·x_s·c) — |x_s|² is constant per row.
+    * projection via ONE native expression per output (the
+    * compositional m×nCodes struct-argmin form exceeds janino's
+    * method limits and silently de-optimizes the whole stage — see
+    * graft.expressions.PqKernels).
     */
-  def pqEncode(corpus: DataFrame, dim: Int = 64, m: Int = 16, nCodes: Int = 16): DataFrame = {
+  def pqEncode(corpus: DataFrame, dim: Int = 64, m: Int = 16, nCodes: Int = 32): DataFrame = {
     val subDim = dim / m
     val books = pqCodebooks(corpus, m, subDim, nCodes)
     val cwNormSq = books.map(_.map(w => w.map(x => x * x).sum))
-    val codeCols = (0 until m).map { s =>
-      array_min(array((0 until nCodes).map { c =>
-        struct(
-          (lit(cwNormSq(s)(c)) - lit(2.0) * dot(subVec(col("embedding"), s, subDim),
-            typedLit(books(s)(c)))).as("d"),
-          lit(c).as("code"))
-      }: _*)).getField("code").as(s"c$s")
-    }
-    val reconNormSq = (0 until m).map(s =>
-      element_at(typedLit(cwNormSq(s).toSeq), col(s"c$s") + 1))
-      .reduce(_ + _)
-    corpus.select(col("vec_id") +: codeCols: _*)
-      .withColumn("recon_nrm", sqrt(reconNormSq))
+    corpus.select(col("vec_id"),
+      wrap(PqEncode(exprOf(col("embedding")), books)).as("codes"))
+      .withColumn("recon_nrm", wrap(PqReconNorm(exprOf(col("codes")), cwNormSq)))
   }
 
-  /** PQ/ADC approximate top-k (recall-lossy; recall spec-gated).
-    * Queries build literal-codebook lookup tables and broadcast; the
-    * encoded corpus is scored by m element_at lookups per pair.
+  /** PQ/ADC approximate top-k (recall-lossy; recall harness-gated).
+    * Queries build per-row ADC lookup tables (one native expression)
+    * and broadcast; each candidate costs m table lookups instead of a
+    * dim-wide dot — all three kernels codegen as single calls.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             dim: Int = 64, m: Int = 16, nCodes: Int = 16): DataFrame = {
+             dim: Int = 64, m: Int = 16, nCodes: Int = 32): DataFrame = {
     val subDim = dim / m
     val books = pqCodebooks(corpus, m, subDim, nCodes)
     val encoded = pqEncode(corpus, dim, m, nCodes)
-    val tableCols = (0 until m).map { s =>
-      array((0 until nCodes).map(c =>
-        dot(subVec(col("embedding"), s, subDim), typedLit(books(s)(c)))): _*).as(s"t$s")
-    }
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id") +: norm(col("embedding")).as("q_nrm") +: tableCols: _*))
-    val approxDot = (0 until m).map(s =>
-      element_at(col(s"t$s"), col(s"c$s") + 1)).reduce(_ + _)
+      col("vec_id").as("query_id"),
+      norm(col("embedding")).as("q_nrm"),
+      wrap(PqAdcTables(exprOf(col("embedding")), books)).as("tables")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     encoded.join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(approxDot / (col("q_nrm") * col("recon_nrm")), 6))
+      .withColumn("score", round(
+        wrap(PqAdcScore(exprOf(col("tables")), exprOf(col("codes")), nCodes)) /
+          (col("q_nrm") * col("recon_nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Recall/shape harness for an approximate top-k against the exact
+    * brute-force result — the form that makes a recall-lossy index
+    * oracle-checkable: the oracle asserts the INVARIANT (mean recall
+    * over all queries ≥ floor; ranks are 1..n with non-increasing
+    * scores), Spark computes the evidence. One row out.
+    */
+  def recallHarness(approx: DataFrame, brute: DataFrame,
+                    minAvgRecall: Double): DataFrame = {
+    val perQuery = brute.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+    val shape = approx
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("rank")).as("max_rank"),
+        count_distinct(col("rank")).as("n_ranks"),
+        sort_array(collect_list(struct(col("rank"), col("score")))).as("rs"))
+      .select(col("query_id"),
+        (col("max_rank") === col("n") && col("n_ranks") === col("n") &&
+          expr("forall(transform(sequence(1, size(rs) - 1)," +
+            " i -> rs[i].score <= rs[i - 1].score), x -> x)")).as("shape_ok"))
+    perQuery.join(shape, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= minAvgRecall).as("recall_ok"),
+        coalesce(bool_and(col("shape_ok")), lit(true)).as("ranks_ok"))
   }
 
   /** LSH-bucketed ANN: exact cosine top-k within matching signature

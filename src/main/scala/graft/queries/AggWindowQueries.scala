@@ -80,11 +80,23 @@ object AggWindowQueries {
     // sketch implementations differ across engines, so rows-only check;
     // exact twins are oracle-checked in a7/agg_percentile.
     "a8_approx_agg" -> ((spark, dir) => {
+      // Sketch outputs can't be equality-checked across engines, but
+      // their ERROR BOUNDS can: emit the exact values plus booleans
+      // asserting the approximations landed inside tolerance (HLL rsd
+      // 5% default → 10% + slack; KLL at accuracy 1000 → 5% of range).
       Tables.events(spark, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("approx_p50"))
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          (max(col("value")) - min(col("value"))).as("vrange"))
+        .select(col("event_type"), col("exact_users"), col("p50"),
+          (abs(col("au") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.1, lit(2.0))).as("ndv_in_tolerance"),
+          (abs(col("ap50") - col("p50")) <= col("vrange") * 0.05)
+            .as("p50_in_tolerance"))
     }),
 
     // Statistical aggregates (corr/covar/stddev) — the stat-function
@@ -321,6 +333,14 @@ object AggWindowQueries {
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS days
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "a8_approx_agg" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  true AS ndv_in_tolerance,
+        |  true AS p50_in_tolerance
+        |FROM events GROUP BY 1""".stripMargin,
 
     "agg_percentile" ->
       """SELECT event_type,

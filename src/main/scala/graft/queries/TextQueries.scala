@@ -38,17 +38,51 @@ object TextQueries {
         "doc_id", "text", Seq("lang", "source"), shingleN = 2, threshold = 0.3)
     }),
 
-    // MinHash+LSH near-dup pairs (rows-only; verified in ScalaTest
-    // against blocked exact Jaccard).
+    // MinHash+LSH end-to-end guarantee harness: plant an exact copy of
+    // every document (id+1e6) in the corpus and run the full
+    // shingle→signature→band→bucket-join pipeline. An exact copy has an
+    // identical signature, so EVERY band collides — the planted pair
+    // must surface with Jaccard 1.0 for every doc_id. That makes the
+    // recall floor of the approximate pipeline oracle-checkable (the
+    // probabilistic near-dup pairs remain covered by DedupSpec's
+    // recall/precision tests against blocked exact Jaccard).
     "dedup_minhash" -> ((spark, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val pairs = Dedup.minhashLshPairs(docs.union(planted), "doc_id", "text",
         shingleN = 2, k = 32, rowsPerBand = 4, threshold = 0.5)
+      docs.select(col("doc_id"))
+        .join(pairs.where(col("doc_b") === col("doc_a") + lit(1000000L))
+            .select(col("doc_a").as("doc_id"), col("jaccard")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("jaccard").isNotNull.as("planted_dup_found"),
+          coalesce(col("jaccard"), lit(-1.0)).as("jaccard"))
     }),
 
-    // SimHash fingerprints (rows-only; native expression).
+    // SimHash differential harness: the native one-pass expression's
+    // vote/bit logic rebuilt from Spark built-ins over the shared
+    // token-hash kernel — explode tokens, 64 codegen'd sign-vote sums,
+    // reassemble the bit vector — must reproduce simhash64(text)
+    // exactly for every document.
     "dedup_simhash" -> ((spark, dir) => {
+      import graft.expressions.GraftFunctions
+      val voteCols = (0 until 64).map { b =>
+        sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b")
+      }
+      val rebuilt = (0 until 64)
+        .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce((a, c) => a.bitwiseOR(c))
       Tables.documents(spark, dir)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), explode(GraftFunctions.tokenHashes(col("text"))).as("th"))
+        .groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), rebuilt.as("rebuilt"))
+        .join(Tables.documents(spark, dir)
+            .select(col("doc_id"), Dedup.simhash64(col("text")).as("native")),
+          Seq("doc_id"))
+        .select(col("doc_id"), (col("native") === col("rebuilt")).as("native_matches_rebuilt"))
     }),
 
     // Token counting: whitespace + regex tokenizations.
@@ -173,6 +207,17 @@ object TextQueries {
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // Guarantee harnesses: the oracle states the invariant (every
+    // planted exact copy MUST be found / the native kernel MUST match
+    // its declarative rebuild); Spark computes the evidence.
+    "dedup_minhash" ->
+      """SELECT doc_id, true AS planted_dup_found,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents""".stripMargin,
+
+    "dedup_simhash" ->
+      "SELECT doc_id, true AS native_matches_rebuilt FROM documents",
+
     "dedup_exact" ->
       """SELECT md5(text) AS dup_key, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

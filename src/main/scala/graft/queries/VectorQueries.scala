@@ -41,18 +41,29 @@ object VectorQueries {
         Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
     }),
 
-    // IVF ANN: KMeans coarse quantizer + nProbe cell search
-    // (recall-lossy; rows-only check + SimilaritySpec recall test).
+    // IVF ANN (Lloyd-trained coarse quantizer + nProbe cell search),
+    // wrapped in the recall harness: the oracle asserts mean recall vs
+    // brute force ≥ 0.5 and rank-shape validity over every query.
     "ann_ivf_topk" -> ((spark, dir) => {
-      Similarity.ivfTopK(
-        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+      val corpus = Tables.embeddings(spark, dir)
+      val q = queriesDf(spark, dir)
+      Similarity.recallHarness(
+        Similarity.ivfTopK(corpus, q, K),
+        Similarity.bruteForceTopK(corpus, q, K),
+        minAvgRecall = 0.5)
     }),
 
-    // PQ/ADC ANN: product-quantized codes + per-query lookup tables
-    // (recall-lossy; rows-only check + SimilaritySpec recall test).
+    // PQ/ADC ANN (per-subspace Lloyd codebooks, native encode/table/
+    // score kernels), same harness. Floor 0.15: far above the random
+    // baseline k/N yet safe for the blind spots of an 8×-compressed
+    // code on near-random fixture embeddings.
     "ann_pq_topk" -> ((spark, dir) => {
-      Similarity.pqTopK(
-        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+      val corpus = Tables.embeddings(spark, dir)
+      val q = queriesDf(spark, dir)
+      Similarity.recallHarness(
+        Similarity.pqTopK(corpus, q, K),
+        Similarity.bruteForceTopK(corpus, q, K),
+        minAvgRecall = 0.15)
     }),
 
     // Cross-modal: do embedding near-dups agree with text near-dups?
@@ -166,10 +177,17 @@ object VectorQueries {
        |  FROM scored
        |) WHERE rank <= $K""".stripMargin
 
+  private val recallHarnessOracle: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  true AS recall_ok, true AS ranks_ok
+       |FROM embeddings WHERE vec_id % $QueryMod = 0""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> topkOracle,
     "ann_aggregator_topk" -> topkOracle,
     "ann_lsh_topk" -> lshOracle,
+    "ann_ivf_topk" -> recallHarnessOracle,
+    "ann_pq_topk" -> recallHarnessOracle,
 
     "xmodal_dup_agreement" -> {
       val sh = graft.functions.TextFns.shinglesSql("string_split(text, ' ')", 2)

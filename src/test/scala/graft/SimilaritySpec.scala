@@ -67,8 +67,8 @@ class SimilaritySpec extends SparkSpec {
     val corpus = Tables.embeddings(spark, sfDir)
     val enc = Similarity.pqEncode(corpus, dim = 64, m = 16, nCodes = 16)
     assert(enc.count() === corpus.count())
-    val bad = (0 until 16).map(s =>
-      enc.where(col(s"c$s") < 0 || col(s"c$s") >= 16).count()).sum
+    val bad = enc.where(size(col("codes")) =!= 16 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
     assert(bad === 0)
     assert(enc.where(col("recon_nrm") <= 0).isEmpty)
     // encoding is a zero-shuffle projection
