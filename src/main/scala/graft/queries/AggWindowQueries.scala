@@ -84,14 +84,19 @@ object AggWindowQueries {
       // their ERROR BOUNDS can: emit the exact values plus booleans
       // asserting the approximations landed inside tolerance (HLL rsd
       // 5% default → 10% + slack; KLL at accuracy 1000 → 5% of range).
-      Tables.events(spark, dir)
-        .groupBy("event_type")
-        .agg(
-          count_distinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("au"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
-          (max(col("value")) - min(col("value"))).as("vrange"))
+      // Distinct and value aggregates split into two small aggs joined
+      // on the 5-value key: one grouped agg mixing count_distinct with
+      // sort-based percentiles plans an Expand over every column —
+      // 2× the shuffled rows for no benefit.
+      val ev = Tables.events(spark, dir)
+      val users = ev.groupBy("event_type").agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("au"))
+      val values = ev.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+        (max(col("value")) - min(col("value"))).as("vrange"))
+      users.join(values, Seq("event_type"))
         .select(col("event_type"), col("exact_users"), col("p50"),
           (abs(col("au") - col("exact_users")) <=
             greatest(col("exact_users") * 0.1, lit(2.0))).as("ndv_in_tolerance"),
