@@ -76,9 +76,38 @@ object AggWindowQueries {
           count(lit(1)).as("n_events"))
     }),
 
-    // Approximate aggregates (HLL count-distinct + t-digest quantile) —
-    // sketch implementations differ across engines, so rows-only check;
-    // exact twins are oracle-checked in a7/agg_percentile.
+    // Ordered conversion funnel view→click→purchase: each stage's
+    // first timestamp must follow the previous stage's. Three
+    // conditional-min aggregations chained by join — no window over
+    // the full event stream, so each stage shuffles only its own
+    // event-type slice (and users, dimension-sized, broadcast back).
+    "funnel_stages" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(broadcast(v), Seq("user_id"))
+        .where(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(broadcast(c), Seq("user_id"))
+        .where(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c.select(col("user_id"), col("c_ts")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("p_ts")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull, 3)
+            .when(col("c_ts").isNotNull, 2)
+            .when(col("v_ts").isNotNull, 1)
+            .otherwise(0).cast("long").as("stage"))
+    }),
+
+    // Approximate aggregates (HLL count-distinct + KLL quantile) —
+    // sketch outputs can't be equality-checked across engines, but
+    // their error bounds can (booleans below).
     "a8_approx_agg" -> ((spark, dir) => {
       // Sketch outputs can't be equality-checked across engines, but
       // their ERROR BOUNDS can: emit the exact values plus booleans
@@ -338,6 +367,29 @@ object AggWindowQueries {
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS days
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p_ts IS NOT NULL THEN 3
+        |            WHEN c_ts IS NOT NULL THEN 2
+        |            WHEN v_ts IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
 
     "a8_approx_agg" ->
       """SELECT event_type,

@@ -71,6 +71,22 @@ object StreamingQueries {
           col("n_events"), col("total_value"))
     }),
 
+    // Stream-static join: the unbounded event stream enriched by a
+    // broadcast dimension (the canonical streaming-ETL shape — the
+    // static side is re-broadcast per micro-batch, no stream state).
+    // Batch mode runs the identical plan; StreamingSpec drives the
+    // MemoryStream version.
+    "stream_static_join" -> ((spark, dir) => {
+      StreamingOps.enrichWithStatic(
+        Tables.events(spark, dir),
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id"), col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+    }),
+
     // Sliding event-time windows (10 min window, 5 min slide).
     "stream_windowed_counts" -> ((spark, dir) => {
       StreamingOps.windowedTypeCounts(
@@ -145,6 +161,12 @@ object StreamingQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND purchase_ts >= click_ts
         |  AND purchase_ts <= click_ts + INTERVAL 600 SECONDS""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // Each event lands in exactly two 10-min/5-min-slide windows:
     // starts at floor(ts/5min)*5min and 5 min before it.

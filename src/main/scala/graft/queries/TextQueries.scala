@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFns
@@ -83,6 +83,28 @@ object TextQueries {
             .select(col("doc_id"), Dedup.simhash64(col("text")).as("native")),
           Seq("doc_id"))
         .select(col("doc_id"), (col("native") === col("rebuilt")).as("native_matches_rebuilt"))
+    }),
+
+    // Repetition signals (Gopher-style quality filters): fraction of
+    // the doc covered by its most frequent word / word-bigram. Explode
+    // + two-level agg (codegen'd, map-side combined) instead of
+    // interpreted per-doc HOF loops.
+    "text_repetition" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      def topRatio(unit: Column, outName: String) =
+        docs.select(col("doc_id"), explode(unit).as("u"))
+          .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as(outName))
+      val words = topRatio(TextFns.tokens(col("text")), "top_word_ratio")
+      val bigrams = topRatio(
+        TextFns.shingles(TextFns.tokens(col("text")), 2), "top_bigram_ratio")
+      docs.select(col("doc_id"))
+        .join(words, Seq("doc_id"), "left")
+        .join(bigrams, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_word_ratio"), lit(-1.0)).as("top_word_ratio"),
+          coalesce(col("top_bigram_ratio"), lit(-1.0)).as("top_bigram_ratio"))
     }),
 
     // Token counting: whitespace + regex tokenizations.
@@ -217,6 +239,29 @@ object TextQueries {
 
     "dedup_simhash" ->
       "SELECT doc_id, true AS native_matches_rebuilt FROM documents",
+
+    "text_repetition" -> {
+      val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents
+         |), wc AS (
+         |  SELECT doc_id, u, count(*) AS c FROM w GROUP BY 1, 2
+         |), wr AS (
+         |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS r FROM wc GROUP BY 1
+         |), b AS (
+         |  SELECT doc_id, unnest($sh) AS u FROM documents
+         |), bc AS (
+         |  SELECT doc_id, u, count(*) AS c FROM b GROUP BY 1, 2
+         |), br AS (
+         |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS r FROM bc GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(wr.r, -1.0) AS top_word_ratio,
+         |  coalesce(br.r, -1.0) AS top_bigram_ratio
+         |FROM documents d
+         |LEFT JOIN wr ON d.doc_id = wr.doc_id
+         |LEFT JOIN br ON d.doc_id = br.doc_id""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT md5(text) AS dup_key, min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,6 +53,18 @@ object StreamingOps {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"),
         round(col("purchase_value"), 4).as("purchase_value"))
   }
+
+  /** Stream-static enrichment: attach a dimension row to each event by
+    * key. The static side is planned as a broadcast per micro-batch
+    * (fresh dimension snapshots are picked up between batches for
+    * file-backed dims), and the stream side carries NO state — this is
+    * the shape that holds at any stream rate. Inner join: unmatched
+    * events drop (use "left" via joinType for keep-and-null).
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       streamKey: Column, dimKey: Column,
+                       joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), streamKey === dimKey, joinType)
 
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionAgg(startMs: Long, endMs: Long, n: Int, total: Double)

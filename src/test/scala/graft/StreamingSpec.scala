@@ -105,6 +105,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream from a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val enriched = StreamingOps.enrichWithStatic(
+      mem.toDF().toDF("user_id", "ts", "value"), dim,
+      col("user_id"), col("c_custkey"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (9L, ts(2), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_stream")
+        .select("user_id", "c_mktsegment").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // user 9 has no dimension row → dropped by the inner join
+      assert(rows === Set((1L, "BUILDING"), (2L, "MACHINERY")))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark run as a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
