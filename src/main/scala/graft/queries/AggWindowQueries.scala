@@ -76,6 +76,31 @@ object AggWindowQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Ordered string aggregation (listagg): deterministic via numeric
+    // sort before rendering; distinct collapses map-side.
+    "agg_string_agg" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_set(col("user_id"))), u => u.cast("string")))
+          .as("users_csv"))
+    }),
+
+    // Unpivot (wide → long): aggregate to one row per flag, then melt
+    // the measure columns — the Spark 4 unpivot operator.
+    "agg_unpivot" -> ((spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(col("l_quantity")), 4).as("qty"),
+          round(sum(col("l_discount")), 4).as("disc"),
+          round(sum(col("l_tax")), 4).as("tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("disc"), col("tax")),
+          "measure", "val")
+    }),
+
     // Ordered conversion funnel view→click→purchase: each stage's
     // first timestamp must follow the previous stage's. Three
     // conditional-min aggregations chained by join — no window over
@@ -367,6 +392,22 @@ object AggWindowQueries {
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS days
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "agg_string_agg" ->
+      """SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "agg_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 4) AS qty,
+        |    round(sum(l_discount), 4) AS disc,
+        |    round(sum(l_tax), 4) AS tax
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, measure, val
+        |FROM a UNPIVOT (val FOR measure IN (qty, disc, tax))""".stripMargin,
 
     "funnel_stages" ->
       """WITH v AS (

@@ -142,6 +142,21 @@ object JoinQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
     }),
 
+    // Null-safe equi join (<=>): null keys MATCH null keys — the
+    // semantics `=` silently drops. Both sides pre-aggregated to
+    // key-cardinality, so the null-key bucket joins 1×1 instead of
+    // exploding row×row.
+    "j11_nullsafe_join" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("k", expr("nullif(pmod(user_id, 10), 0)"))
+      val a = ev.where(col("event_id") % 2 === 0)
+        .groupBy("k").agg(count(lit(1)).as("n_even"))
+      val b = ev.where(col("event_id") % 2 === 1)
+        .groupBy(col("k").as("kb")).agg(count(lit(1)).as("n_odd"))
+      a.join(b, col("k") <=> col("kb"))
+        .select(col("k"), col("n_even"), col("n_odd"))
+    }),
+
     // As-of join (backward): each event picks the user's most recent
     // order on-or-before the event time — union+carry single-shuffle
     // plan (graft.operators.AsofJoin), oracled by DuckDB's native
@@ -209,6 +224,17 @@ object JoinQueries {
   val oracles: Map[String, String] = Map(
     "j1_cross_nearest_city" -> nearestCityOracle,
     "geo_nearest_city_minby" -> nearestCityOracle,
+
+    "j11_nullsafe_join" ->
+      """WITH e AS (
+        |  SELECT event_id, nullif(user_id % 10, 0) AS k FROM events
+        |), a AS (
+        |  SELECT k, count(*) AS n_even FROM e WHERE event_id % 2 = 0 GROUP BY 1
+        |), b AS (
+        |  SELECT k AS kb, count(*) AS n_odd FROM e WHERE event_id % 2 = 1 GROUP BY 1
+        |)
+        |SELECT a.k, n_even, n_odd
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb""".stripMargin,
 
     "j2_left_join" ->
       """SELECT o_orderkey, coalesce(c_mktsegment, 'NONE') AS segment
