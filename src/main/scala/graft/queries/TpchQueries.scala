@@ -338,6 +338,33 @@ object TpchQueries {
           |LIMIT 20""".stripMargin)
     }),
 
+    // Q21 window rewrite: the EXISTS / NOT-EXISTS double self-join
+    // re-expressed as ONE pass over the order-joined fact with two
+    // collect_set windows — per order: the set of suppliers and the
+    // set of LATE suppliers. A line waits iff it is late, the order has
+    // another supplier, and no OTHER supplier is late. Same oracle as
+    // tpch_q21_waiting: the rewrite must be result-identical; one
+    // shuffle by order instead of three fact self-joins.
+    "tpch_q21_window" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) > 90)
+        .withColumn("all_supps", collect_set(col("l_suppkey")).over(w))
+        .withColumn("late_supps",
+          collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
+        .where(col("is_late") &&
+          size(col("all_supps")) > 1 && size(col("late_supps")) === 1)
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
     // Q22-shaped: global sales opportunity — customers with
     // above-average balances and no large orders, bucketed by a
     // "country code" (last two digits of the customer name; the
@@ -567,6 +594,28 @@ object TpchQueries {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
 
     "tpch_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        |  )
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+        |  )
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
+
+    // Identical oracle as tpch_q21_waiting: the window rewrite must be
+    // result-equivalent to the EXISTS form.
+    "tpch_q21_window" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier
         |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
