@@ -62,4 +62,28 @@ object Lakehouse {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Small-file compaction (OPTIMIZE): rewrite a parquet directory
+    * into ceil(bytes/targetBytes) files. The perpetual lakehouse
+    * problem — streaming/incremental writers leave thousands of KB
+    * files whose open/footer cost dominates scans; bin-packing by
+    * TOTAL BYTES (not file count) keeps output files near the target
+    * regardless of input skew. Rewrite is atomic-by-swap: write to a
+    * sibling tmp dir, then move into place.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles
+  }
 }

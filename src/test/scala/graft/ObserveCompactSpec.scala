@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Lakehouse, Observe}
+
+class ObserveCompactSpec extends SparkSpec {
+
+  test("observed quality metrics ride the job's own pass") {
+    val obs = Observation("ingest_q")
+    val df = Observe.withQualityMetrics(
+      Tables.events(spark, sfDir)
+        .withColumn("user_id", when(col("event_id") % 100 === 0, null)
+          .otherwise(col("user_id"))),
+      obs, "user_id", "value")
+    val n = df.count() // the one and only action
+    val m = Observe.decode(obs.get)
+    assert(m.rows === n)
+    assert(m.nullKeys === df.where(col("user_id").isNull).count())
+    assert(m.negValues === 0)
+    val exact = df.select("user_id").distinct().count()
+    assert(math.abs(m.distinctApprox - exact) <= math.max(2L, exact / 10))
+  }
+
+  test("compaction bin-packs small files to the byte target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate an incremental writer: 64 tiny files
+    Tables.events(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles >= 60)
+
+    val totalBytes = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val n = Lakehouse.compact(spark, dir, targetBytes = totalBytes / 4)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === beforeRows)
+    assert(after.inputFiles.length === n)
+    assert(n <= 6, s"expected ~4-5 output files, got $n")
+    // content identical, not just counts (scalar projection: set ops
+    // reject map-typed columns like events.props)
+    val proj = Seq("event_id", "user_id", "event_type", "value")
+    assert(after.select(proj.head, proj.tail: _*)
+      .exceptAll(Tables.events(spark, sfDir).select(proj.head, proj.tail: _*))
+      .isEmpty)
+  }
+}

@@ -127,6 +127,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch streams micro-batch upserts into a lakehouse table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb").toString + "/t"
+    // seed the target table
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "attr", "v")
+      .write.parquet(dir)
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("id", "attr", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the classic exactly-once-ish sink: MERGE each micro-batch
+        // into the table by key (idempotent for replayed batches that
+        // carry the same final value per key)
+        val target = spark.read.parquet(dir)
+        val merged = graft.operators.Lakehouse
+          .mergeUpsert(target, batch.dropDuplicates("id"), Seq("id"))
+        val tmp = dir + "__stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData((2L, "b2", 20.0), (3L, "c", 3.0)) // update 2, insert 3
+      q.processAllAvailable()
+      val rows = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows === Set((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark run as a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
