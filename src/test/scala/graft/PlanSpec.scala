@@ -67,6 +67,41 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p.take(1200))
   }
 
+  test("sampling, splitting, and z-order keys are zero-shuffle projections") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val split = plan(ev.select(col("event_id"),
+      graft.operators.Sampling.splitLabel(col("event_id"),
+        Seq("train" -> 800, "val" -> 200))))
+    assert(!split.contains("Exchange"), split.take(800))
+    val z = plan(ev.select(col("event_id"),
+      graft.operators.Layout.zorderKey(
+        pmod(col("event_id"), lit(65536L)), pmod(col("user_id"), lit(65536L)))))
+    assert(!z.contains("Exchange"), z.take(800))
+  }
+
+  test("q21 window rewrite shuffles the fact exactly once, dims broadcast") {
+    val p = plan(graft.queries.TpchQueries.queries("tpch_q21_window")(spark, sfDir))
+    // one FULL-DATA hash exchange (the per-order window) plus one
+    // output-cardinality exchange (per-supplier count); supplier
+    // broadcast; no fact self-join (the EXISTS form plans two extra)
+    assert(count(p, "Exchange hashpartitioning") === 2, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("PQ encode and ADC scoring stay inside whole-stage codegen") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val df = graft.operators.Similarity.pqEncode(emb)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    // the native-kernel form codegens (the old compositional form blew
+    // janino's limits and fell back to interpreted evaluation)
+    assert(p.contains("*(1)"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
