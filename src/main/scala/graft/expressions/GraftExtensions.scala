@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(cs.size == 2, "hashed_shingles(text, n)")
       HashedShingles(cs.head, intArg(cs(1), "shingle size"))
     })
+    inject(ext, "explode_shingles", classOf[ShingleGenerator], { cs =>
+      require(cs.size == 2, "explode_shingles(text, n)")
+      ShingleGenerator(cs.head, intArg(cs(1), "shingle size"))
+    })
     inject(ext, "token_hashes", classOf[TokenHashes], { cs =>
       require(cs.size == 1, "token_hashes takes exactly one argument")
       TokenHashes(cs.head)

@@ -1,8 +1,9 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -147,6 +148,51 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "hashed_shingles"
+}
+
+/** Generator (UDTF) form of shingling: one input row → (pos,
+  * shingle_hash) output rows, streamed by GenerateExec without the
+  * ArrayData materialization + explode hop of
+  * `posexplode(hashed_shingles(text, n))`. The §2.11 tier between
+  * scalar expressions and whole physical operators: lateral-view /
+  * select-generator usable, registered as `explode_shingles`.
+  * Generators evaluate row-at-a-time inside GenerateExec (only
+  * built-in explode/posexplode get codegen), so this sits OFF the
+  * per-pair hot paths — the dedup operators keep the codegen'd array
+  * form there.
+  */
+case class ShingleGenerator(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("shingle_hash", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"explode_shingles requires a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val hashes = TextHash.hashedShingles(v.asInstanceOf[UTF8String].toString, n)
+      new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i < hashes.length
+        override def next(): InternalRow = {
+          val r = InternalRow(i, hashes(i)); i += 1; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleGenerator =
+    copy(child = newChild)
+
+  override def prettyName: String = "explode_shingles"
 }
 
 /** array<long> of per-token FNV-1a hashes of a string's space-separated

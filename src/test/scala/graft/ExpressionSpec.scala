@@ -49,6 +49,24 @@ class ExpressionSpec extends SparkSpec {
     assert(sig(0) !== sig(2))
   }
 
+  test("explode_shingles generator streams the same rows as posexplode of the array") {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_gen")
+    val viaGen = spark.sql(
+      """SELECT doc_id, s.pos, s.shingle_hash
+        |FROM docs_gen LATERAL VIEW explode_shingles(text, 2) s""".stripMargin)
+    val viaArray = spark.sql(
+      """SELECT doc_id, posexplode(hashed_shingles(text, 2)) AS (pos, shingle_hash)
+        |FROM docs_gen""".stripMargin)
+    assert(viaGen.count() === viaArray.count())
+    assert(viaGen.exceptAll(viaArray).isEmpty && viaArray.exceptAll(viaGen).isEmpty)
+    // generator also works in a plain select through the Column API
+    val sel = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("explode_shingles(text, 2)"))
+    assert(sel.columns.toSeq === Seq("doc_id", "pos", "shingle_hash"))
+    assert(sel.count() === viaGen.count())
+  }
+
   test("token_fingerprint is registered as a SQL function via extensions") {
     val r = spark.sql("SELECT token_fingerprint('spark merge join') AS fp").head().getLong(0)
     val expected = graft.expressions.TokenFingerprint.compute("spark merge join")
