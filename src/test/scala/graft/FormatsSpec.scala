@@ -102,6 +102,30 @@ class FormatsSpec extends SparkSpec {
     } finally permissive.unpersist()
   }
 
+  test("ignoreCorruptFiles skips garbage files instead of failing the scan") {
+    // at 100 TB some object-store file WILL be truncated/corrupt; the
+    // scan must be able to quarantine-and-continue on explicit opt-in
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    Tables.events(spark, sfDir).select("event_id", "user_id")
+      .write.mode("overwrite").parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-corrupt.parquet"),
+      "this is not parquet".getBytes)
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      intercept[Exception] {
+        spark.read.parquet(dir).count()
+      }
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir).count() === n)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("dynamic partition overwrite replaces only the touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
