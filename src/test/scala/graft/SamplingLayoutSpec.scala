@@ -69,6 +69,24 @@ class SamplingLayoutSpec extends SparkSpec {
     assert(r.getLong(4) === 0xFFFFFFFFL)
   }
 
+  test("zorderKey is bit-exact against a loop-interleave reference on a value grid") {
+    import spark.implicits._
+    // plain-JVM reference: interleave bit by bit
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+    val grid = Seq(0L, 1L, 2L, 3L, 7L, 8L, 255L, 256L, 4095L, 4096L, 21845L, 43690L, 65535L)
+    val pairs = for { x <- grid; y <- grid } yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y")).as("z"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === morton(x, y), s"mismatch at ($x,$y)")
+    }
+  }
+
   test("zorderCluster tightens per-file min/max bounds on both dimensions") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), pmod(col("event_id"), lit(65536L)).as("x"),
