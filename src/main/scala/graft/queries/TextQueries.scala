@@ -200,6 +200,27 @@ object TextQueries {
         .select(col("node").as("user_id"), col("lbl").as("component"))
     }),
 
+    // End-to-end dedup pipeline: duplicate-pair edges → connected
+    // components → one canonical survivor per cluster — the full
+    // pairs→clusters→keeper flow a corpus dedup actually ships, run
+    // through the real CC operator. Edges come from prefix-duplicate
+    // groups (deterministic volume at every SF); the oracle recomputes
+    // the same clusters directly from the grouping.
+    "dedup_pipeline" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+      val roots = docs.groupBy("k").agg(min(col("doc_id")).as("root"))
+      val edges = docs.join(roots, Seq("k"))
+        .where(col("doc_id") =!= col("root"))
+        .select(col("root").as("a"), col("doc_id").as("b"))
+      val cc = Dedup.connectedComponents(edges, "a", "b")
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("component"),
+          (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
+    }),
+
     // Rolling-hash document fingerprint — native codegen'd Catalyst
     // expression (graft.expressions.TokenFingerprint); semantics are
     // identical to the HOF form TextFns.fingerprint (spec-checked).
@@ -283,6 +304,14 @@ object TextQueries {
          |  ON l.lang = r.lang AND l.source = r.source AND l.doc < r.doc
          |WHERE round(${TextFns.jaccardSql("l.sh", "r.sh")}, 4) >= 0.3""".stripMargin
     },
+
+    "dedup_pipeline" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY substring(text, 1, 40)) AS comp
+        |  FROM documents
+        |)
+        |SELECT doc_id, comp AS component, doc_id = comp AS keep FROM g""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
