@@ -76,6 +76,34 @@ object AggWindowQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Value histogram via aligned-width binning — the profiling shape
+    // that scales: one map-side-combined agg, bucket count bounded by
+    // the value range, never by row count.
+    "agg_histogram" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("bucket_sum"))
+    }),
+
+    // Per-column profiling (Deequ-style): melt the numeric measures to
+    // long format, one agg computes count/NDV/min/max/mean per column —
+    // a fixed-size result regardless of table width × row count.
+    "profile_columns" -> ((spark, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Tables.lineitem(spark, dir)
+        .select(cols.map(col): _*)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          cols.map(col).toArray, "column", "v")
+        .groupBy("column")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("v")).as("ndv"),
+          round(min(col("v")), 4).as("vmin"),
+          round(max(col("v")), 4).as("vmax"),
+          round(avg(col("v")), 4).as("vmean"))
+    }),
+
     // Ordered string aggregation (listagg): deterministic via numeric
     // sort before rendering; distinct collapses map-side.
     "agg_string_agg" -> ((spark, dir) => {
@@ -392,6 +420,22 @@ object AggWindowQueries {
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS days
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(value), 4) AS bucket_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "profile_columns" ->
+      """WITH u AS (
+        |  SELECT measure AS "column", v FROM (
+        |    SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
+        |  ) UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |)
+        |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
+        |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
+        |  round(avg(v), 4) AS vmean
+        |FROM u GROUP BY 1""".stripMargin,
 
     "agg_string_agg" ->
       """SELECT event_type,
