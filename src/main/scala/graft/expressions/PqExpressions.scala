@@ -20,10 +20,14 @@ import org.apache.spark.sql.types._
   */
 object PqKernels {
 
-  /** argmin-L2 code per subspace → m int codes. */
+  /** argmin-L2 code per subspace → m int codes; null for truncated
+    * embeddings (same contract as VectorKernels.dot — corrupt rows
+    * fall out of rankings instead of crashing the stage).
+    */
   def encode(emb: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val subDim = books(0)(0).length
+    if (emb.numElements() < m * subDim) return null
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -50,11 +54,14 @@ object PqKernels {
     new GenericArrayData(codes)
   }
 
-  /** Flat m×nCodes ADC lookup table: t(s*nCodes + c) = dot(q_s, books(s)(c)). */
+  /** Flat m×nCodes ADC lookup table: t(s*nCodes + c) = dot(q_s, books(s)(c));
+    * null for truncated embeddings (see [[encode]]).
+    */
   def adcTables(emb: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val nCodes = books(0).length
     val subDim = books(0)(0).length
+    if (emb.numElements() < m * subDim) return null
     val out = new Array[Double](m * nCodes)
     var s = 0
     while (s < m) {
@@ -113,13 +120,16 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
       s"pq_encode requires array<float>, got $other")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     PqKernels.encode(input.asInstanceOf[ArrayData], books)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "double[][][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.PqKernels.encode($c, $ref);")
+      s"""${ev.value} = graft.expressions.PqKernels.encode($c, $ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -140,13 +150,16 @@ case class PqAdcTables(child: Expression, books: Array[Array[Array[Double]]])
       s"pq_adc_tables requires array<float>, got $other")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     PqKernels.adcTables(input.asInstanceOf[ArrayData], books)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "double[][][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.PqKernels.adcTables($c, $ref);")
+      s"""${ev.value} = graft.expressions.PqKernels.adcTables($c, $ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcTables =

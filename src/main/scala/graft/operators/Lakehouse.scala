@@ -75,9 +75,15 @@ object Lakehouse {
               targetBytes: Long): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive listing: partitioned layouts keep data files under
+    // partition subdirectories (note the rewrite itself flattens the
+    // layout — compact partitioned tables per-partition instead)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     spark.read.parquet(dir).repartition(nFiles)

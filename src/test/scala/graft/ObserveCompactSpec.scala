@@ -23,6 +23,21 @@ class ObserveCompactSpec extends SparkSpec {
     assert(math.abs(m.distinctApprox - exact) <= math.max(2L, exact / 10))
   }
 
+  test("compaction sizes partitioned layouts from the recursive file listing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), (col("event_id") % 4).as("p"))
+      .repartition(16)
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).count()
+    // data files live under p=*/ subdirs; a top-level-only listing
+    // would see 0 bytes and collapse everything to 1 file
+    val n = Lakehouse.compact(spark, dir, targetBytes = 1L)
+    assert(n > 1, s"recursive sizing failed: $n files")
+    assert(spark.read.parquet(dir).count() === beforeRows)
+  }
+
   test("compaction bin-packs small files to the byte target") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate an incremental writer: 64 tiny files

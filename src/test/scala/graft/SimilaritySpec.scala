@@ -70,6 +70,12 @@ class SimilaritySpec extends SparkSpec {
     val bad = enc.where(size(col("codes")) =!= 16 ||
       exists(col("codes"), c => c < 0 || c >= 16)).count()
     assert(bad === 0)
+    // truncated embeddings null out (DotProduct contract) instead of
+    // crashing the generated code
+    val short = Similarity.pqEncode(
+      corpus.withColumn("embedding", slice(col("embedding"), 1, 8)),
+      dim = 64, m = 16, nCodes = 16)
+    assert(short.where(col("codes").isNotNull).count() === 0)
     assert(enc.where(col("recon_nrm") <= 0).isEmpty)
     // encoding is a zero-shuffle projection
     assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
