@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Knuth's 2^32/phi multiplier. ids up to ~3.4e9 cannot overflow a
-    * signed 64-bit product; beyond that wrap-around stays deterministic
-    * in Spark (non-ANSI) but stops matching engines that trap overflow
-    * — use [[xxBucket]] there.
+    * signed 64-bit product; beyond that the multiply THROWS under
+    * Spark 4's default ANSI mode (and engines differ on wrap
+    * semantics anyway) — use [[xxBucket]] for wider id domains.
     */
   val KnuthMultiplier = 2654435761L
 
