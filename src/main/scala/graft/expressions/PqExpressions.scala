@@ -24,10 +24,21 @@ object PqKernels {
     * embeddings (same contract as VectorKernels.dot — corrupt rows
     * fall out of rankings instead of crashing the stage).
     */
+  /** True if any of the first n elements is null — the parquet schema
+    * allows containsNull, and getFloat over a null slot reads garbage;
+    * such rows take the same null-out path as truncated embeddings.
+    */
+  private def hasNullElement(a: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   def encode(emb: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val subDim = books(0)(0).length
     if (emb.numElements() < m * subDim) return null
+    if (hasNullElement(emb, m * subDim)) return null
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -62,6 +73,7 @@ object PqKernels {
     val nCodes = books(0).length
     val subDim = books(0)(0).length
     if (emb.numElements() < m * subDim) return null
+    if (hasNullElement(emb, m * subDim)) return null
     val out = new Array[Double](m * nCodes)
     var s = 0
     while (s < m) {

@@ -68,8 +68,11 @@ object Lakehouse {
     * problem — streaming/incremental writers leave thousands of KB
     * files whose open/footer cost dominates scans; bin-packing by
     * TOTAL BYTES (not file count) keeps output files near the target
-    * regardless of input skew. Rewrite is atomic-by-swap: write to a
-    * sibling tmp dir, then move into place.
+    * regardless of input skew. The swap renames the ORIGINAL aside
+    * first, then the rewrite into place, then deletes the backup — a
+    * crash mid-swap leaves either the old or the new table readable
+    * (never neither), and a failed rename restores the original and
+    * throws instead of silently reporting success.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetBytes: Long): Int = {
@@ -86,10 +89,17 @@ object Lakehouse {
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    val backup = new org.apache.hadoop.fs.Path(dir + "__old")
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    fs.delete(backup, true) // stale backup from a previous crash
+    if (!fs.rename(path, backup))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(backup, path) // restore; original was never deleted
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(backup, true)
     nFiles
   }
 }

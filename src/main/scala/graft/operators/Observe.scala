@@ -26,8 +26,10 @@ object Observe {
                          key: String, value: String): DataFrame =
     df.observe(obs,
       count(lit(1)).as("rows"),
-      sum(when(col(key).isNull, 1L).otherwise(0L)).as("null_keys"),
-      sum(when(col(value) < 0, 1L).otherwise(0L)).as("neg_values"),
+      // coalesce: sum over ZERO rows is null, and decode's Long cast
+      // would NPE on the very path meant to report ingest health
+      coalesce(sum(when(col(key).isNull, 1L).otherwise(0L)), lit(0L)).as("null_keys"),
+      coalesce(sum(when(col(value) < 0, 1L).otherwise(0L)), lit(0L)).as("neg_values"),
       approx_count_distinct(col(key)).as("distinct_approx"))
 
   /** Decode the metric map produced by [[withQualityMetrics]]. */

@@ -341,8 +341,12 @@ object Similarity {
         sort_array(collect_list(struct(col("rank"), col("score")))).as("rs"))
       .select(col("query_id"),
         (col("max_rank") === col("n") && col("n_ranks") === col("n") &&
-          expr("forall(transform(sequence(1, size(rs) - 1)," +
-            " i -> rs[i].score <= rs[i - 1].score), x -> x)")).as("shape_ok"))
+          // single-row guard: sequence(1, 0) is the DESCENDING [1, 0]
+          // and rs[1] throws under ANSI — one approx row is trivially
+          // non-increasing, so short-circuit it.
+          when(size(col("rs")) <= 1, lit(true)).otherwise(
+            expr("forall(transform(sequence(1, size(rs) - 1)," +
+              " i -> rs[i].score <= rs[i - 1].score), x -> x)"))).as("shape_ok"))
     perQuery.join(shape, Seq("query_id"), "left")
       .agg(
         count(lit(1)).as("n_queries"),

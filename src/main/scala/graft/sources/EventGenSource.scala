@@ -79,13 +79,20 @@ class EventGenScanBuilder(rows: Long, partitions: Int)
   private var required = EventGenSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Literals arrive however the planner boxed them (Long, Integer,
+    // Short…) — match any Number so an int-typed predicate still pushes
+    // down instead of silently falling through to residual.
     val (accepted, residual) = filters.partition {
-      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1); true
-      case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
-      case LessThan("event_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("event_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("event_id", v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue() + 1); true
+      case GreaterThanOrEqual("event_id", v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue()); true
+      case LessThan("event_id", v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue()); true
+      case LessThanOrEqual("event_id", v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue() + 1); true
+      case EqualTo("event_id", v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1); true
       case _ => false
     }
     pushed = accepted

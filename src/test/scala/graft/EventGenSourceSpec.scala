@@ -33,6 +33,27 @@ class EventGenSourceSpec extends SparkSpec {
     assert(df.count() === expected)
   }
 
+  test("int-typed literals push down too (any Number boxing)") {
+    // lit(500) is an Integer — the filter must still narrow the range
+    // rather than silently fall through to residual
+    val df = gen(100000).where(col("event_id") >= lit(500) &&
+      col("event_id") < lit(600))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[500,600)"), s"int literal not pushed:\n$plan")
+    assert(df.count() === 100)
+  }
+
+  test("scan builder accepts Integer-boxed range literals directly") {
+    import org.apache.spark.sql.sources
+    val b = new graft.sources.EventGenScanBuilder(100000, 4)
+    val residual = b.pushFilters(Array[sources.Filter](
+      sources.GreaterThanOrEqual("event_id", Integer.valueOf(500)),
+      sources.LessThan("event_id", java.lang.Short.valueOf(600.toShort)),
+      sources.EqualTo("event_type", "click")))
+    assert(b.pushedFilters().length === 2, "numeric boxings must be accepted")
+    assert(residual.toSeq === Seq(sources.EqualTo("event_type", "click")))
+  }
+
   test("column pruning reaches the reader") {
     val df = gen(1000).select("event_id", "value")
     val plan = df.queryExecution.executedPlan.toString

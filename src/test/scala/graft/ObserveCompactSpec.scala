@@ -23,6 +23,15 @@ class ObserveCompactSpec extends SparkSpec {
     assert(math.abs(m.distinctApprox - exact) <= math.max(2L, exact / 10))
   }
 
+  test("decode survives a zero-row pass (null sums)") {
+    val obs = Observation("ingest_empty")
+    val df = Observe.withQualityMetrics(
+      Tables.events(spark, sfDir).where(lit(false)), obs, "user_id", "value")
+    assert(df.count() === 0)
+    val m = Observe.decode(obs.get)
+    assert(m.rows === 0 && m.nullKeys === 0 && m.negValues === 0)
+  }
+
   test("compaction sizes partitioned layouts from the recursive file listing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"

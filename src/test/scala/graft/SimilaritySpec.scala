@@ -81,6 +81,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("recallHarness tolerates a single-row approx result (ANSI array index)") {
+    import spark.implicits._
+    val one = Seq((1L, 1L, 2L, 0.9)).toDF("query_id", "rank", "neighbor_id", "score")
+    val brute = Seq((1L, 1L, 2L, 0.9), (1L, 2L, 3L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "score")
+    // sequence(1, 0) would be [1, 0] and rs[1] throws under ANSI mode
+    val r = Similarity.recallHarness(one, brute, minAvgRecall = 0.4).collect()(0)
+    assert(r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("ranks_ok"))
+  }
+
+  test("pq kernels null out embeddings containing null elements") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sfDir)
+    val poisoned = corpus.withColumn("embedding",
+      when(col("vec_id") % 7 === 0,
+        concat(slice(col("embedding"), 1, 63), array(lit(null).cast("float"))))
+        .otherwise(col("embedding")))
+    val enc = Similarity.pqEncode(poisoned, dim = 64, m = 16, nCodes = 16)
+      .join(poisoned.select(col("vec_id"), col("embedding").as("e")), "vec_id")
+    // poisoned rows null out (documented corrupt-row contract), clean rows encode
+    assert(enc.where(col("vec_id") % 7 === 0 && col("codes").isNotNull).isEmpty)
+    assert(enc.where(col("vec_id") % 7 =!= 0 && col("codes").isNull).isEmpty)
+  }
+
   test("IVF cells written bucketed-by-cell prune partitions for probes") {
     // the at-rest layout SCALE.md describes: corpus partitioned by
     // coarse cell, so a probe reads only its nProbe directories
