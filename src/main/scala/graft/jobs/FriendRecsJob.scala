@@ -2,8 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Geo
-import graft.operators.GeoOps
+import graft.operators.{GeoBlocking, GeoOps}
 import graft.queries.Fixtures
 
 /** Datamart 3 — friend recommendations (reference
@@ -11,23 +10,31 @@ import graft.queries.Fixtures
   *
   *   1. real contacts: bidirectional edge expansion of (user, partner)
   *      pairs via explode(array(...)) (F10), distinct;
-  *   2. candidate pairs: self equi join of per-channel subscribers
-  *      (J5) with left != right;
+  *   2. candidate pairs: geo-grid-blocked proximity pairs (≤ the
+  *      distance rule) filtered by channel overlap — see below;
   *   3. minus contacts: left anti join (J6);
   *   4. per-user latest-event coordinates (we use LATEST — the
   *      reference's asc/first "last message" quirk is documented in
-  *      SURVEY §7.4.3 and not reproduced), joined to both sides (J7);
-  *   5. haversine proximity filter (the 1 km rule scaled to the
-  *      fixture's synthetic coordinate spread);
-  *   6. decorate with zone + local time (J8, F4).
+  *      SURVEY §7.4.3 and not reproduced), carried on the same
+  *      per-user aggregate (J7);
+  *   5. decorate with zone + local time (J8, F4).
   *
   * "Messages" are click events whose partner id comes from the props
-  * JSON payload; "channels" are signup/view event types. Scale notes:
-  * the per-channel self join is the quadratic hot spot (SURVEY §7.3) —
-  * its both-sides input is deduped first, and at 100 TB channel-level
-  * salting or LSH blocking replaces it (see graft.operators.Dedup).
-  * The anti join and coordinate joins shuffle on the same (left_user)
-  * key so AQE can reuse the exchange.
+  * JSON payload; "channels" are signup/view event types.
+  *
+  * Scale note — candidate generation: the reference self-joins
+  * per-channel subscribers (quadratic in users,
+  * collector.py:1000-1008) and filters distance afterwards
+  * (collector.py:1081-1091). All the predicates are conjunctive, so
+  * the engine evaluates them in the opposite order: the ≤ MaxDistKm
+  * rule prunes pair GENERATION via geo-grid blocking
+  * ([[graft.operators.GeoBlocking]], an equi-join on grid cells that
+  * is linear for bounded point densities and oracle-checked by
+  * geo_blocked_pairs), and the channel-overlap predicate then filters
+  * blocked pairs. No step broadcasts an unbounded per-user table or
+  * evaluates O(users²) pair predicates; the flag/coordinate
+  * attachments are plain equi-joins the planner broadcasts only while
+  * the per-user aggregate actually fits.
   */
 object FriendRecsJob {
 
@@ -54,18 +61,9 @@ object FriendRecsJob {
         greatest(col("user_id"), col("partner")).as("hi"))
       .distinct()
 
-    // 2. Candidate pairs: users sharing a "channel" (signup/view type).
-    // Channel cardinality is tiny here, so the reference's per-channel
-    // equi join (J5) degenerates: it emits a quadratic intermediate
-    // that the following distinct must shuffle. Instead aggregate one
-    // boolean per channel per user (map-side combined), then a
-    // broadcast theta self-join on lo < hi keeping overlapping flags —
-    // each undirected pair is emitted exactly once, no distinct pass.
-    // With many selective channels the equi-join form wins instead;
-    // j5_self_join_pairs keeps the general set-intersect variant.
     // One per-user aggregation carries BOTH the channel flags and the
-    // latest-event coordinates (step 4) — a single scan+tag+shuffle
-    // where separate subFlags/lastCoords passes would cost two.
+    // latest-event coordinates — a single scan+tag+shuffle where
+    // separate subFlags/lastCoords passes would cost two.
     val tagged = GeoOps.tagNearestCity(geo, UsersDemographicJob.cityObjs,
       col("lat"), col("lon"))
     val perUser = tagged
@@ -77,64 +75,59 @@ object FriendRecsJob {
           struct(col("lat"), col("lon"), col("city_id"), col("timezone"),
             col("ts").as("last_ts")),
           struct(col("ts"), col("event_id"))).as("b"))
-      // One row per user (dimension-sized) and referenced five times
-      // downstream (both theta-join sides, both coordinate
-      // attachments, the decoration) — materialize once instead of
-      // re-running scan+tag+agg per reference. localCheckpoint over
-      // persist: no cache-registry entry for callers to leak.
+      // One row per user and referenced four times downstream (the
+      // blocking input, both flag attachments, the decoration) —
+      // materialize once instead of re-running scan+tag+agg per
+      // reference. localCheckpoint over persist: no cache-registry
+      // entry for callers to leak.
       .localCheckpoint(true)
 
-    // Users with neither channel flag can never satisfy the overlap
-    // predicate — the theta join below filters them naturally.
-    val pairs = perUser
-      .select(col("user_id").as("lo"), col("has_signup").as("s_lo"), col("has_view").as("v_lo"))
-      .join(broadcast(perUser.select(
-        col("user_id").as("hi"), col("has_signup").as("s_hi"), col("has_view").as("v_hi"))),
-        col("lo") < col("hi"))
-      .where((col("s_lo") && col("s_hi")) || (col("v_lo") && col("v_hi")))
-      .select("lo", "hi")
-
-    // 3. Remove pairs that already messaged each other. Contacts are
-    // bounded by the message count (≪ pairs): broadcast the anti side
-    // so the pair table never shuffles here.
-    val fresh = pairs.join(broadcast(contacts), Seq("lo", "hi"), "left_anti")
-
-    // 4. Latest-event coordinates + act city per user — from the same
-    // perUser aggregation as the channel flags above (max_by, not a
-    // row_number window: only map-side-combined rows move).
     val lastCoords = perUser
       .select(col("user_id"), col("b.lat"), col("b.lon"),
         col("b.city_id"), col("b.timezone"), col("b.last_ts").as("last_ts"))
 
-    // 5. Proximity filter on UNDIRECTED pairs (haversine is symmetric,
-    // including bit-exactly after rounding), so the distance is
-    // computed once per pair — half the coordinate joins and distance
-    // evaluations of a filter-after-expansion plan. lastCoords is one
-    // row per user (dimension-sized): broadcast, pairs stream map-side.
-    val nearby = fresh
-      .join(broadcast(lastCoords.select(
-        col("user_id").as("lo"), col("lat").as("lo_lat"), col("lon").as("lo_lon"))), Seq("lo"))
-      .join(broadcast(lastCoords.select(
-        col("user_id").as("hi"), col("lat").as("hi_lat"), col("lon").as("hi_lon"))), Seq("hi"))
-      // UNROUNDED distance filter, matching the oracle's unrounded
-      // predicate: round() is BigDecimal-backed and this runs once per
-      // candidate pair. Cross-engine agreement is safe — the nearest
-      // pair distance to the 300 km boundary over ALL grid coordinate
-      // pairs is 1.7e-3 km away, dwarfing libm ulp differences.
-      .where(Geo.haversineKm(
-        col("lo_lat"), col("lo_lon"), col("hi_lat"), col("hi_lon")) <= MaxDistKm)
+    // 2a. Proximity pairs by grid blocking: candidates come from an
+    // equi-join on grid cells sized to MaxDistKm — Σ|cell|·9 pair
+    // evaluations instead of |users|². The exact (UNROUNDED, matching
+    // the oracle's predicate) haversine filter runs inside
+    // pairsWithinKm on candidates only; each undirected pair surfaces
+    // exactly once as (lo < hi). minCosLat 0.71 covers the fixture's
+    // |lat| ≤ 44° domain. Cross-engine boundary agreement is safe —
+    // the nearest pair distance to the 300 km cut over ALL grid
+    // coordinate pairs is 1.7e-3 km away, dwarfing libm ulps.
+    val near = GeoBlocking.pairsWithinKm(
+      lastCoords.select(col("user_id"), col("lat"), col("lon")),
+      "user_id", "lat", "lon", maxKm = MaxDistKm, minCosLat = 0.71)
+      .select(col("id_a").as("lo"), col("id_b").as("hi"))
+
+    // 2b. Channel-overlap filter on blocked pairs. Flags attach via
+    // plain equi-joins: user-cardinality inputs must not be FORCED to
+    // broadcast — the planner broadcasts while the per-user aggregate
+    // fits the threshold and shuffle-joins beyond it.
+    val pairs = near
+      .join(perUser.select(col("user_id").as("lo"),
+        col("has_signup").as("s_lo"), col("has_view").as("v_lo")), Seq("lo"))
+      .join(perUser.select(col("user_id").as("hi"),
+        col("has_signup").as("s_hi"), col("has_view").as("v_hi")), Seq("hi"))
+      .where((col("s_lo") && col("s_hi")) || (col("v_lo") && col("v_hi")))
       .select("lo", "hi")
 
-    // 6. Expand survivors to both directions (the datamart recommends
-    // symmetrically) and decorate from the left user's latest event.
-    nearby
+    // 3. Remove pairs that already messaged each other (anti join;
+    // contacts are message-bounded and the planner broadcasts them
+    // while they fit).
+    val fresh = pairs.join(contacts, Seq("lo", "hi"), "left_anti")
+
+    // 4./5. Expand survivors to both directions (the datamart
+    // recommends symmetrically) and decorate from the left user's
+    // latest event.
+    fresh
       .select(explode(array(
         struct(col("lo").as("left_user"), col("hi").as("right_user")),
         struct(col("hi").as("left_user"), col("lo").as("right_user")))).as("e"))
       .select(col("e.left_user"), col("e.right_user"))
-      .join(broadcast(lastCoords.select(
+      .join(lastCoords.select(
         col("user_id").as("left_user"), col("city_id").as("zone_id"),
-        col("timezone"), col("last_ts"))), Seq("left_user"))
+        col("timezone"), col("last_ts")), Seq("left_user"))
       .select(
         col("left_user").as("user_id"),
         col("right_user").as("rec_to_add_user_id"),

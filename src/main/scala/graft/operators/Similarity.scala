@@ -354,6 +354,61 @@ object Similarity {
         coalesce(bool_and(col("shape_ok")), lit(true)).as("ranks_ok"))
   }
 
+  /** EXACT cosine-threshold self-pairs without a cartesian product.
+    *
+    * Angular banding: for any reference direction u the spherical
+    * triangle inequality gives |angle(a,u) − angle(b,u)| ≤ angle(a,b),
+    * so a qualifying pair (cos ≥ t ⟺ angle ≤ acos t) always lands in
+    * the same or an adjacent band when bands are acos(t)-wide slices
+    * of the angle to u. Two reference axes make a 2-D grid; the left
+    * side explodes to its 3×3 neighborhood, the right side keeps its
+    * home cell, and candidates come from a plain shuffle equi-join on
+    * the cell key — partition-parallel, spill-safe, AQE-planned.
+    *
+    * Unlike LSH banding this is COMPLETE for any data distribution
+    * (LSH at the low thresholds near-dup queries use has provably
+    * unusable collision gaps — see DedupSpec's recall notes), so the
+    * result is bit-identical to the all-pairs form and shares its
+    * oracle. Pruning power scales with threshold height and data
+    * clusteredness: uniform-random fixtures near the lowest usable
+    * threshold degrade toward all-pairs COMPUTE (the qualifying-pair
+    * output is itself Θ(ρn²) there — no exact method can beat its own
+    * output size), but the PLAN never contains a CartesianProduct or
+    * BroadcastNestedLoopJoin, and real near-dup corpora (clustered,
+    * high t) prune hard.
+    *
+    * The band width uses a 1e-3 cos margin so pairs that only qualify
+    * after round(cos, 4) still fall inside the guaranteed neighborhood.
+    */
+  def cosinePairsAbove(points: DataFrame, idCol: String, embCol: String,
+                       minCos: Double): DataFrame = {
+    require(minCos > -1.0 && minCos < 1.0)
+    val theta = math.acos(math.max(-1.0, minCos - 1e-3))
+    val nrm = norm(col(embCol))
+    def band(axis: Int): Column = floor(acos(
+      least(lit(1.0), greatest(lit(-1.0),
+        element_at(col(embCol), axis + 1) / nrm))) / theta).cast("long")
+    val base = points.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nrm.as("nrm"), band(0).as("b0"), band(1).as("b1"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val l = base.select(col("id").as("vec_a"), col("emb").as("e_a"), col("nrm").as("n_a"),
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("b0") + dx).as("b0"), (col("b1") + dy).as("b1"))
+      }: _*)).as("cell"))
+      .select(col("vec_a"), col("e_a"), col("n_a"),
+        col("cell.b0").as("b0"), col("cell.b1").as("b1"))
+    val r = base.select(col("b0"), col("b1"),
+      col("id").as("vec_b"), col("emb").as("e_b"), col("nrm").as("n_b"))
+    // b's single home cell appears exactly once in a's 3×3 neighborhood
+    // and vec_a < vec_b kills the mirrored role — no dedup pass needed.
+    l.join(r, Seq("b0", "b1"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
+      .where(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k within matching signature
     * buckets only. Trades recall for a bucket-local join — the scale
     * path when queries are too many to broadcast-score the corpus.

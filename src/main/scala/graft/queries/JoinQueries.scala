@@ -87,25 +87,18 @@ object JoinQueries {
 
     // J5: self join generating user pairs sharing event_types
     // (reference's channel co-subscriber pairs, collector.py:1000-1008).
-    // The naive per-type equi join emits a quadratic intermediate that
-    // the count aggregation must then shuffle (~5× the output size).
-    // Instead: one sorted type-set per user (tiny map-side-combined
-    // agg), broadcast theta self-join on user order, and the shared
-    // count is a native merge-intersect per pair — the post-agg plan
-    // never shuffles. When types are many and selective, the equi-join
-    // + count form wins instead (the intermediate stays near-linear);
-    // Skew.saltedJoin covers the hot-key middle ground.
+    // Strategy is CHOSEN BY CARDINALITY (operators/PairStrategy): a
+    // broadcast set-intersect theta join while the per-user table fits
+    // (dense keys — the quadratic output is intrinsic, so avoiding the
+    // post-agg shuffle wins), flipping to the per-key equi-join + count
+    // once users outgrow the broadcast bound. PairStrategySpec pins
+    // that both regimes produce this exact relation.
     "j5_self_join_pairs" -> ((spark, dir) => {
-      val typeSets = Tables.events(spark, dir)
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_set(xxhash64(col("event_type")))).as("types"))
-      val l = typeSets.select(col("user_id").as("left_user"), col("types").as("t_l"))
-      val r = typeSets.select(col("user_id").as("right_user"), col("types").as("t_r"))
-      l.join(broadcast(r), col("left_user") < col("right_user"))
-        .withColumn("shared_types",
-          graft.expressions.GraftFunctions.sortedIntersectCount(col("t_l"), col("t_r")).cast("long"))
-        .where(col("shared_types") >= 1)
-        .select(col("left_user"), col("right_user"), col("shared_types"))
+      val ue = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      graft.operators.PairStrategy.sharedKeyPairs(ue, "user_id", "event_type")
+        .select(col("left").as("left_user"), col("right").as("right_user"),
+          col("shared").as("shared_types"))
     }),
 
     // J6: left anti join — customers with no order above 400k.

@@ -68,21 +68,14 @@ object VectorQueries {
 
     // Cross-modal: do embedding near-dups agree with text near-dups?
     // Joins the similarity and text-dedup families over the shared id
-    // space; emits both signals per candidate pair.
+    // space; emits both signals per candidate pair. Pair generation is
+    // the exact angular-band equi-join (no cartesian in the plan; same
+    // result as all-pairs by the triangle-inequality completeness
+    // argument on Similarity.cosinePairsAbove).
     "xmodal_dup_agreement" -> ((spark, dir) => {
       import graft.expressions.GraftFunctions
-      // Norms are computed once per row BEFORE the quadratic join —
-      // one native dot per pair instead of three interpreted ones.
       val sample = Tables.embeddings(spark, dir).where(col("vec_id") % 5 === 0)
-        .withColumn("nrm", Similarity.norm(col("embedding")))
-      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
-      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
-      val embPairs = l.crossJoin(r)
-        .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(
-          Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
-        .where(col("cos") >= 0.3)
-        .select("vec_a", "vec_b", "cos")
+      val embPairs = Similarity.cosinePairsAbove(sample, "vec_id", "embedding", 0.3)
       val docs = Tables.documents(spark, dir).select(
         col("doc_id"),
         array_distinct(GraftFunctions.hashedShingles(col("text"), 2)).as("sh"))
@@ -93,19 +86,13 @@ object VectorQueries {
           round(graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("text_jaccard"))
     }),
 
-    // Embedding-cosine near-dup pairs over a 1-in-5 sample.
+    // Embedding-cosine near-dup pairs over a 1-in-5 sample — exact
+    // angular-band equi-join, not a crossJoin (same oracle as the
+    // all-pairs form; see Similarity.cosinePairsAbove for why this is
+    // complete where LSH banding would drop borderline pairs).
     "dedup_embedding_cosine" -> ((spark, dir) => {
-      val sample = Tables.embeddings(spark, dir)
-        .where(col("vec_id") % 5 === 0)
-        .withColumn("nrm", Similarity.norm(col("embedding")))
-      val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
-      val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
-      l.crossJoin(r)
-        .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(
-          Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
-        .where(col("cos") >= 0.35)
-        .select(col("vec_a"), col("vec_b"), col("cos"))
+      val sample = Tables.embeddings(spark, dir).where(col("vec_id") % 5 === 0)
+      Similarity.cosinePairsAbove(sample, "vec_id", "embedding", 0.35)
     }),
 
     // Feature standardization: per-dimension z-score stats over the

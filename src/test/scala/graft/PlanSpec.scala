@@ -54,8 +54,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("friend-recs datamart joins are all broadcast — no sort-merge join") {
+  test("cosine pair generation is a banded equi-join — no cartesian product") {
+    val p = plan(graft.queries.VectorQueries.queries("dedup_embedding_cosine")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    val px = plan(graft.queries.VectorQueries.queries("xmodal_dup_agreement")(spark, sfDir))
+    assert(!px.contains("CartesianProduct") && !px.contains("BroadcastNestedLoopJoin"),
+      px.take(1500))
+  }
+
+  test("friend-recs candidate generation is geo-blocked — no theta join") {
     val p = plan(graft.jobs.FriendRecsJob.run(spark, sfDir))
+    // pair generation must be the grid-cell equi-join, never an
+    // unbounded broadcast theta join or cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
     assert(count(p, "Exchange hashpartitioning") <= 6, p.take(1500))
   }

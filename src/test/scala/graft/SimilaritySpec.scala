@@ -81,6 +81,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("angular-banded cosine pairs equal the all-pairs form (completeness)") {
+    val sample = Tables.embeddings(spark, sfDir).where(col("vec_id") % 3 === 0)
+    // 0.22 is BELOW any registered threshold: more borderline pairs than
+    // any query sees, so a banding gap would surface here first
+    val banded = Similarity.cosinePairsAbove(sample, "vec_id", "embedding", 0.22)
+    val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      Similarity.norm(col("embedding")).as("n_a"))
+    val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      Similarity.norm(col("embedding")).as("n_b"))
+    val allPairs = l.crossJoin(r).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
+      .where(col("cos") >= 0.22)
+      .select("vec_a", "vec_b", "cos")
+    assert(banded.count() > 0)
+    assert(banded.exceptAll(allPairs).isEmpty && allPairs.exceptAll(banded).isEmpty)
+  }
+
   test("recallHarness tolerates a single-row approx result (ANSI array index)") {
     import spark.implicits._
     val one = Seq((1L, 1L, 2L, 0.9)).toDF("query_id", "rank", "neighbor_id", "score")
