@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,13 +11,17 @@ import org.apache.spark.sql.functions._
   * (decode → feature-extract → resize / frame-sample) runs batched per
   * partition via the typed Dataset `mapPartitions` — the Scala analog
   * of a Pandas-batch UDF: one iterator per partition, so a real
-  * decoder could amortize codec/model setup across the batch.
+  * decoder amortizes codec/model setup across the batch.
   *
-  * The decode step itself is STUBBED (media codecs are not available
-  * in this environment): `decodeStub` produces deterministic fake
-  * "decoded frames" from the raw bytes. Everything around it — the
-  * schema, the binary column, partition batching, and the feature
-  * output shape — is real and oracle-checked.
+  * The container DECODE tier is real: [[decode]] parses RIFF/WAVE and
+  * BMP headers (pure-JVM — the two classic containers simple enough to
+  * parse without codec libraries) into typed media metadata plus the
+  * raw frame body. Payload SYNTHESIS wraps document text in genuine
+  * WAV/BMP containers with doc-id-derived parameters, so the DuckDB
+  * oracle can recompute every decoded field independently — a
+  * hash-match proves the parser round-trips the writer bit-for-bit.
+  * Only the lossy transforms (resize, frame sampling) remain stand-ins
+  * (truncation / byte striding), clearly named `*Stub`.
   */
 object Multimodal {
 
@@ -22,65 +29,163 @@ object Multimodal {
   final case class Asset(asset_id: Long, media_type: String,
                          payload: Array[Byte], declared_len: Long)
 
-  /** Per-asset extracted features (fixed-width, ANN-joinable). */
+  /** Per-asset decoded features (fixed-width, ANN-joinable). Container
+    * metadata is null for containers the decoder doesn't recognize.
+    */
   final case class AssetFeatures(asset_id: Long, media_type: String,
+                                 container: String,
+                                 sample_rate: Option[Long], channels: Option[Long],
+                                 width: Option[Long], height: Option[Long],
                                  n_bytes: Long, first_byte: Int,
                                  checksum: Long)
 
-  /** Build an asset table from `documents` — text bytes stand in for
-    * media payloads; media_type cycles deterministically.
-    */
-  def assetsFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("asset_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("n_chars").as("declared_len"))
+  /** A decoded payload: parsed container metadata + the frame body. */
+  final case class Decoded(container: String,
+                           sampleRate: Option[Long], channels: Option[Long],
+                           width: Option[Long], height: Option[Long],
+                           frame: Array[Byte])
 
-  /** STUB decoder: a real implementation would hand `bytes` to an
-    * image/audio codec here. Deterministic stand-in: the identity
-    * "frame" of the payload bytes.
+  // ---- deterministic synthesis parameters (mirrored in the DuckDB
+  // oracles — each decoded field must be recomputable from doc_id) ----
+  def mediaTypeOf(id: Long): String =
+    Seq("image", "audio", "video")((id % 3).toInt)
+  def sampleRateOf(id: Long): Int = 8000 + (id % 4).toInt * 8000
+  def channelsOf(id: Long): Int = 1 + (id % 2).toInt
+  def widthOf(id: Long): Int = 16 + (id % 32).toInt
+  def heightOf(id: Long): Int = 16 + (id % 17).toInt
+
+  /** Canonical 44-byte PCM RIFF/WAVE container around `data`. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               data: Array[Byte]): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val bb = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + data.length)
+      .put("WAVE".getBytes(US_ASCII))
+      .put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * bitsPerSample / 8).toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes(US_ASCII)).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  /** BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) around `data`. The
+    * pixel array is the body verbatim (no row padding — the fixture
+    * exercises header parsing, not rasterization).
     */
-  private def decodeStub(bytes: Array[Byte]): Array[Byte] = bytes
+  def bmpBytes(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    val off = 54
+    val bb = ByteBuffer.allocate(off + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(off + data.length)
+      .putShort(0).putShort(0).putInt(off)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(data.length).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+      .put(data)
+    bb.array()
+  }
+
+  /** Real container parse: RIFF/WAVE and BMP headers → typed metadata
+    * + frame body; anything else passes through as an opaque frame.
+    * Malformed headers (truncated, bad lengths) fall back to raw
+    * rather than throwing — corrupt assets must not kill the stage.
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      val bb = le
+      val channels = bb.getShort(22).toLong
+      val sampleRate = bb.getInt(24).toLong
+      val dataLen = bb.getInt(40)
+      if (dataLen < 0 || 44L + dataLen > bytes.length) // long math: a hostile length must not overflow the guard
+        Decoded("raw", None, None, None, None, bytes)
+      else
+        Decoded("wav", Some(sampleRate), Some(channels), None, None,
+          java.util.Arrays.copyOfRange(bytes, 44, 44 + dataLen))
+    } else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val bb = le
+      val off = bb.getInt(10)
+      val width = bb.getInt(18).toLong
+      val height = bb.getInt(22).toLong
+      if (off < 54 || off > bytes.length)
+        Decoded("raw", None, None, None, None, bytes)
+      else
+        Decoded("bmp", None, None, Some(width), Some(height),
+          java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+    } else Decoded("raw", None, None, None, None, bytes)
+  }
+
+  /** Build an asset table from `documents` — text bytes become the
+    * media body, wrapped in a REAL container per media type (WAV for
+    * audio, BMP for image; video stays an opaque raw payload — no
+    * pure-JVM-parseable container exists for it).
+    */
+  def assetsFromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val body = text.getBytes("UTF-8")
+        val payload = mediaTypeOf(id) match {
+          case "audio" => wavBytes(sampleRateOf(id), channelsOf(id), 16, body)
+          case "image" => bmpBytes(widthOf(id), heightOf(id), body)
+          case _ => body
+        }
+        Asset(id, mediaTypeOf(id), payload, nChars)
+      })
+      .toDF()
+  }
 
   /** Batched per-partition decode + feature extraction. The rolling
-    * checksum is the deterministic stand-in for an embedding model;
-    * it is reproduced in the DuckDB oracle so the whole path is
-    * correctness-gated.
+    * checksum over the decoded frame is the deterministic stand-in for
+    * an embedding model; container metadata comes from the REAL header
+    * parse. Both are reproduced in the DuckDB oracle so the whole path
+    * is correctness-gated.
     */
   def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { batch =>
       // per-partition setup would happen here (codec init, model load)
       batch.map { a =>
-        val frame = decodeStub(a.payload)
+        val d = decode(a.payload)
+        val frame = d.frame
         val checksum = frame.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
         AssetFeatures(
-          a.asset_id, a.media_type, frame.length.toLong,
+          a.asset_id, a.media_type, d.container,
+          d.sampleRate, d.channels, d.width, d.height,
+          frame.length.toLong,
           if (frame.isEmpty) -1 else frame(0) & 0xff,
           checksum)
       }
     }
   }
 
-  /** STUB resize: real impl would decode + scale; stand-in truncates
-    * the payload to `targetBytes` (shape-preserving plumbing).
+  /** STUB resize: decodes, then truncates the FRAME to `targetBytes`
+    * (a real impl would rescale samples/pixels). Output assets carry
+    * the processed frame as an opaque payload.
     */
   def resizeStub(spark: SparkSession, assets: DataFrame, targetBytes: Int): Dataset[Asset] = {
     import spark.implicits._
-    assets.as[Asset].mapPartitions(_.map(a =>
-      a.copy(payload = a.payload.take(targetBytes), declared_len = math.min(a.declared_len, targetBytes.toLong))))
+    assets.as[Asset].mapPartitions(_.map { a =>
+      val frame = decode(a.payload).frame
+      val out = frame.take(targetBytes)
+      a.copy(payload = out, declared_len = math.min(a.declared_len, out.length.toLong))
+    })
   }
 
-  /** STUB frame sampler: every `stride`-th byte stands in for every
-    * n-th video frame.
+  /** STUB frame sampler: decodes, then keeps every `stride`-th byte of
+    * the frame (standing in for every n-th video frame).
     */
   def frameSampleStub(spark: SparkSession, assets: DataFrame, stride: Int): Dataset[Asset] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions(_.map { a =>
-      val sampled = a.payload.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
+      val frame = decode(a.payload).frame
+      val sampled = frame.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
       a.copy(payload = sampled, declared_len = sampled.length.toLong)
     })
   }

@@ -210,11 +210,52 @@ object Similarity {
     * cell at rest (partitionBy("cell")) so probes prune partitions.
     * Norms ride along so later exact scoring costs one dot per pair.
     */
-  def assignCells(corpus: DataFrame, nCells: Int): DataFrame = {
-    val scores = cellScores(sampleCodebook(corpus, nCells)) _
+  def assignCells(corpus: DataFrame, nCells: Int): DataFrame =
+    assignCellsWith(corpus, sampleCodebook(corpus, nCells))
+
+  private def assignCellsWith(corpus: DataFrame,
+                              codebook: Array[(Int, Array[Float], Double)]): DataFrame = {
+    val scores = cellScores(codebook) _
     corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("c_nrm"),
       array_max(scores(col("embedding"))).getField("cell").as("cell"))
+  }
+
+  /** IVF with the corpus BUCKETED AT REST: cell assignments are written
+    * `partitionBy("cell")`, and each probe reads back through partition
+    * pruning — the billion-scale serving layout, end to end. The probe
+    * cell set is collected to literals (bounded by nCells, never by
+    * corpus size) so the pruning is static and visible in the scan's
+    * `PartitionFilters` (PlanSpec-pinned); scoring and the top-k
+    * reduction are identical to [[ivfTopK]].
+    */
+  def ivfBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      restDir: String, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    val codebook = sampleCodebook(corpus, nCells)
+    val scores = cellScores(codebook) _
+    assignCellsWith(corpus, codebook)
+      .write.mode("overwrite").partitionBy("cell").parquet(restDir)
+
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        explode(slice(reverse(array_sort(scores(col("embedding")))), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("sc.cell").as("cell"))
+    val probeCells: Array[Int] = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+
+    val atRest = corpus.sparkSession.read.parquet(restDir)
+      .where(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    atRest.join(probed, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -104,6 +104,31 @@ object AggWindowQueries {
           round(avg(col("v")), 4).as("vmean"))
     }),
 
+    // Profiling, scale form: NDV via HyperLogLog sketch instead of the
+    // exact count_distinct (which shuffles every distinct value). The
+    // exact NDV rides along ONLY to oracle-check the sketch's error
+    // bound (a8 pattern) — at 100 TB you emit the approx column alone
+    // and this is a single map-side-combined pass.
+    "profile_columns_approx" -> ((spark, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Tables.lineitem(spark, dir)
+        .select(cols.map(col): _*)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          cols.map(col).toArray, "column", "v")
+        .groupBy("column")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("v")).as("ndv"),
+          approx_count_distinct(col("v")).as("andv"),
+          round(min(col("v")), 4).as("vmin"),
+          round(max(col("v")), 4).as("vmax"),
+          round(avg(col("v")), 4).as("vmean"))
+        .select(col("column"), col("n_rows"), col("ndv"),
+          (abs(col("andv") - col("ndv")) <=
+            greatest(col("ndv") * 0.1, lit(2.0))).as("ndv_in_tolerance"),
+          col("vmin"), col("vmax"), col("vmean"))
+    }),
+
     // Ordered string aggregation (listagg): deterministic via numeric
     // sort before rendering; distinct collapses map-side.
     "agg_string_agg" -> ((spark, dir) => {
@@ -433,6 +458,18 @@ object AggWindowQueries {
         |  ) UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
         |)
         |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
+        |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
+        |  round(avg(v), 4) AS vmean
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "profile_columns_approx" ->
+      """WITH u AS (
+        |  SELECT measure AS "column", v FROM (
+        |    SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
+        |  ) UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |)
+        |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
+        |  true AS ndv_in_tolerance,
         |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
         |  round(avg(v), 4) AS vmean
         |FROM u GROUP BY 1""".stripMargin,

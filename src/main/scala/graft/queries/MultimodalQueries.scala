@@ -4,11 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.operators.Multimodal
 
-/** Multimodal-column extension query: binary payload → batched
-  * per-partition decode (stubbed) → fixed-width features. The rolling
-  * byte checksum doubles as the oracle-checkable stand-in for a real
-  * feature extractor (documents.text is ASCII, so bytes == chars in
-  * the DuckDB twin).
+/** Multimodal-column extension queries: binary payload → batched
+  * per-partition container decode (REAL RIFF/WAVE + BMP header
+  * parsing) → fixed-width features. Payloads are synthesized as
+  * genuine containers with doc-id-derived parameters, so the DuckDB
+  * twin recomputes every decoded field independently — the hash match
+  * proves the parser round-trips the writer. The rolling byte checksum
+  * over the decoded frame doubles as the oracle-checkable stand-in for
+  * a real feature extractor (documents.text is ASCII, so bytes ==
+  * chars in the DuckDB twin).
   */
 object MultimodalQueries {
 
@@ -20,8 +24,10 @@ object MultimodalQueries {
       Multimodal.extractFeatures(spark, assets).toDF()
     }),
 
-    // Full media pipeline: frame-sample (every 3rd byte) → resize
-    // (truncate to 64) → feature-extract, all batched per partition.
+    // Full media pipeline: decode → frame-sample (every 3rd byte) →
+    // resize (truncate to 64) → feature-extract, all batched per
+    // partition. Processed frames travel as opaque raw payloads, so
+    // the final decode reports container 'raw' with null metadata.
     "mm_resize_sample" -> ((spark, dir) => {
       val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, dir))
       val sampled = Multimodal.frameSampleStub(spark, assets, stride = 3)
@@ -30,10 +36,19 @@ object MultimodalQueries {
     })
   )
 
+  /** media index: doc_id%3 → 0 image (BMP), 1 audio (WAV), 2 video (raw). */
+  private val mediaSql =
+    "(['image', 'audio', 'video'])[(doc_id % 3) + 1]"
+
   val oracles: Map[String, String] = Map(
     "mm_decode_features" ->
-      """SELECT doc_id AS asset_id,
-        |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+      s"""SELECT doc_id AS asset_id,
+        |  $mediaSql AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'raw' END AS container,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 4) * 8000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 + (doc_id % 2) AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id % 32) AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id % 17) AS BIGINT) END AS height,
         |  strlen(text) AS n_bytes,
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  list_reduce(
@@ -44,14 +59,17 @@ object MultimodalQueries {
         |FROM documents""".stripMargin,
 
     "mm_resize_sample" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
         |    substring(array_to_string(
         |      list_transform(range(1, strlen(text) + 1, 3),
         |        i -> substring(text, i::INTEGER, 1)), ''), 1, 64) AS st
         |  FROM documents)
         |SELECT doc_id AS asset_id,
-        |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+        |  $mediaSql AS media_type,
+        |  'raw' AS container,
+        |  CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS channels,
+        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
         |  strlen(st) AS n_bytes,
         |  CASE WHEN strlen(st) = 0 THEN -1 ELSE ascii(substring(st, 1, 1)) END AS first_byte,
         |  list_reduce(

@@ -53,6 +53,21 @@ object VectorQueries {
         minAvgRecall = 0.5)
     }),
 
+    // IVF with the corpus bucketed AT REST (partitionBy cell, probe
+    // via partition pruning) — the serving layout, demonstrated end to
+    // end and held to the same recall harness as the in-memory form.
+    "ann_ivf_bucketed" -> ((spark, dir) => {
+      val corpus = Tables.embeddings(spark, dir)
+      val q = queriesDf(spark, dir)
+      val restDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_rest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      Similarity.recallHarness(
+        Similarity.ivfBucketedTopK(corpus, q, K, restDir),
+        Similarity.bruteForceTopK(corpus, q, K),
+        minAvgRecall = 0.5)
+    }),
+
     // PQ/ADC ANN (per-subspace Lloyd codebooks, native encode/table/
     // score kernels), same harness. Floor 0.15: far above the random
     // baseline k/N yet safe for the blind spots of an 8×-compressed
@@ -174,6 +189,7 @@ object VectorQueries {
     "ann_aggregator_topk" -> topkOracle,
     "ann_lsh_topk" -> lshOracle,
     "ann_ivf_topk" -> recallHarnessOracle,
+    "ann_ivf_bucketed" -> recallHarnessOracle,
     "ann_pq_topk" -> recallHarnessOracle,
 
     "xmodal_dup_agreement" -> {

@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p.take(1200))
   }
 
+  test("ivf bucketed-at-rest probe scan prunes partitions") {
+    val df = graft.queries.VectorQueries.queries("ann_ivf_bucketed")(spark, sfDir)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count() // finalize AQE on THIS instance
+    val p = qe.executedPlan.toString
+    // the at-rest read must carry the probe cells as PARTITION filters
+    // (directory pruning), not data filters
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p.take(1500))
+    assert(pf.get.contains("IN") || pf.get.contains("isnotnull"), pf.get)
+  }
+
   test("sampling, splitting, and z-order keys are zero-shuffle projections") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.Tables.events(spark, sfDir)

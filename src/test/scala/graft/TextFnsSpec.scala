@@ -51,6 +51,25 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("WAV and BMP containers round-trip through the real decoder") {
+    val body = "hello-frame".getBytes("UTF-8")
+    val wav = Multimodal.decode(Multimodal.wavBytes(16000, 2, 16, body))
+    assert(wav.container === "wav")
+    assert(wav.sampleRate === Some(16000L) && wav.channels === Some(2L))
+    assert(wav.frame.toSeq === body.toSeq)
+    val bmp = Multimodal.decode(Multimodal.bmpBytes(33, 21, body))
+    assert(bmp.container === "bmp")
+    assert(bmp.width === Some(33L) && bmp.height === Some(21L))
+    assert(bmp.frame.toSeq === body.toSeq)
+    // malformed headers fall back to raw instead of throwing
+    val truncated = Multimodal.wavBytes(8000, 1, 16, body).take(20)
+    assert(Multimodal.decode(truncated).container === "raw")
+    val badLen = Multimodal.wavBytes(8000, 1, 16, body)
+    java.nio.ByteBuffer.wrap(badLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue) // data chunk claims more than exists
+    assert(Multimodal.decode(badLen).container === "raw")
+  }
+
   test("resize and frame-sample stubs preserve schema and shrink payloads") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghij", "en", "src", 10L))
