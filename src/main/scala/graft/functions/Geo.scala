@@ -30,10 +30,28 @@ object Geo {
     lit(2.0 * EarthRadiusKm) * asin(sqrt(halfAngleTerm(lat1, lon1, lat2, lon2)))
 
   /** Reference-compatible variant (`sin` where haversine needs `asin`,
-    * collector.py:130). Nearly identical for small distances.
+    * collector.py:130). Nearly identical for small distances, and
+    * always ≤ the correct distance (sin x ≤ x ≤ asin x on [0, 1]) —
+    * which is what keeps grid blocking sized for the correct formula
+    * COMPLETE under the compat formula too.
     */
   def referenceDistanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     lit(2.0 * EarthRadiusKm) * sin(sqrt(halfAngleTerm(lat1, lon1, lat2, lon2)))
+
+  /** Session-selected distance kernel: the strict-compat flag
+    * (`spark.graft.refCompat=true`) flips every distance-FILTER site
+    * to the reference's sin formula. Nearest-city argmin sites are
+    * deliberately NOT flipped: both formulas are strictly increasing
+    * in the half-angle term over its [0, 1] domain, so the argmin (and
+    * any distance RANKING) is provably identical under either — only
+    * absolute thresholds can differ.
+    */
+  def distanceKm(refCompat: Boolean): (Column, Column, Column, Column) => Column =
+    if (refCompat) referenceDistanceKm else haversineKm
+
+  /** True when the session requests reference-exact quirks. */
+  def refCompat(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.refCompat").exists(_.toBoolean)
 
   /** The same correct-haversine formula as DuckDB SQL text, for oracle
     * queries. Must stay expression-for-expression identical to

@@ -42,6 +42,13 @@ object FriendRecsJob {
   val ProcessedDttm = "2026-08-12 00:00:00"
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // Strict-compat mode (spark.graft.refCompat=true) reproduces the
+    // reference's two documented quirks exactly: the sin-haversine
+    // distance (collector.py:130) and EARLIEST-message coordinates
+    // (collector.py:1028, 1045-1049 — asc sort + first). Default mode
+    // keeps the engine semantics: correct asin haversine, latest-event
+    // coordinates (SURVEY §7.4.1/§7.4.3). CompatSpec pins both.
+    val refCompat = graft.functions.Geo.refCompat(spark)
     val geo = Fixtures.geoEvents(spark, dir)
 
     // 1. Real contacts from "messages" (click events, partner from props).
@@ -70,11 +77,12 @@ object FriendRecsJob {
       .groupBy(col("user_id"))
       .agg(
         max(col("event_type") === "signup").as("has_signup"),
-        max(col("event_type") === "view").as("has_view"),
-        max_by(
-          struct(col("lat"), col("lon"), col("city_id"), col("timezone"),
-            col("ts").as("last_ts")),
-          struct(col("ts"), col("event_id"))).as("b"))
+        max(col("event_type") === "view").as("has_view"), {
+          val best = struct(col("lat"), col("lon"), col("city_id"),
+            col("timezone"), col("ts").as("last_ts"))
+          val ord = struct(col("ts"), col("event_id"))
+          (if (refCompat) min_by(best, ord) else max_by(best, ord)).as("b")
+        })
       // One row per user and referenced four times downstream (the
       // blocking input, both flag attachments, the decoration) —
       // materialize once instead of re-running scan+tag+agg per
@@ -97,7 +105,8 @@ object FriendRecsJob {
     // coordinate pairs is 1.7e-3 km away, dwarfing libm ulps.
     val near = GeoBlocking.pairsWithinKm(
       lastCoords.select(col("user_id"), col("lat"), col("lon")),
-      "user_id", "lat", "lon", maxKm = MaxDistKm, minCosLat = 0.71)
+      "user_id", "lat", "lon", maxKm = MaxDistKm, minCosLat = 0.71,
+      distanceKm = graft.functions.Geo.distanceKm(refCompat))
       .select(col("id_a").as("lo"), col("id_b").as("hi"))
 
     // 2b. Channel-overlap filter on blocked pairs. Flags attach via

@@ -25,8 +25,15 @@ import graft.functions.Geo
   */
 object GeoBlocking {
 
+  /** `distanceKm` selects the exact-filter kernel (default: correct
+    * haversine). The reference-compat sin variant is also safe here:
+    * it never EXCEEDS the correct distance, so cells sized for the
+    * correct formula still cover every pair it admits.
+    */
   def pairsWithinKm(points: DataFrame, idCol: String, latCol: String, lonCol: String,
-                    maxKm: Double, minCosLat: Double = 0.5): DataFrame = {
+                    maxKm: Double, minCosLat: Double = 0.5,
+                    distanceKm: (Column, Column, Column, Column) => Column =
+                      Geo.haversineKm): DataFrame = {
     require(maxKm > 0 && minCosLat > 0)
     val latCellDeg = maxKm / 111.0
     val lonCellDeg = maxKm / (111.0 * minCosLat)
@@ -54,7 +61,7 @@ object GeoBlocking {
     // which also compare unrounded); only the REPORTED distance rounds.
     l.join(r, Seq("cx", "cy"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("__d", Geo.haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      .withColumn("__d", distanceKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
       .where(col("__d") <= maxKm)
       .select(col("id_a"), col("id_b"), round(col("__d"), 4).as("dist_km"))
     // no dedup needed: b's single home cell appears exactly once in

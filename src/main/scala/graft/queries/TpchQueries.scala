@@ -13,6 +13,33 @@ object TpchQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Synthesized partsupp — the fixture ships no partsupp table, so
+    * the four partsupp-shaped TPC-H queries (q2/q11/q16/q20) derive
+    * one deterministically: supplier assignment by key congruence
+    * (s_suppkey ≡ p_partkey mod 4 → |part|·|supplier|/4 rows) and
+    * arithmetic cost/availability, reproduced verbatim in the DuckDB
+    * oracles so all four stay fully hash-checkable.
+    */
+  private def partsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"))),
+        col("p_partkey") % 4 === col("s_suppkey") % 4)
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("s_suppkey").as("ps_suppkey"),
+        round(lit(0.6) * col("p_retailprice") +
+          (col("p_partkey") * 7 + col("s_suppkey") * 13) % 100, 4).as("ps_supplycost"),
+        (lit(1L) + (col("p_partkey") * 31 + col("s_suppkey") * 17) % 1000).as("ps_availqty"))
+
+  /** DuckDB CTE body mirroring [[partsupp]] bit for bit. */
+  private val psSql: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+      |    round(0.6 * p_retailprice + (p_partkey * 7 + s_suppkey * 13) % 100, 4) AS ps_supplycost,
+      |    1 + (p_partkey * 31 + s_suppkey * 17) % 1000 AS ps_availqty
+      |  FROM part JOIN supplier ON p_partkey % 4 = s_suppkey % 4
+      |)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Q3-shaped: shipping priority — revenue of unshipped orders.
     "tpch_q3_priority" -> ((spark, dir) => {
@@ -386,6 +413,102 @@ object TpchQueries {
           |GROUP BY 1""".stripMargin)
     }),
 
+    // Q2-shaped: min-cost supplier per qualifying part in one region —
+    // the grouped-min + equality-join decorrelation of q2's correlated
+    // scalar subquery. Dimensions broadcast; the min and the probe
+    // share the regional partsupp subtree so AQE reuses the exchange.
+    "tpch_q2_min_cost_supplier" -> ((spark, dir) => {
+      val r = Tables.region(spark, dir).where(col("r_name") === "EUROPE")
+      val n = Tables.nation(spark, dir)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val s = Tables.supplier(spark, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val regional = partsupp(spark, dir)
+        .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = regional.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      val p = Tables.part(spark, dir)
+        .where(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      regional
+        .join(minCost, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost") === col("min_cost"))
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(20)
+    }),
+
+    // Q11-shaped: important stock — per-part inventory value in one
+    // nation vs a scale-free multiple of the mean per-part value (a fixed fraction of the total, as in classic q11, goes empty as parts grow — TPC-H itself scales the fraction by 1/SF) (HAVING over a
+    // scalar subquery; Spark plans the total as a one-row broadcast).
+    "tpch_q11_important_stock" -> ((spark, dir) => {
+      partsupp(spark, dir).createOrReplaceTempView("ps_q11")
+      Tables.supplier(spark, dir).createOrReplaceTempView("supp_q11")
+      Tables.nation(spark, dir).createOrReplaceTempView("nat_q11")
+      spark.sql(
+        """WITH natps AS (
+          |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+          |  FROM ps_q11 JOIN supp_q11 ON ps_suppkey = s_suppkey
+          |  JOIN nat_q11 ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_3'
+          |)
+          |SELECT ps_partkey, round(sum(v), 4) AS value
+          |FROM natps GROUP BY 1
+          |HAVING sum(v) > (
+          |  SELECT 2.0 * sum(v) / count(DISTINCT ps_partkey) FROM natps
+          |)""".stripMargin)
+    }),
+
+    // Q16-shaped: supplier count by part attributes, excluding
+    // flagged suppliers via NOT IN (negative account balance stands in
+    // for q16's complaint-comment scan — the fixture has no s_comment).
+    "tpch_q16_supplier_cnt" -> ((spark, dir) => {
+      partsupp(spark, dir).createOrReplaceTempView("ps_q16")
+      Tables.part(spark, dir).createOrReplaceTempView("part_q16")
+      Tables.supplier(spark, dir).createOrReplaceTempView("supp_q16")
+      spark.sql(
+        """SELECT p_brand, p_type, p_size,
+          |  count(DISTINCT ps_suppkey) AS supplier_cnt
+          |FROM ps_q16 JOIN part_q16 ON p_partkey = ps_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+          |  AND ps_suppkey NOT IN (
+          |    SELECT s_suppkey FROM supp_q16 WHERE s_acctbal < 0
+          |  )
+          |GROUP BY 1, 2, 3""".stripMargin)
+    }),
+
+    // Q20-shaped: suppliers holding excess stock of name-matched parts
+    // — availability above half the part-supplier's shipped quantity
+    // for the year, then a semi join onto one nation's suppliers.
+    "tpch_q20_excess_stock" -> ((spark, dir) => {
+      partsupp(spark, dir).createOrReplaceTempView("ps_q20")
+      Tables.part(spark, dir).createOrReplaceTempView("part_q20")
+      Tables.supplier(spark, dir).createOrReplaceTempView("supp_q20")
+      Tables.nation(spark, dir).createOrReplaceTempView("nat_q20")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_q20")
+      spark.sql(
+        """WITH shipped AS (
+          |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+          |  FROM li_q20
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          |  GROUP BY 1, 2
+          |)
+          |SELECT s_suppkey, s_name
+          |FROM supp_q20 JOIN nat_q20 ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3' AND s_suppkey IN (
+          |  SELECT ps_suppkey
+          |  FROM ps_q20
+          |  JOIN part_q20 ON p_partkey = ps_partkey
+          |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |  WHERE p_name LIKE '%bolt%' AND ps_availqty > 0.5 * qty
+          |)
+          |ORDER BY s_name""".stripMargin)
+    }),
+
     // Typed Dataset API: case-class encoder + typed filter/groupByKey.
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
@@ -401,6 +524,72 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q2_min_cost_supplier" ->
+      s"""WITH $psSql,
+        |regional AS (
+        |  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |),
+        |mc AS (SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
+        |       FROM regional GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        |FROM regional
+        |JOIN mc ON ps_partkey = mk AND ps_supplycost = min_cost
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_size <= 15 AND p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "tpch_q11_important_stock" ->
+      s"""WITH $psSql,
+        |natps AS (
+        |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |)
+        |SELECT ps_partkey, round(sum(v), 4) AS value
+        |FROM natps GROUP BY 1
+        |HAVING sum(v) > (
+        |  SELECT 2.0 * sum(v) / count(DISTINCT ps_partkey) FROM natps
+        |)""".stripMargin,
+
+    "tpch_q16_supplier_cnt" ->
+      s"""WITH $psSql
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        |  )
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "tpch_q20_excess_stock" ->
+      s"""WITH $psSql,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3' AND s_suppkey IN (
+        |  SELECT ps_suppkey
+        |  FROM partsupp
+        |  JOIN part ON p_partkey = ps_partkey
+        |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  WHERE p_name LIKE '%bolt%' AND ps_availqty > 0.5 * qty
+        |)
+        |ORDER BY s_name""".stripMargin,
+
     "tpch_q3_priority" ->
       """SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,
