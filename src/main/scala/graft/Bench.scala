@@ -60,9 +60,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // "value" deliberately LAST: log collectors that keep only the tail
-    // of a long line must still see the headline metric.
-    println(f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}""")
+    val fullJson =
+      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}"""
+    // The full line first (complete per-query map for the log)…
+    println(fullJson)
+    // …then persisted to a file: at 130+ queries the line outgrows
+    // log-tail captures, so the machine-readable copy lives on disk.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
+    // …and the LAST stdout line is a compact, self-contained JSON that
+    // always fits a 2 KB tail capture: headline total + the slow tail
+    // (the queries plan work should look at) + pointer to the full map.
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$total%.3f}""")
     spark.stop()
   }
 }

@@ -414,25 +414,26 @@ object TpchQueries {
     }),
 
     // Q2-shaped: min-cost supplier per qualifying part in one region —
-    // the grouped-min + equality-join decorrelation of q2's correlated
-    // scalar subquery. Dimensions broadcast; the min and the probe
-    // share the regional partsupp subtree so AQE reuses the exchange.
+    // q2's correlated scalar subquery decorrelated as a per-part
+    // window min. The part predicate is applied BEFORE the min (each
+    // part's regional minimum is independent of which parts qualify),
+    // shrinking the windowed relation ~20×, and the window form reads
+    // the partsupp subtree once where a grouped-min + equality-join
+    // would build it twice.
     "tpch_q2_min_cost_supplier" -> ((spark, dir) => {
       val r = Tables.region(spark, dir).where(col("r_name") === "EUROPE")
       val n = Tables.nation(spark, dir)
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       val s = Tables.supplier(spark, dir)
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      val regional = partsupp(spark, dir)
-        .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
-      val minCost = regional.groupBy(col("ps_partkey").as("mk"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
       val p = Tables.part(spark, dir)
         .where(col("p_size") <= 15 && col("p_type") === "STANDARD")
-      regional
-        .join(minCost, col("ps_partkey") === col("mk") &&
-          col("ps_supplycost") === col("min_cost"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))
+      partsupp(spark, dir)
         .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+        .where(col("ps_supplycost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_brand"), col("ps_supplycost"))
         .orderBy(col("s_acctbal").desc, col("n_name").asc,
