@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(cs.size == 1, "token_hashes takes exactly one argument")
       TokenHashes(cs.head)
     })
+    inject(ext, "top_ngram_ratio", classOf[TopNgramRatio], { cs =>
+      require(cs.size == 2, "top_ngram_ratio(text, n)")
+      TopNgramRatio(cs.head, intArg(cs(1), "ngram size"))
+    })
     inject(ext, "simhash64", classOf[SimHash64], { cs =>
       require(cs.size == 1, "simhash64 takes exactly one argument")
       SimHash64(cs.head)
@@ -86,6 +90,10 @@ object GraftFunctions {
 
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
+
+  def topNgramRatio(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "top_ngram_ratio", c, org.apache.spark.sql.functions.lit(n))
 
   def minhashSig(c: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function(

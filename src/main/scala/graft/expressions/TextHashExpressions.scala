@@ -105,6 +105,29 @@ object TextHash {
     out
   }
 
+  /** Fraction of units covered by the most frequent unit: sort a copy
+    * of the hashes, scan run lengths, maxRun/total. -1.0 for an empty
+    * unit array (mirrors the explode form, where such docs fall out of
+    * the aggregation and a left join nulls them to -1).
+    */
+  def topFreqRatio(units: Array[Long]): Double = {
+    if (units.isEmpty) return -1.0
+    java.util.Arrays.sort(units)
+    var maxRun = 1
+    var run = 1
+    var i = 1
+    while (i < units.length) {
+      if (units(i) == units(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+      else run = 1
+      i += 1
+    }
+    maxRun.toDouble / units.length
+  }
+
+  /** [[topFreqRatio]] over a string's word n-grams (n=1: words). */
+  def topNgramRatio(s: String, n: Int): Double =
+    topFreqRatio(if (n == 1) tokenHashes(s) else hashedShingles(s, n))
+
   /** k seeded min-hashes over a long-array shingle set, one pass. */
   def minhashSig(sh: ArrayData, k: Int): Array[Long] = {
     val n = sh.numElements()
@@ -222,6 +245,36 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "token_hashes"
+}
+
+/** Repetition signal: fraction of a string's word n-grams covered by
+  * the most frequent one (Gopher-style quality filtering), computed in
+  * one pass per ROW — no explode, no shuffle. -1.0 when the doc has no
+  * n-grams. Counting is over FNV-64 n-gram hashes (collisions are
+  * vanishing at any plausible doc length); the DuckDB oracle counts the
+  * STRINGS, so the correctness gate doubles as a collision check.
+  */
+case class TopNgramRatio(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_ngram_ratio requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.topNgramRatio(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHash.topNgramRatio($c.toString(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramRatio =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_ngram_ratio"
 }
 
 /** 64-bit SimHash of a string's whitespace tokens. */

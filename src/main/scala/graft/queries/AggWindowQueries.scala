@@ -156,20 +156,22 @@ object AggWindowQueries {
 
     // Ordered conversion funnel view→click→purchase: each stage's
     // first timestamp must follow the previous stage's. Three
-    // conditional-min aggregations chained by join — no window over
-    // the full event stream, so each stage shuffles only its own
-    // event-type slice (and users, dimension-sized, broadcast back).
+    // conditional-min aggregations chained by PLAIN equi-joins — no
+    // window over the full event stream, so each stage shuffles only
+    // its own event-type slice; the per-user stage tables are
+    // user-cardinality, so the planner (not a forced hint) decides
+    // whether they broadcast.
     "funnel_stages" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("event_type"))
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
       val c = ev.where(col("event_type") === "click")
-        .join(broadcast(v), Seq("user_id"))
+        .join(v, Seq("user_id"))
         .where(col("ts") >= col("v_ts"))
         .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
       val p = ev.where(col("event_type") === "purchase")
-        .join(broadcast(c), Seq("user_id"))
+        .join(c, Seq("user_id"))
         .where(col("ts") >= col("c_ts"))
         .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
       ev.select(col("user_id")).distinct()

@@ -86,25 +86,18 @@ object TextQueries {
     }),
 
     // Repetition signals (Gopher-style quality filters): fraction of
-    // the doc covered by its most frequent word / word-bigram. Explode
-    // + two-level agg (codegen'd, map-side combined) instead of
-    // interpreted per-doc HOF loops.
+    // the doc covered by its most frequent word / word-bigram. One
+    // native per-row kernel (expressions.TopNgramRatio) — a zero-
+    // shuffle projection. The previous explode + two-level-agg form
+    // shuffled corpus×tokens TWICE and was the engine's slowest query;
+    // per-doc statistics never needed cross-row state at all. The
+    // oracle still counts exploded strings, so the native kernel is
+    // differentially checked against the declarative semantics.
     "text_repetition" -> ((spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      def topRatio(unit: Column, outName: String) =
-        docs.select(col("doc_id"), explode(unit).as("u"))
-          .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as(outName))
-      val words = topRatio(TextFns.tokens(col("text")), "top_word_ratio")
-      val bigrams = topRatio(
-        TextFns.shingles(TextFns.tokens(col("text")), 2), "top_bigram_ratio")
-      docs.select(col("doc_id"))
-        .join(words, Seq("doc_id"), "left")
-        .join(bigrams, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("top_word_ratio"), lit(-1.0)).as("top_word_ratio"),
-          coalesce(col("top_bigram_ratio"), lit(-1.0)).as("top_bigram_ratio"))
+      import graft.expressions.GraftFunctions
+      Tables.documents(spark, dir).select(col("doc_id"),
+        round(GraftFunctions.topNgramRatio(col("text"), 1), 4).as("top_word_ratio"),
+        round(GraftFunctions.topNgramRatio(col("text"), 2), 4).as("top_bigram_ratio"))
     }),
 
     // Token counting: whitespace + regex tokenizations.

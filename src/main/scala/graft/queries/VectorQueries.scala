@@ -94,9 +94,14 @@ object VectorQueries {
       val docs = Tables.documents(spark, dir).select(
         col("doc_id"),
         array_distinct(GraftFunctions.hashedShingles(col("text"), 2)).as("sh"))
+      // Shingle attachments are PLAIN equi-joins: documents is
+      // corpus-scale, so forcing a broadcast would OOM at 100 TB — the
+      // planner broadcasts whichever side actually fits (at fixture
+      // scale that is the pair table, which is tiny after the cosine
+      // filter).
       embPairs
-        .join(broadcast(docs.select(col("doc_id").as("vec_a"), col("sh").as("sh_a"))), Seq("vec_a"))
-        .join(broadcast(docs.select(col("doc_id").as("vec_b"), col("sh").as("sh_b"))), Seq("vec_b"))
+        .join(docs.select(col("doc_id").as("vec_a"), col("sh").as("sh_a")), Seq("vec_a"))
+        .join(docs.select(col("doc_id").as("vec_b"), col("sh").as("sh_b")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"), col("cos"),
           round(graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("text_jaccard"))
     }),
@@ -108,6 +113,33 @@ object VectorQueries {
     "dedup_embedding_cosine" -> ((spark, dir) => {
       val sample = Tables.embeddings(spark, dir).where(col("vec_id") % 5 === 0)
       Similarity.cosinePairsAbove(sample, "vec_id", "embedding", 0.35)
+    }),
+
+    // Symmetric int8 quantization — the 4× storage/bandwidth lever for
+    // embedding corpora at 100 TB: per-vector scale = max|x|/127,
+    // codes = round(x/scale) ∈ [-127, 127]. A zero-shuffle projection;
+    // the oracle checks the quantization CONTRACT (codes in range,
+    // reconstruction error ≤ scale/2 per element, dequantized cosine
+    // ≈ 1) plus the exact scale — round() ties are engine-specific, so
+    // codes themselves stay out of the hash (the a8/recall-harness
+    // pattern for cross-engine-unstable values).
+    "vec_int8_quantize" -> ((spark, dir) => {
+      val ed = col("embedding").cast("array<double>")
+      // guard: an all-zero vector has scale 0 — quantizes to all-zero
+      // codes with zero error; the greatest() keeps x/scale finite.
+      val scale = greatest(array_max(transform(ed, x => abs(x))) / 127.0, lit(1e-30))
+      Tables.embeddings(spark, dir)
+        .withColumn("scale", scale)
+        .withColumn("codes", transform(ed, x => round(x / col("scale")).cast("int")))
+        .withColumn("deq", transform(col("codes"), c => c.cast("double") * col("scale")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          forall(col("codes"), c => c.between(-127, 127)).as("codes_in_range"),
+          (aggregate(zip_with(ed, col("deq"), (x, d) => abs(x - d)),
+            lit(0.0), (acc, e) => greatest(acc, e)) <=
+            col("scale") * 0.5 + lit(1e-12)).as("err_ok"),
+          (Similarity.dot(ed, col("deq")) /
+            (sqrt(Similarity.dot(ed, ed)) * sqrt(Similarity.dot(col("deq"), col("deq"))))
+            >= 0.999).as("cos_ok"))
     }),
 
     // Feature standardization: per-dimension z-score stats over the
@@ -210,6 +242,14 @@ object VectorQueries {
          |JOIN d da ON p.vec_a = da.doc_id
          |JOIN d db ON p.vec_b = db.doc_id""".stripMargin
     },
+
+    "vec_int8_quantize" ->
+      """SELECT vec_id,
+        |  round(greatest(
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0,
+        |    1e-30), 6) AS scale,
+        |  true AS codes_in_range, true AS err_ok, true AS cos_ok
+        |FROM embeddings""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH s AS (

@@ -51,6 +51,24 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("top_ngram_ratio: repetition kernel edge cases") {
+    import spark.implicits._
+    import graft.expressions.GraftFunctions.topNgramRatio
+    val df = Seq(
+      (1L, "a a a b"),      // word ratio 3/4; bigrams: aa aa ab → 2/3
+      (2L, "x"),            // one word → 1.0; no bigrams → -1.0
+      (3L, "a b c d"),      // all distinct → 1/4; bigrams all distinct → 1/3
+      (4L, "")              // one empty token → 1.0; no bigrams → -1.0
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+      topNgramRatio(col("t"), 1).as("w"), topNgramRatio(col("t"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((0.75, 2.0 / 3)))
+    assert(got(2L) === ((1.0, -1.0)))
+    assert(got(3L) === ((0.25, 1.0 / 3)))
+    assert(got(4L) === ((1.0, -1.0)))
+  }
+
   test("WAV and BMP containers round-trip through the real decoder") {
     val body = "hello-frame".getBytes("UTF-8")
     val wav = Multimodal.decode(Multimodal.wavBytes(16000, 2, 16, body))
