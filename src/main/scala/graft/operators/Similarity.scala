@@ -233,8 +233,20 @@ object Similarity {
                       restDir: String, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
     val codebook = sampleCodebook(corpus, nCells)
     val scores = cellScores(codebook) _
-    assignCellsWith(corpus, codebook)
-      .write.mode("overwrite").partitionBy("cell").parquet(restDir)
+    // Write-once, probe-many: the serving layout is only rewritten when
+    // the corpus changed. The marker records (rows, nCells); the
+    // codebook needs no fingerprint — it is a deterministic function of
+    // the corpus (hash-ordered sample + Lloyd), so equal inputs imply
+    // an equal layout.
+    val marker = new java.io.File(restDir, "_graft_layout")
+    val layoutId = s"rows=${corpus.count()};nCells=$nCells"
+    val fresh = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
+    if (!fresh) {
+      assignCellsWith(corpus, codebook)
+        .write.mode("overwrite").partitionBy("cell").parquet(restDir)
+      java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
+    }
 
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
