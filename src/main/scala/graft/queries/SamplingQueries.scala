@@ -27,6 +27,24 @@ object SamplingQueries {
           Sampling.splitLabel(col("event_id"), SplitWeights).as("split"))
     }),
 
+    // Dedup-aware (leakage-safe) split: membership is a function of
+    // the duplicate GROUP's canonical id, not the row id, so copies of
+    // a document can never straddle train/test — the classic
+    // eval-contamination bug in training-data pipelines. Exact-dup
+    // groups (content hash) keep the oracle fully row-checkable; for
+    // NEAR-dup safety the same shape composes with the minhash cluster
+    // ids from Dedup.connectedComponents (dedup_pipeline) in place of
+    // the md5 group key.
+    "sample_dedup_aware_split" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val canon = docs.groupBy(md5(col("text")).as("k"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      docs.select(col("doc_id"), md5(col("text")).as("k"))
+        .join(canon, Seq("k"))
+        .select(col("doc_id"), col("canonical_id"),
+          Sampling.splitLabel(col("canonical_id"), SplitWeights).as("split"))
+    }),
+
     // Per-stratum deterministic Bernoulli sample with differing
     // allocations (replaces rand()-based sampleBy).
     "sample_stratified" -> ((spark, dir) => {
@@ -66,8 +84,22 @@ object SamplingQueries {
     s"SELECT event_id, event_type FROM events WHERE $b < $alloc"
   }
 
+  private val dedupAwareSplitSql: String = {
+    val b = Sampling.modBucketSql("canonical_id", 1000)
+    s"""WITH canon AS (
+       |  SELECT md5(text) AS k, min(doc_id) AS canonical_id
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT doc_id, canonical_id,
+       |  CASE WHEN $b < 800 THEN 'train'
+       |       WHEN $b < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents d JOIN canon ON md5(d.text) = canon.k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sample_hash_split" -> splitSql,
+    "sample_dedup_aware_split" -> dedupAwareSplitSql,
     "sample_stratified" -> stratifiedSql,
     "layout_zorder" ->
       s"""SELECT event_id,
