@@ -74,7 +74,11 @@ object Bench {
     // (the queries plan work should look at) + pointer to the full map.
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$total%.3f}""")
+    // failed list bounded to 8 names (plus the count): a fixture-wide
+    // failure would otherwise blow the compact line past the tail
+    // capture in exactly the scenario where it matters most.
+    val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$total%.3f}""")
     spark.stop()
   }
 }

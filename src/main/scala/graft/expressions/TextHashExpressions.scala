@@ -105,10 +105,12 @@ object TextHash {
     out
   }
 
-  /** Fraction of units covered by the most frequent unit: sort a copy
-    * of the hashes, scan run lengths, maxRun/total. -1.0 for an empty
-    * unit array (mirrors the explode form, where such docs fall out of
-    * the aggregation and a left join nulls them to -1).
+  /** Fraction of units covered by the most frequent unit: sort, scan
+    * run lengths, maxRun/total. TAKES OWNERSHIP of `units` — the array
+    * is sorted IN PLACE (callers here always pass freshly built
+    * arrays; clone first if order matters downstream). -1.0 for an
+    * empty unit array (mirrors the explode form, where such docs fall
+    * out of the aggregation and a left join nulls them to -1).
     */
   def topFreqRatio(units: Array[Long]): Double = {
     if (units.isEmpty) return -1.0

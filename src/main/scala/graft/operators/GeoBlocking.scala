@@ -26,19 +26,33 @@ import graft.functions.Geo
 object GeoBlocking {
 
   /** `distanceKm` selects the exact-filter kernel (default: correct
-    * haversine). The reference-compat sin variant is also safe here:
-    * it never EXCEEDS the correct distance, so cells sized for the
-    * correct formula still cover every pair it admits.
+    * haversine). The reference-compat sin variant UNDERESTIMATES the
+    * correct distance, so it can admit pairs whose true span exceeds
+    * maxKm by up to maxKm³/(24R²) (sin x = x − x³/6 + …); cells are
+    * therefore sized on that inflated bound, which makes blocking
+    * provably complete for BOTH kernels at any maxKm — the inflation
+    * is ~0.01% at 300 km and still <2% at 5000 km.
+    *
+    * Rows whose |lat| exceeds the `minCosLat` domain would silently
+    * shrink longitude cells below the guarantee, so the cell key
+    * raises at execution instead of quietly dropping pairs.
     */
   def pairsWithinKm(points: DataFrame, idCol: String, latCol: String, lonCol: String,
                     maxKm: Double, minCosLat: Double = 0.5,
                     distanceKm: (Column, Column, Column, Column) => Column =
                       Geo.haversineKm): DataFrame = {
     require(maxKm > 0 && minCosLat > 0)
-    val latCellDeg = maxKm / 111.0
-    val lonCellDeg = maxKm / (111.0 * minCosLat)
+    val earthR = Geo.EarthRadiusKm
+    val sizingKm = maxKm * (1.0 + (maxKm * maxKm) / (24.0 * earthR * earthR))
+    val latCellDeg = sizingKm / 111.0
+    val lonCellDeg = sizingKm / (111.0 * minCosLat)
+    val maxLatDeg = math.toDegrees(math.acos(minCosLat))
     def cellX(lon: Column): Column = floor(lon / lonCellDeg).cast("long")
-    def cellY(lat: Column): Column = floor(lat / latCellDeg).cast("long")
+    def cellY(lat: Column): Column =
+      when(abs(lat) > maxLatDeg, raise_error(concat(
+        lit(f"GeoBlocking: |lat| beyond the minCosLat=$minCosLat%s domain " +
+          f"(max $maxLatDeg%.2f deg): "), lat.cast("string"))))
+        .otherwise(floor(lat / latCellDeg)).cast("long")
 
     val base = points.select(
       col(idCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),

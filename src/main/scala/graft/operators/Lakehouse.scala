@@ -69,15 +69,23 @@ object Lakehouse {
     * files whose open/footer cost dominates scans; bin-packing by
     * TOTAL BYTES (not file count) keeps output files near the target
     * regardless of input skew. The swap renames the ORIGINAL aside
-    * first, then the rewrite into place, then deletes the backup — a
-    * crash mid-swap leaves either the old or the new table readable
-    * (never neither), and a failed rename restores the original and
-    * throws instead of silently reporting success.
+    * first, then the rewrite into place, then deletes the backup; a
+    * failed rename restores the original and throws instead of
+    * silently reporting success. A crash BETWEEN the two renames
+    * leaves the table only in the `__old` sibling — readers see
+    * path-not-found until the next compact() call, which self-heals by
+    * restoring the backup before doing anything else (two directory
+    * renames cannot be made jointly atomic on a plain filesystem; the
+    * data itself is never lost).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetBytes: Long): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(crashBackup) &&
+        !fs.rename(crashBackup, path))
+      throw new java.io.IOException(s"compact: cannot restore $crashBackup")
     // recursive listing: partitioned layouts keep data files under
     // partition subdirectories (note the rewrite itself flattens the
     // layout — compact partitioned tables per-partition instead)

@@ -93,11 +93,20 @@ object Multimodal {
     * Malformed headers (truncated, bad lengths) fall back to raw
     * rather than throwing — corrupt assets must not kill the stage.
     */
+  private def tagAt(bytes: Array[Byte], at: Int, tag: String): Boolean =
+    bytes.length >= at + tag.length &&
+      tag.indices.forall(i => bytes(at + i) == tag.charAt(i).toByte)
+
   def decode(bytes: Array[Byte]): Decoded = {
     def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // Canonical-layout parse ONLY: the chunk tags are verified at the
+    // canonical offsets, so a spec-valid-but-non-canonical container
+    // (e.g. a LIST chunk between fmt and data, or a BITMAPCOREHEADER
+    // BMP) falls back to raw rather than being misparsed as if its
+    // fields sat at the canonical offsets.
     if (bytes.length >= 44 &&
-        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+        tagAt(bytes, 0, "RIFF") && tagAt(bytes, 8, "WAVE") &&
+        tagAt(bytes, 12, "fmt ") && tagAt(bytes, 36, "data")) {
       val bb = le
       val channels = bb.getShort(22).toLong
       val sampleRate = bb.getInt(24).toLong
@@ -107,7 +116,8 @@ object Multimodal {
       else
         Decoded("wav", Some(sampleRate), Some(channels), None, None,
           java.util.Arrays.copyOfRange(bytes, 44, 44 + dataLen))
-    } else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') {
+    } else if (bytes.length >= 54 && tagAt(bytes, 0, "BM") &&
+        le.getInt(14) == 40) { // BITMAPINFOHEADER only
       val bb = le
       val off = bb.getInt(10)
       val width = bb.getInt(18).toLong

@@ -34,10 +34,15 @@ object PairStrategy {
   case object SetIntersectTheta extends Choice
   case object PerKeyEquiJoin extends Choice
 
-  /** Max entity rows the theta plan may broadcast; sized for small
-    * sorted-set rows against the session's 64 MB broadcast threshold.
+  /** Max entity rows the theta plan may broadcast. Two ceilings bind:
+    * the broadcast itself (200k rows × ~50 B id+key-set ≈ 10 MB, well
+    * under the session's 64 MB threshold) and theta COMPUTE — n²/2
+    * merge-intersects at 200k entities is 2×10^10 cheap kernel calls,
+    * around the point where the per-key equi-join's Σ|k|² intermediate
+    * wins even for fairly dense keys. Past this, the equi-join is the
+    * only shape that finishes.
     */
-  val DefaultMaxBroadcastEntities: Long = 2L * 1000 * 1000
+  val DefaultMaxBroadcastEntities: Long = 200L * 1000
 
   def choose(nEntities: Long,
              maxBroadcastEntities: Long = DefaultMaxBroadcastEntities): Choice =

@@ -234,12 +234,17 @@ object Similarity {
     val codebook = sampleCodebook(corpus, nCells)
     val scores = cellScores(codebook) _
     // Write-once, probe-many: the serving layout is only rewritten when
-    // the corpus changed. The marker records (rows, nCells); the
+    // the corpus changed. The marker fingerprints (row count, xor of id
+    // hashes, nCells) — an order-independent id-set digest, so content
+    // swaps that keep the same cardinality still invalidate (embedding
+    // payloads are assumed immutable per id, the content-addressed-
+    // corpus contract; xor, not sum: never overflows under ANSI). The
     // codebook needs no fingerprint — it is a deterministic function of
     // the corpus (hash-ordered sample + Lloyd), so equal inputs imply
     // an equal layout.
     val marker = new java.io.File(restDir, "_graft_layout")
-    val layoutId = s"rows=${corpus.count()};nCells=$nCells"
+    val fp = corpus.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).collect()(0)
+    val layoutId = s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};nCells=$nCells"
     val fresh = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
     if (!fresh) {

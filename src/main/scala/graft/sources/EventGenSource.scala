@@ -78,21 +78,32 @@ class EventGenScanBuilder(rows: Long, partitions: Int)
   private var pushed = Array.empty[Filter]
   private var required = EventGenSource.schema
 
+  // Literals arrive however the planner boxed them (Long, Integer,
+  // Short…) — accept any INTEGRAL boxing. Fractional values must stay
+  // residual: longValue() would truncate them and an accepted filter is
+  // never re-checked by Spark, so `< 599.5` pushed as `< 599` would
+  // silently drop a qualifying row.
+  private object IntegralValue {
+    def unapply(v: Any): Option[Long] = v match {
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(n.asInstanceOf[java.lang.Number].longValue())
+      case _ => None
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // Literals arrive however the planner boxed them (Long, Integer,
-    // Short…) — match any Number so an int-typed predicate still pushes
-    // down instead of silently falling through to residual.
     val (accepted, residual) = filters.partition {
-      case GreaterThan("event_id", v: java.lang.Number) =>
-        lo = math.max(lo, v.longValue() + 1); true
-      case GreaterThanOrEqual("event_id", v: java.lang.Number) =>
-        lo = math.max(lo, v.longValue()); true
-      case LessThan("event_id", v: java.lang.Number) =>
-        hi = math.min(hi, v.longValue()); true
-      case LessThanOrEqual("event_id", v: java.lang.Number) =>
-        hi = math.min(hi, v.longValue() + 1); true
-      case EqualTo("event_id", v: java.lang.Number) =>
-        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1); true
+      case GreaterThan("event_id", IntegralValue(v)) =>
+        lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("event_id", IntegralValue(v)) =>
+        lo = math.max(lo, v); true
+      case LessThan("event_id", IntegralValue(v)) =>
+        hi = math.min(hi, v); true
+      case LessThanOrEqual("event_id", IntegralValue(v)) =>
+        hi = math.min(hi, v + 1); true
+      case EqualTo("event_id", IntegralValue(v)) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case _ => false
     }
     pushed = accepted

@@ -50,8 +50,18 @@ class EventGenSourceSpec extends SparkSpec {
       sources.GreaterThanOrEqual("event_id", Integer.valueOf(500)),
       sources.LessThan("event_id", java.lang.Short.valueOf(600.toShort)),
       sources.EqualTo("event_type", "click")))
-    assert(b.pushedFilters().length === 2, "numeric boxings must be accepted")
+    assert(b.pushedFilters().length === 2, "integral boxings must be accepted")
     assert(residual.toSeq === Seq(sources.EqualTo("event_type", "click")))
+  }
+
+  test("fractional literals stay residual (truncation would drop rows)") {
+    import org.apache.spark.sql.sources
+    val b = new graft.sources.EventGenScanBuilder(100000, 4)
+    val residual = b.pushFilters(Array[sources.Filter](
+      sources.LessThan("event_id", java.lang.Double.valueOf(599.5)),
+      sources.EqualTo("event_id", new java.math.BigDecimal("500.5"))))
+    assert(b.pushedFilters().isEmpty, "fractional values must not be accepted")
+    assert(residual.length === 2)
   }
 
   test("column pruning reaches the reader") {

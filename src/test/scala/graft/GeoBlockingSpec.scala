@@ -33,4 +33,33 @@ class GeoBlockingSpec extends SparkSpec {
     val blocked = GeoBlocking.pairsWithinKm(points, "id", "lat", "lon", 500.0, minCosLat = 0.7)
     assert(blocked.groupBy("id_a", "id_b").count().where(col("count") > 1).isEmpty)
   }
+
+  test("compat sin kernel stays complete under the inflated cell sizing") {
+    // the sin variant underestimates distance, so it can ADMIT pairs
+    // farther apart than maxKm — the inflated sizing must still land
+    // them in adjacent cells. Differential vs brute force at a large
+    // radius where the underestimate is at its worst for the fixture.
+    val maxKm = 2000.0
+    val pts = points
+    val blocked = GeoBlocking.pairsWithinKm(pts, "id", "lat", "lon", maxKm,
+      minCosLat = 0.7, distanceKm = Geo.referenceDistanceKm)
+    val l = pts.select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"))
+    val r = pts.select(col("id").as("id_b"), col("lat").as("lat_b"), col("lon").as("lon_b"))
+    val brute = l.crossJoin(r)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__d", Geo.referenceDistanceKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      .where(col("__d") <= maxKm)
+      .select(col("id_a"), col("id_b"), round(col("__d"), 4).as("dist_km"))
+    assert(brute.count() > 0)
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
+  }
+
+  test("latitudes beyond the minCosLat domain fail loudly, not silently") {
+    import spark.implicits._
+    val pts = Seq((1L, -60.0, 100.0), (2L, -60.1, 100.0)).toDF("id", "lat", "lon")
+    val e = intercept[Exception] {
+      GeoBlocking.pairsWithinKm(pts, "id", "lat", "lon", 100.0, minCosLat = 0.71).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -47,6 +47,21 @@ class ObserveCompactSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === beforeRows)
   }
 
+  test("compaction self-heals a crash between the two swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_heal").toString + "/t"
+    Tables.events(spark, sfDir).repartition(8).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // simulate the crash window: table moved aside, rewrite never landed
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + "__old")))
+    // next compact() restores the backup first, then compacts normally
+    val n = Lakehouse.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n === 1)
+    assert(spark.read.parquet(dir).count() === rows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+  }
+
   test("compaction bin-packs small files to the byte target") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate an incremental writer: 64 tiny files

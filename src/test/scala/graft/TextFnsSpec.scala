@@ -86,6 +86,17 @@ class TextFnsSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(badLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(40, Int.MaxValue) // data chunk claims more than exists
     assert(Multimodal.decode(badLen).container === "raw")
+    // NON-CANONICAL but plausible containers also fall back to raw
+    // rather than being misparsed at the canonical offsets: a WAV with
+    // a LIST chunk where 'data' is expected, and a BITMAPCOREHEADER
+    // BMP (header size 12, fields at different offsets).
+    val listChunk = Multimodal.wavBytes(8000, 1, 16, body)
+    "LIST".getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => listChunk(36 + i) = b }
+    assert(Multimodal.decode(listChunk).container === "raw")
+    val coreHeader = Multimodal.bmpBytes(10, 10, body)
+    java.nio.ByteBuffer.wrap(coreHeader).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(14, 12) // BITMAPCOREHEADER size
+    assert(Multimodal.decode(coreHeader).container === "raw")
   }
 
   test("resize and frame-sample stubs preserve schema and shrink payloads") {
