@@ -178,6 +178,43 @@ object TextQueries {
           col("word"), col("tfidf"))
     }),
 
+    // Corpus-unigram LM scoring (perplexity-style quality filter): word
+    // probabilities fitted on the corpus itself, then each doc's mean
+    // log2 probability — the classic cheap proxy for "does this text
+    // look like the corpus". Vocabulary is bounded (≪ corpus), so the
+    // global-sum window runs over a vocab-sized frame and the prob
+    // table broadcasts back, same scale shape as TF-IDF's IDF side.
+    "text_unigram_logprob" -> ((spark, dir) => {
+      val words = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      val probs = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c") /
+          sum(col("c")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      words.join(broadcast(probs.select(col("w"), col("p"))), Seq("w"))
+        .groupBy("doc_id")
+        .agg(round(avg(log2(col("p"))), 4).as("avg_log2p"))
+    }),
+
+    // Eval-decontamination: corpus docs sharing ≥ 2 distinct word
+    // trigrams with any "benchmark" doc (stand-in: doc_id ≡ 0 mod 97).
+    // Scale shape: distinct n-grams explode once per side, candidates
+    // come from the shingle equi-join (shuffle by gram — stop-phrase
+    // hot grams are Skew.saltedJoin territory), and the pair count is
+    // map-side combinable. This is n-gram-overlap contamination as run
+    // before any evaluation on a scraped corpus.
+    "text_contamination" -> ((spark, dir) => {
+      val grams = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), 3))).as("g"))
+      val bench = grams.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(bench, Seq("g"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .where(col("shared_ngrams") >= 2)
+    }),
+
     // Connected components over the click contact graph — near-dup
     // pairs → dedup clusters (component id = min member id). The
     // oracle is a DuckDB recursive-CTE transitive closure; Spark runs
@@ -243,6 +280,31 @@ object TextQueries {
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), v AS (
+        |  SELECT w, count(*) AS c FROM w GROUP BY 1
+        |), p AS (
+        |  SELECT w, c::DOUBLE / sum(c) OVER () AS p FROM v
+        |)
+        |SELECT doc_id, round(avg(log2(p)), 4) AS avg_log2p
+        |FROM w JOIN p USING (w) GROUP BY 1""".stripMargin,
+
+    "text_contamination" -> {
+      val sh = TextFns.shinglesSql("string_split(text, ' ')", 3)
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct($sh)) AS g FROM documents
+         |), b AS (
+         |  SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0
+         |), c AS (
+         |  SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0
+         |)
+         |SELECT doc_id, bench_id, count(*) AS shared_ngrams
+         |FROM c JOIN b USING (g)
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
+
     // Guarantee harnesses: the oracle states the invariant (every
     // planted exact copy MUST be found / the native kernel MUST match
     // its declarative rebuild); Spark computes the evidence.
