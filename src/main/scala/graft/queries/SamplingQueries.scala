@@ -54,6 +54,22 @@ object SamplingQueries {
         .select(col("event_id"), col("event_type"))
     }),
 
+    // Per-stratum deterministic reservoir: the k rows with the
+    // smallest multiplicative hash per event_type — uniform without
+    // replacement, stable across runs/partitionings, and planned by
+    // the custom TopKPerKey operator (map-side bounded heaps) via the
+    // engine-wide row_number rewrite, so only k rows per key per
+    // partition ever move.
+    "sample_reservoir_per_key" -> ((spark, dir) => {
+      val h = pmod(col("event_id") * lit(Sampling.KnuthMultiplier), lit(1000000007L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(h.asc, col("event_id").asc)
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+        .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"))
+    }),
+
     // Morton (Z-order) clustering key over two dimensions — the value
     // a layout-optimizing writer range-partitions by (Layout
     // .zorderCluster); checked bit-for-bit against DuckDB.
@@ -100,6 +116,14 @@ object SamplingQueries {
   val oracles: Map[String, String] = Map(
     "sample_hash_split" -> splitSql,
     "sample_dedup_aware_split" -> dedupAwareSplitSql,
+    "sample_reservoir_per_key" ->
+      s"""SELECT event_type, rn, event_id FROM (
+         |  SELECT event_type, event_id, row_number() OVER (
+         |    PARTITION BY event_type
+         |    ORDER BY (event_id * ${Sampling.KnuthMultiplier}) % 1000000007 ASC,
+         |      event_id ASC) AS rn
+         |  FROM events
+         |) WHERE rn <= 20""".stripMargin,
     "sample_stratified" -> stratifiedSql,
     "layout_zorder" ->
       s"""SELECT event_id,

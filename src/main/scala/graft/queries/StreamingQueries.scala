@@ -58,6 +58,23 @@ object StreamingQueries {
           col("purchase_value"))
     }),
 
+    // LEFT OUTER stream-stream interval join: clicks with no purchase
+    // in the window surface with nulls — streaming-legal because the
+    // watermark + time-range pair lets the engine prove a click's
+    // window has closed before emitting its null row.
+    "stream_interval_outer" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      StreamingOps.clicksToPurchases(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        withinSeconds = 600, joinType = "left_outer")
+        .select(
+          col("user_id"),
+          unix_timestamp(col("click_ts")).as("click_s"),
+          unix_timestamp(col("purchase_ts")).as("purchase_s"),
+          col("purchase_value"))
+    }),
+
     // Native session windows (session_window groupBy) — the built-in
     // engine counterpart of the custom-state sessionize above; both
     // run streaming-or-batch. 30-min gap, same session grain.
@@ -159,6 +176,22 @@ object StreamingQueries {
         |  CAST(floor(epoch(purchase_ts)) AS BIGINT) AS purchase_s,
         |  round(value, 4) AS purchase_value
         |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_ts >= click_ts
+        |  AND purchase_ts <= click_ts + INTERVAL 600 SECONDS""".stripMargin,
+
+    "stream_interval_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id,
+        |  CAST(floor(epoch(click_ts)) AS BIGINT) AS click_s,
+        |  CAST(floor(epoch(purchase_ts)) AS BIGINT) AS purchase_s,
+        |  round(value, 4) AS purchase_value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND purchase_ts >= click_ts
         |  AND purchase_ts <= click_ts + INTERVAL 600 SECONDS""".stripMargin,
 

@@ -40,16 +40,22 @@ object StreamingOps {
     * possible (an unbounded equi-join of streams would grow forever).
     */
   def clicksToPurchases(clicks: DataFrame, purchases: DataFrame,
-                        withinSeconds: Int, watermark: String = "30 minutes"): DataFrame = {
+                        withinSeconds: Int, watermark: String = "30 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
+    // left_outer is streaming-legal precisely BECAUSE of the watermark
+    // + time-range pair: a click emits its null row once its join
+    // window has fully passed the watermark — without the range bound
+    // Spark could never prove a click has no future match.
     c.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      joinType)
       .select(col("user_id"), col("click_ts"), col("purchase_ts"),
         round(col("purchase_value"), 4).as("purchase_value"))
   }

@@ -85,6 +85,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits null rows once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.clicksToPurchases(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      buys.toDF().toDF("user_id", "ts", "value"),
+      withinSeconds = 600, watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("cp_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 1.0), (2L, ts(0), 1.0))
+      buys.addData((1L, ts(4), 9.99))
+      q.processAllAvailable()
+      // advance both watermarks far past click+600s+10min so user 2's
+      // window is provably closed and its null row can emit
+      clicks.addData((9L, ts(120), 1.0))
+      buys.addData((9L, ts(121), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cp_outer")
+        .where(col("user_id").isin(1L, 2L))
+        .select("user_id", "purchase_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(rows === Set((1L, Some(9.99)), (2L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup by key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
