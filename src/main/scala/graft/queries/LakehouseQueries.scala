@@ -47,6 +47,33 @@ object LakehouseQueries {
           unix_timestamp(col("valid_from")).as("from_s"),
           unix_timestamp(col("valid_to")).as("to_s"),
           col("is_current"))
+    }),
+
+    // Point-in-time (as-of) lookup against the SCD2 dimension: each
+    // order reads the customer's band version valid AT ORDER TIME —
+    // the canonical versioned-dimension join. Because SCD2 versions
+    // are CONTIGUOUS per key (valid_to = next valid_from), the
+    // interval predicate valid_from <= t < valid_to reduces to a
+    // backward as-of join on valid_from, which the engine plans as
+    // the union+carry single-shuffle AsofJoin — no range join, no
+    // per-version explosion. Orders before a customer's first version
+    // (or for users with no events) surface as 'none'.
+    "scd2_point_in_time" -> ((spark, dir) => {
+      val band = when(col("value") > 100, lit("high"))
+        .when(col("value") > 50, lit("mid"))
+        .otherwise(lit("low"))
+      val versions = Lakehouse.scd2(
+        Tables.events(spark, dir), "user_id", "ts", "event_id", band)
+        .select(col("user_id"), col("valid_from").as("v_ts"),
+          col("attr_value").as("band"))
+      val probes = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.operators.AsofJoin.backward(probes, versions,
+        key = "user_id", leftTime = "o_ts", rightTime = "v_ts",
+        payloadCols = Seq("band"))
+        .select(col("o_orderkey"), col("user_id"),
+          coalesce(col("band"), lit("none")).as("band_at_order"))
     })
   )
 
@@ -90,6 +117,26 @@ object LakehouseQueries {
         |  CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS to_s,
         |  lead(ts) OVER w IS NULL AS is_current
         |FROM ch
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "scd2_point_in_time" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN value > 100 THEN 'high'
+        |         WHEN value > 50 THEN 'mid' ELSE 'low' END AS band
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, ts, band,
+        |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM b
+        |), ch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, band FROM c
+        |  WHERE prev IS NULL OR band <> prev
+        |)
+        |SELECT o_orderkey, o.o_custkey AS user_id,
+        |  coalesce(ch.band, 'none') AS band_at_order
+        |FROM orders o ASOF LEFT JOIN ch
+        |  ON o.o_custkey = ch.user_id
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= ch.v_ts""".stripMargin
   )
 }
