@@ -81,6 +81,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("cosinePairsAbove is complete for random vectors across thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (t <- Seq(0.05, 0.3, 0.6, 0.85)) {
+      val vecs = (0 until 120).map(i =>
+        (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val banded = Similarity.cosinePairsAbove(df, "vec_id", "embedding", t)
+      val l = df.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        Similarity.norm(col("embedding")).as("n_a"))
+      val r = df.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        Similarity.norm(col("embedding")).as("n_b"))
+      val brute = l.crossJoin(r).where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(
+          Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
+        .where(col("cos") >= t)
+        .select("vec_a", "vec_b", "cos")
+      assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+        s"banding diverged from all-pairs at threshold $t")
+    }
+  }
+
   test("angular-banded cosine pairs equal the all-pairs form (completeness)") {
     val sample = Tables.embeddings(spark, sfDir).where(col("vec_id") % 3 === 0)
     // 0.22 is BELOW any registered threshold: more borderline pairs than
