@@ -467,6 +467,37 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Deterministic random projection to `outDim` dimensions: each
+    * output coordinate is a ±1-weighted (Rademacher) combination of
+    * the input, scaled by 1/√outDim — the Achlioptas construction of
+    * the Johnson–Lindenstrauss transform. Weights derive from sin (the
+    * same deterministic family as [[lshSignature]]) and fold into
+    * LITERAL arrays, so projection is a zero-shuffle codegen'd
+    * projection and any engine can rebuild the identical matrix. The
+    * 4× dimension cut is the standard pre-step before brute-force or
+    * IVF ANN when the dot product itself dominates.
+    */
+  def randomProject(emb: Column, dim: Int, outDim: Int): Column = {
+    val ed = emb.cast("array<double>")
+    val scale = 1.0 / math.sqrt(outDim)
+    array((0 until outDim).map { p =>
+      val weights = array((0 until dim).map(d =>
+        lit(if (math.sin(1 + d + p * dim) >= 0) scale else -scale)): _*)
+      dot(ed, weights)
+    }: _*)
+  }
+
+  /** DuckDB twin of [[randomProject]] (same literal weight arrays). */
+  def randomProjectSql(emb: String, dim: Int, outDim: Int): String = {
+    val scale = 1.0 / math.sqrt(outDim)
+    (0 until outDim).map { p =>
+      val w = (0 until dim)
+        .map(d => if (math.sin(1 + d + p * dim) >= 0) s"$scale" else s"-$scale")
+        .mkString("[", ", ", "]")
+      s"list_dot_product($emb::DOUBLE[], $w::DOUBLE[])"
+    }.mkString("[", ", ", "]")
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k within matching signature
     * buckets only. Trades recall for a bucket-local join — the scale
     * path when queries are too many to broadcast-score the corpus.

@@ -115,6 +115,19 @@ object VectorQueries {
       Similarity.cosinePairsAbove(sample, "vec_id", "embedding", 0.35)
     }),
 
+    // Johnson–Lindenstrauss random projection 64→16 (Achlioptas ±1
+    // weights, deterministic literal matrix): the standard pre-step
+    // when the dot product itself dominates ANN cost. Zero-shuffle
+    // projection; emitted long-form so every projected component is
+    // hash-checked against the oracle's identical literal matrix.
+    "vec_random_projection" -> ((spark, dir) => {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(
+          Similarity.randomProject(col("embedding"), 64, 16)).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("v"), 4).as("v"))
+    }),
+
     // Symmetric int8 quantization — the 4× storage/bandwidth lever for
     // embedding corpora at 100 TB: per-vector scale = max|x|/127,
     // codes = round(x/scale) ∈ [-127, 127]. A zero-shuffle projection;
@@ -241,6 +254,16 @@ object VectorQueries {
          |FROM pairs p
          |JOIN d da ON p.vec_a = da.doc_id
          |JOIN d db ON p.vec_b = db.doc_id""".stripMargin
+    },
+
+    "vec_random_projection" -> {
+      val rp = Similarity.randomProjectSql("embedding", 64, 16)
+      s"""WITH p AS (
+         |  SELECT vec_id, $rp AS rp FROM embeddings
+         |)
+         |SELECT vec_id, CAST(pos AS BIGINT) AS pos, round(v, 4) AS v FROM (
+         |  SELECT vec_id, unnest(rp) AS v, unnest(range(16)) AS pos FROM p
+         |)""".stripMargin
     },
 
     "vec_int8_quantize" ->
