@@ -58,4 +58,55 @@ object Layout {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
   }
+
+  /** Per-file zone map over `cols`: min/max of each column keyed by
+    * `input_file_name()` — the manifest a lakehouse keeps beside the
+    * data. One aggregation, file-cardinality output (bounded by file
+    * count, never row count).
+    */
+  def zoneMap(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write `df` Z-order-clustered on (x, y) to `dir` and persist its
+    * zone map under `dir/_zonemap` (the `_` prefix keeps parquet
+    * readers from treating the stats as data). Write-time work: the
+    * read side never re-scans the table to learn its file ranges.
+    */
+  def writeZoneMapped(df: DataFrame, x: Column, y: Column, nFiles: Int,
+                      dir: String, statsCols: Seq[String]): Unit = {
+    zorderCluster(df, x, y, nFiles).write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    zoneMap(spark.read.parquet(dir), statsCols)
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir + "/_zonemap")
+  }
+
+  /** Scan-time data skipping from the persisted zone map: keep only
+    * the files whose [min, max] box overlaps EVERY predicate interval
+    * (bounds inclusive), then read just those and apply the exact
+    * filter. The file-list collect is manifest-cardinality driver work
+    * — the same shape as a Delta/Iceberg planning step; correctness
+    * never depends on how well the layout clustered (a file missed by
+    * clustering still overlaps and is read).
+    */
+  def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      ranges: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    val zm = spark.read.parquet(dir + "/_zonemap")
+    val kept = ranges.foldLeft(zm) { case (acc, (c, lo, hi)) =>
+      acc.where(col(s"${c}_min") <= hi && col(s"${c}_max") >= lo)
+    }
+    val files = kept.select(col("file")).collect().map(_.getString(0)).sorted
+    val total = zm.count().toInt
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    val exact = ranges.foldLeft(base) { case (acc, (c, lo, hi)) =>
+      acc.where(col(c).between(lo, hi))
+    }
+    (exact, files.length, total)
+  }
 }

@@ -72,6 +72,34 @@ object Sampling {
     df.where(bucket(id, 1000) < alloc)
   }
 
+  /** Domain-mix rebalance (DoReMi-style, uniform target): downsample
+    * each domain so every domain contributes ~equally, via the same
+    * deterministic hash filter as [[stratifiedSample]] — but with the
+    * per-domain acceptance RATE derived from measured cardinalities
+    * (rate_d = min(1, total / (nDomains · count_d))) instead of a
+    * hand-tuned map. Two aggregations over the data (one for counts,
+    * one implicit in the filter scan) and a broadcast of the
+    * domain-cardinality rate table — no shuffle of the corpus itself.
+    * Rates are IEEE doubles computed with one division and one
+    * multiply, so any engine reproduces the same keep decisions.
+    */
+  def domainRebalance(df: DataFrame, domainCol: String, id: Column,
+                      bucket: (Column, Int) => Column = modBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // counts is domain-cardinality (tiny); the empty-partition window
+    // runs over those few rows only.
+    val rates = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rate",
+        least(lit(1.0),
+          sum(col("__cnt")).over(w).cast("double") /
+            (count(lit(1)).over(w) * col("__cnt"))))
+      .select(col(domainCol), col("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(bucket(id, 1000000).cast("double") < col("__rate") * 1e6)
+      .drop("__rate")
+  }
+
   /** Deterministic "reservoir": the k rows with the smallest
     * xxhash64(id) — a uniform-without-replacement sample that is
     * stable across runs, partitionings, and (unlike a true reservoir

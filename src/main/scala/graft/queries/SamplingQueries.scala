@@ -3,12 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Layout, Sampling}
+import graft.functions.TextFns
+import graft.operators.{Layout, Packing, Sampling}
 
-/** Deterministic sampling / splitting / layout queries over `events`.
-  * All three use engine-portable integer arithmetic (multiplicative
-  * hash, bit interleave), so every row-level membership decision is
-  * hash-compared against the DuckDB twin — not just row counts.
+/** Deterministic sampling / splitting / packing / layout queries.
+  * All use engine-portable arithmetic (multiplicative hash, bit
+  * interleave, window prefix sums, IEEE-double rates), so every
+  * row-level membership/assignment decision is hash-compared against
+  * the DuckDB twin — not just row counts.
   */
 object SamplingQueries {
 
@@ -70,6 +72,41 @@ object SamplingQueries {
         .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"))
     }),
 
+    // Concat-and-chunk sequence packing at a 512-token budget: every
+    // document's tokens land at a global offset (two-level distributed
+    // prefix sum — no corpus-wide single-partition window; see
+    // operators.Packing), and each (doc × context window) row is
+    // hash-checked against the oracle's window-function rebuild,
+    // boundary splits included.
+    "pack_sequences" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      Packing.packChunks(docs, "doc_id", "n_tok",
+        budget = PackBudget, bucketWidth = 1000)
+    }),
+
+    // RAG-style sliding token windows (size 32, stride 24) — a pure
+    // per-row projection; content anchors (first/last token) make the
+    // hash sensitive to the slicing itself.
+    "text_chunk_sliding" -> ((spark, dir) => {
+      Packing.slidingChunks(
+        Tables.documents(spark, dir), "doc_id",
+        TextFns.tokens(col("text")), size = ChunkSize, stride = ChunkStride)
+    }),
+
+    // Domain-mix rebalance over the skewed `lang` column (en is ~44%
+    // of the fixture): per-language acceptance rates derived from
+    // measured cardinalities (uniform target share; over-represented
+    // languages downsample, small ones keep everything), membership by
+    // deterministic hash — counts agg + broadcast rate table, no
+    // corpus shuffle.
+    "sample_domain_mix" -> ((spark, dir) => {
+      Sampling.domainRebalance(
+        Tables.documents(spark, dir), "lang", col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Morton (Z-order) clustering key over two dimensions — the value
     // a layout-optimizing writer range-partitions by (Layout
     // .zorderCluster); checked bit-for-bit against DuckDB.
@@ -79,8 +116,100 @@ object SamplingQueries {
           Layout.zorderKey(
             pmod(col("event_id"), lit(65536L)),
             pmod(col("user_id"), lit(65536L))).as("zkey"))
+    }),
+
+    // Zone-map data skipping end to end: events written Z-order-
+    // clustered on (user_id, event_id/16) with a persisted per-file
+    // min/max manifest, then a 2-D range predicate planned by pruning
+    // the FILE LIST from the manifest (manifest-cardinality driver
+    // work, the Delta/Iceberg planning shape) before the exact filter
+    // runs. Correct regardless of clustering quality — a file is only
+    // skipped when its stats PROVE it has no qualifying row; the
+    // oracle checks the result against a plain filter, and
+    // LayoutSkipSpec pins that files actually get skipped. Write-once,
+    // read-many via the ivf-bucketed marker pattern.
+    "layout_stats_skipping" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val restDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_zorder_rest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val marker = new java.io.File(restDir, "_graft_layout")
+      val fp = ev.agg(count(lit(1)), expr("bit_xor(xxhash64(event_id))")).collect()(0)
+      val layoutId = s"rows=${fp.getLong(0)};ids=${fp.getLong(1)}"
+      val fresh = marker.isFile && new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
+      if (!fresh) {
+        Layout.writeZoneMapped(ev,
+          pmod(col("user_id"), lit(65536L)),
+          pmod(floor(col("event_id") / 16).cast("long"), lit(65536L)),
+          nFiles = 32, restDir, statsCols = Seq("user_id", "event_id"))
+        java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
+      }
+      val (out, _, _) = Layout.statsPrunedRead(spark, restDir,
+        Seq(("user_id", 4L, 10L), ("event_id", 100L, 2000L)))
+      out.select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
     })
   )
+
+  private val PackBudget = 512
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  private val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+       |), p AS (
+       |  SELECT doc_id, n_tok,
+       |    coalesce(sum(n_tok) OVER (
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+       |  FROM t
+       |), e AS (
+       |  SELECT doc_id, n_tok, tok_offset,
+       |    unnest(range(tok_offset // $PackBudget,
+       |                 (tok_offset + n_tok - 1) // $PackBudget + 1)) AS chunk_id
+       |  FROM p WHERE n_tok > 0
+       |)
+       |SELECT doc_id, chunk_id,
+       |  least(tok_offset + n_tok, (chunk_id + 1) * $PackBudget) -
+       |    greatest(tok_offset, chunk_id * $PackBudget) AS tok_in_chunk,
+       |  tok_offset
+       |FROM e""".stripMargin
+
+  private val chunkSlidingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM t
+       |), e AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, CASE WHEN n <= 0 THEN 0
+       |      ELSE 1 + greatest(0,
+       |        CAST(ceil((n - $ChunkSize)::DOUBLE / $ChunkStride) AS BIGINT))
+       |      END)) AS chunk_idx
+       |  FROM n
+       |)
+       |SELECT doc_id, chunk_idx,
+       |  least(n - chunk_idx * $ChunkStride, $ChunkSize) AS n_in_chunk,
+       |  toks[CAST(chunk_idx * $ChunkStride + 1 AS INT)] AS first_tok,
+       |  toks[CAST(least(n, chunk_idx * $ChunkStride + $ChunkSize) AS INT)] AS last_tok
+       |FROM e""".stripMargin
+
+  private val domainMixSql: String = {
+    val b = Sampling.modBucketSql("d.doc_id", 1000000)
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS cnt FROM documents GROUP BY 1
+       |), r AS (
+       |  SELECT lang,
+       |    least(1.0, (sum(cnt) OVER ())::DOUBLE /
+       |      ((count(*) OVER ()) * cnt)) AS rate
+       |  FROM c
+       |)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN r USING (lang)
+       |WHERE $b < rate * 1e6""".stripMargin
+  }
 
   private val splitSql: String = {
     val b = Sampling.modBucketSql("event_id", 1000)
@@ -125,9 +254,17 @@ object SamplingQueries {
          |  FROM events
          |) WHERE rn <= 20""".stripMargin,
     "sample_stratified" -> stratifiedSql,
+    "pack_sequences" -> packSequencesSql,
+    "text_chunk_sliding" -> chunkSlidingSql,
+    "sample_domain_mix" -> domainMixSql,
     "layout_zorder" ->
       s"""SELECT event_id,
          |  ${Layout.zorderKeySql("event_id % 65536", "user_id % 65536")} AS zkey
-         |FROM events""".stripMargin
+         |FROM events""".stripMargin,
+    "layout_stats_skipping" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 10
+        |  AND event_id BETWEEN 100 AND 2000""".stripMargin
   )
 }

@@ -203,13 +203,21 @@ object TextQueries {
     // map-side combinable. This is n-gram-overlap contamination as run
     // before any evaluation on a scraped corpus.
     "text_contamination" -> ((spark, dir) => {
+      // Grams join on xxhash64 keys (8 bytes, not shingle strings);
+      // the oracle joins the STRINGS, so the hash match doubles as a
+      // collision check (the dedup_ngram_jaccard pattern). The bench
+      // side is force-broadcast: an eval suite is bounded by
+      // construction (it does not grow with the corpus), so the
+      // production shape is exactly this — broadcast the bench n-gram
+      // set, map-side hash join, the corpus itself never shuffles;
+      // only matching (doc, bench) pairs reach the pair aggregation.
       val grams = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(array_distinct(
-          TextFns.shingles(TextFns.tokens(col("text")), 3))).as("g"))
+          TextFns.hashedShingles(TextFns.tokens(col("text")), 3))).as("g"))
       val bench = grams.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       grams.where(col("doc_id") % 97 =!= 0)
-        .join(bench, Seq("g"))
+        .join(broadcast(bench), Seq("g"))
         .groupBy("doc_id", "bench_id")
         .agg(count(lit(1)).as("shared_ngrams"))
         .where(col("shared_ngrams") >= 2)

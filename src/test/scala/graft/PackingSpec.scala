@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.{Packing, Sampling}
+
+class PackingSpec extends SparkSpec {
+
+  private def tokDocs = Tables.documents(spark, sfDir)
+    .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+
+  test("two-level prefix sum equals the single-window reference") {
+    val got = Packing.prefixSum(tokDocs, "doc_id", "n_tok", "off", bucketWidth = 7)
+    val ref = tokDocs.withColumn("off",
+      coalesce(sum(col("n_tok")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("prefix sum has no corpus-wide unpartitioned window in the plan") {
+    val plan = Packing.prefixSum(tokDocs, "doc_id", "n_tok", "off", 1000)
+      .queryExecution.optimizedPlan
+    // The only empty-partitionSpec Window must sit on the bucket
+    // AGGREGATE (rows = N/bucketWidth), never on the raw rows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val globalWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty)
+    globalWindows.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "global window must run over the bucket aggregate, not raw rows")
+    }
+  }
+
+  test("packing conserves tokens and never overfills a window") {
+    val budget = 128L
+    val chunks = Packing.packChunks(tokDocs, "doc_id", "n_tok", budget, 50)
+    val totalToks = tokDocs.agg(sum("n_tok")).head.getLong(0)
+    assert(chunks.agg(sum("tok_in_chunk")).head.getLong(0) === totalToks)
+    val perChunk = chunks.groupBy("chunk_id").agg(sum("tok_in_chunk").as("t"))
+    assert(perChunk.where(col("t") > budget).isEmpty)
+    // every window except the last is filled exactly to the budget
+    val lastChunk = (totalToks - 1) / budget
+    assert(perChunk.where(col("t") < budget && col("chunk_id") < lastChunk).isEmpty)
+    // a document never lands twice in the same window
+    assert(chunks.groupBy("doc_id", "chunk_id").count().where(col("count") > 1).isEmpty)
+  }
+
+  test("sliding chunks cover every token with the configured overlap") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val out = Packing.slidingChunks(docs, "doc_id",
+      TextFns.tokens(col("text")), size = 32, stride = 24)
+    val nToks = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n"))
+    // last chunk per doc ends at the last token; first starts at token 1
+    val last = out.groupBy("doc_id").agg(
+      max(col("chunk_idx")).as("mx"), count(lit(1)).as("cnt"))
+      .join(nToks, Seq("doc_id"))
+    assert(last.where(col("cnt") =!= col("mx") + 1).isEmpty)
+    // chunk counts match ceil arithmetic
+    assert(last.where(col("cnt") =!=
+      when(col("n") <= 32, lit(1L))
+        .otherwise(lit(1L) + ceil((col("n") - 32).cast("double") / 24).cast("long"))).isEmpty)
+    // short chunks only at the tail
+    assert(out.join(nToks, Seq("doc_id"))
+      .where(col("n_in_chunk") < 32 &&
+        col("chunk_idx") * 24 + col("n_in_chunk") =!= col("n")).isEmpty)
+  }
+
+  test("domain rebalance caps over-represented domains deterministically") {
+    val docs = Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.domainRebalance(docs, "lang", col("doc_id"))
+    val after = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = before.values.sum.toDouble / before.size
+    after.foreach { case (lang, c) =>
+      if (before(lang) <= target) // small domains keep every row
+        assert(c === before(lang))
+      else // big domains sample down to ~the uniform target count
+        assert(math.abs(c - target) / target < 0.15, s"$lang: $c vs $target")
+    }
+    // re-running over a different partitioning selects identical rows
+    val again = Sampling.domainRebalance(docs.repartition(11), "lang", col("doc_id"))
+      .select(col("doc_id"), col("lang"))
+    val first = out.select(col("doc_id"), col("lang"))
+    assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
+  }
+}
