@@ -52,4 +52,24 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Split a coarse-grained scan for CPU-bound downstream work (gram
+    * explosion, hashing): a single-row-group parquet file cannot be
+    * split by the reader, so everything narrow behind it runs in ONE
+    * task. When the plan yields fewer partitions than the session's
+    * shuffle width, redistribute; at lake scale input splits >> cores,
+    * so the guard makes this a no-op and the corpus is never shuffled.
+    *
+    * Measured guidance: worth it ONLY when the expansion feeds a
+    * broadcast join / narrow pipeline (text_contamination: 1.6→0.8 s,
+    * blocked-jaccard: 0.8→0.5 s at sf0.1). When a shuffle already
+    * follows the expansion (groupBy/window), that exchange re-spreads
+    * the work anyway and the extra repartition only adds a
+    * materialization — minhash/simhash/tf-idf/unigram regressed
+    * 1.5-2.5× with it and keep the plain scan.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 }

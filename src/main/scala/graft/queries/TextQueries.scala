@@ -34,7 +34,7 @@ object TextQueries {
 
     // Blocked exact n-gram Jaccard near-dup pairs (lang+source blocks).
     "dedup_ngram_jaccard" -> ((spark, dir) => {
-      Dedup.blockedJaccardPairs(Tables.documents(spark, dir),
+      Dedup.blockedJaccardPairs(Tables.widen(Tables.documents(spark, dir)),
         "doc_id", "text", Seq("lang", "source"), shingleN = 2, threshold = 0.3)
     }),
 
@@ -211,7 +211,7 @@ object TextQueries {
       // production shape is exactly this — broadcast the bench n-gram
       // set, map-side hash join, the corpus itself never shuffles;
       // only matching (doc, bench) pairs reach the pair aggregation.
-      val grams = Tables.documents(spark, dir)
+      val grams = Tables.widen(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(array_distinct(
           TextFns.hashedShingles(TextFns.tokens(col("text")), 3))).as("g"))
       val bench = grams.where(col("doc_id") % 97 === 0)
