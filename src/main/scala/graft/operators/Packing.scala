@@ -38,7 +38,10 @@ object Packing {
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val bucketed = df.withColumn("__bkt", floor(col(orderCol) / bucketWidth))
+    // integer DIV, not floor(/): fp division loses ulps above 2^53,
+    // and content-addressed (hashed) ids live there legitimately.
+    val bucketed = df.withColumn("__bkt",
+      expr(s"CAST(`$orderCol` AS BIGINT) DIV $bucketWidth"))
     // Bucket-level start offsets: tiny table, safe to sort in one task
     // and broadcast (N/bucketWidth rows — see sizing note above).
     val offsets = bucketed

@@ -82,6 +82,8 @@ object Sampling {
     * domain-cardinality rate table — no shuffle of the corpus itself.
     * Rates are IEEE doubles computed with one division and one
     * multiply, so any engine reproduces the same keep decisions.
+    * Null domains never match the rate equi-join and are DROPPED —
+    * coalesce the domain column upstream if nulls must survive.
     */
   def domainRebalance(df: DataFrame, domainCol: String, id: Column,
                       bucket: (Column, Int) => Column = modBucket): DataFrame = {

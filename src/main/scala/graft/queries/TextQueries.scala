@@ -259,6 +259,33 @@ object TextQueries {
           (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
     }),
 
+    // Incremental-ingest dedup: today's crawl batch (doc_id ≡ 0 mod
+    // 10) checked against the existing lake — exact content hash and
+    // normalized 40-char-prefix hash, each a distinct-key equi-join
+    // the planner broadcasts while the lake digest fits and
+    // shuffle-joins beyond (the digests are 16-byte hashes, not
+    // documents — the corpus text itself never moves). The daily shape
+    // of every production dedup: never re-pair the whole lake, only
+    // batch × digest.
+    "dedup_incremental" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val batch = docs.where(col("doc_id") % 10 === 0)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val exact = corpus.select(md5(col("text")).as("h")).distinct()
+        .withColumn("is_exact_dup", lit(true))
+      val prefix = corpus
+        .select(md5(substring(col("text"), 1, 40)).as("p")).distinct()
+        .withColumn("is_prefix_dup", lit(true))
+      batch
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          md5(substring(col("text"), 1, 40)).as("p"))
+        .join(exact, Seq("h"), "left")
+        .join(prefix, Seq("p"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+          coalesce(col("is_prefix_dup"), lit(false)).as("is_prefix_dup"))
+    }),
+
     // Rolling-hash document fingerprint — native codegen'd Catalyst
     // expression (graft.expressions.TokenFingerprint); semantics are
     // identical to the HOF form TextFns.fingerprint (spec-checked).
@@ -355,6 +382,17 @@ object TextQueries {
       """SELECT md5(substring(text, 1, 40)) AS dup_key, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT b.doc_id,
+        |  EXISTS (SELECT 1 FROM documents c
+        |          WHERE c.doc_id % 10 <> 0
+        |            AND md5(c.text) = md5(b.text)) AS is_exact_dup,
+        |  EXISTS (SELECT 1 FROM documents c
+        |          WHERE c.doc_id % 10 <> 0
+        |            AND md5(substring(c.text, 1, 40)) =
+        |                md5(substring(b.text, 1, 40))) AS is_prefix_dup
+        |FROM documents b WHERE b.doc_id % 10 = 0""".stripMargin,
 
     "dedup_ngram_jaccard" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
