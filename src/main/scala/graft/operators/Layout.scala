@@ -65,6 +65,7 @@ object Layout {
     * count, never row count).
     */
   def zoneMap(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap needs at least one stats column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     df.groupBy(input_file_name().as("file"))

@@ -72,6 +72,21 @@ object StreamingOps {
                        joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), streamKey === dimKey, joinType)
 
+  /** Streaming incremental dedup against the lake: drop stream rows
+    * whose digest of `content` already exists in `lakeDigest`
+    * (single column `h`). A stream-static LEFT ANTI join — stateless
+    * on the stream side, re-planned per micro-batch (a refreshed
+    * digest snapshot is picked up between batches for file-backed
+    * lakes). Within-batch copies survive this check; chain
+    * `.dropDuplicates("h")` (or dropDuplicatesWithinWatermark for
+    * late replays) behind it when the stream itself can repeat — the
+    * batch dedup_incremental query is the backfill twin of this shape.
+    */
+  def dedupAgainstLake(stream: DataFrame, lakeDigest: DataFrame,
+                       content: Column): DataFrame =
+    stream.withColumn("h", md5(content))
+      .join(lakeDigest, Seq("h"), "left_anti")
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionAgg(startMs: Long, endMs: Long, n: Int, total: Double)
   final case class UserSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,

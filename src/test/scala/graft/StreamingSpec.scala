@@ -133,6 +133,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedups against the lake digest, then within itself") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // the lake already holds "alpha" — its 16-byte digest, not its text
+    val lake = Seq("alpha").toDF("text").select(md5(col("text")).as("h"))
+    val fresh = StreamingOps.dedupAgainstLake(
+        mem.toDF().toDF("doc_id", "text"), lake, col("text"))
+      .dropDuplicates("h") // within-stream copies
+    val q = fresh.writeStream.format("memory").queryName("lake_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "beta"))
+      q.processAllAvailable()
+      // a later batch replays both an in-lake and an already-seen doc
+      mem.addData((4L, "alpha"), (5L, "beta"), (6L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("lake_dedup").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((2L, "beta"), (6L, "gamma")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream from a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
