@@ -21,9 +21,16 @@ object TpchQueries {
     * oracles so all four stay fully hash-checkable.
     */
   private def partsupp(spark: SparkSession, dir: String): DataFrame =
+    // equi-join on the materialized congruence class, not a theta join
+    // on `p % 4 = s % 4`: the latter plans a nested loop evaluating
+    // |part|×|supplier| predicates; hashing the 4-value key gets the
+    // same relation at linear probe cost.
     Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"))),
-        col("p_partkey") % 4 === col("s_suppkey") % 4)
+      .withColumn("__m", pmod(col("p_partkey"), lit(4)))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"))
+          .withColumn("__m", pmod(col("s_suppkey"), lit(4)))),
+        Seq("__m"))
+      .drop("__m")
       .select(
         col("p_partkey").as("ps_partkey"),
         col("s_suppkey").as("ps_suppkey"),
