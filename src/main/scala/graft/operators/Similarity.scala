@@ -376,6 +376,47 @@ object Similarity {
         col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** IVF-PQ: the coarse quantizer prunes candidates to the query's
+    * nProbe nearest cells, and ADC tables score ONLY those candidates —
+    * the composition every billion-scale serving index ships (FAISS
+    * IVFPQ): per-query work drops ~nCells/nProbe-fold from the cell
+    * prune AND dim/m-fold from the table lookups, multiplicatively.
+    * Corpus-side cell assignment and PQ encoding are one zero-shuffle
+    * projection; the probe (queries × nProbe cells, with their ADC
+    * tables) broadcasts; the only shuffle is the final per-query top-k.
+    * Recall-lossy on both axes → recall-harness gated.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                dim: Int = 64, m: Int = 16, nCodes: Int = 32,
+                nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    val cScores = cellScores(sampleCodebook(corpus, nCells)) _
+    val subDim = dim / m
+    val books = pqCodebooks(corpus, m, subDim, nCodes)
+    val cwNormSq = books.map(_.map(w => w.map(x => x * x).sum))
+    val encoded = corpus.select(col("vec_id"),
+        wrap(PqEncode(exprOf(col("embedding")), books)).as("codes"),
+        array_max(cScores(col("embedding"))).getField("cell").as("cell"))
+      .withColumn("recon_nrm", wrap(PqReconNorm(exprOf(col("codes")), cwNormSq)))
+    val probed = queries.select(
+        col("vec_id").as("query_id"),
+        norm(col("embedding")).as("q_nrm"),
+        wrap(PqAdcTables(exprOf(col("embedding")), books)).as("tables"),
+        explode(slice(reverse(array_sort(cScores(col("embedding")))), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("q_nrm"), col("tables"),
+        col("sc").getField("cell").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    encoded.join(broadcast(probed), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(
+        wrap(PqAdcScore(exprOf(col("tables")), exprOf(col("codes")), nCodes)) /
+          (col("q_nrm") * col("recon_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
   /** Recall/shape harness for an approximate top-k against the exact
     * brute-force result — the form that makes a recall-lossy index
     * oracle-checkable: the oracle asserts the INVARIANT (mean recall

@@ -259,6 +259,26 @@ object TextQueries {
           (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
     }),
 
+    // Vocabulary coverage / OOV rate: top-V corpus words (deterministic
+    // count-desc, word-asc cut) broadcast back, per-doc fraction of
+    // tokens outside the vocab — the tokenizer-fit signal a pipeline
+    // checks before committing to a vocab. The vocab derivation is a
+    // map-side-combined agg + TakeOrdered (V rows to the driver,
+    // vocab-bounded, never corpus-bounded).
+    "text_oov_rate" -> ((spark, dir) => {
+      val words = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word").asc).limit(50)
+        .select(col("word"), lit(true).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(
+          round(sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as("oov_rate"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // Incremental-ingest dedup: today's crawl batch (doc_id ≡ 0 mod
     // 10) checked against the existing lake — exact content hash and
     // normalized 40-char-prefix hash, each a distinct-key equi-join
@@ -382,6 +402,22 @@ object TextQueries {
       """SELECT md5(substring(text, 1, 40)) AS dup_key, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), v AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS c FROM w
+        |    GROUP BY 1 ORDER BY c DESC, word ASC LIMIT 50
+        |  )
+        |)
+        |SELECT w.doc_id,
+        |  round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*), 4) AS oov_rate,
+        |  count(*) AS n_tokens
+        |FROM w LEFT JOIN v ON w.word = v.word
+        |GROUP BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT b.doc_id,

@@ -81,6 +81,19 @@ object VectorQueries {
         minAvgRecall = 0.15)
     }),
 
+    // IVF-PQ: coarse-cell pruning × ADC table scoring composed — the
+    // billion-scale serving index shape. Both axes are recall-lossy,
+    // so the floor sits under the PQ-alone floor (cell prune can only
+    // drop candidates PQ would have kept).
+    "ann_ivfpq_topk" -> ((spark, dir) => {
+      val corpus = Tables.embeddings(spark, dir)
+      val q = queriesDf(spark, dir)
+      Similarity.recallHarness(
+        Similarity.ivfPqTopK(corpus, q, K),
+        Similarity.bruteForceTopK(corpus, q, K),
+        minAvgRecall = 0.1)
+    }),
+
     // Cross-modal: do embedding near-dups agree with text near-dups?
     // Joins the similarity and text-dedup families over the shared id
     // space; emits both signals per candidate pair. Pair generation is
@@ -236,6 +249,7 @@ object VectorQueries {
     "ann_ivf_topk" -> recallHarnessOracle,
     "ann_ivf_bucketed" -> recallHarnessOracle,
     "ann_pq_topk" -> recallHarnessOracle,
+    "ann_ivfpq_topk" -> recallHarnessOracle,
 
     "xmodal_dup_agreement" -> {
       val sh = graft.functions.TextFns.shinglesSql("string_split(text, ' ')", 2)
