@@ -92,6 +92,38 @@ object Packing {
         col("tok_offset"))
   }
 
+  /** Length-bucketed batching for inference: group documents of
+    * similar token count (linear width-`bucketWidth` buckets — integer
+    * DIV, engine-portable; log buckets would ride on libm log2 ulps)
+    * and form fixed-size batches inside each (bucket, shard), so
+    * per-batch padding waste = batch max − doc length stays small.
+    * The shard (hash of the id) bounds every window partition at
+    * corpus/(buckets·shards) rows — without it a popular length
+    * bucket becomes ONE window task at 100 TB. Batching within a
+    * shard costs nothing: batches are still length-homogeneous.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, nTokCol: String,
+                          bucketWidth: Int, nShards: Int,
+                          batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && nShards > 0 && batchSize > 0,
+      "bucketWidth, nShards, batchSize must be positive")
+    val byBatch = docs
+      .withColumn("bucket", expr(s"`$nTokCol` DIV $bucketWidth"))
+      .withColumn("shard",
+        pmod(col(idCol) * lit(2654435761L), lit(nShards.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket"), col("shard"))
+          .orderBy(col(idCol))))
+      .withColumn("batch", expr(s"(CAST(rn AS BIGINT) - 1) DIV $batchSize"))
+    byBatch
+      .withColumn("padding_waste",
+        max(col(nTokCol)).over(
+          Window.partitionBy(col("bucket"), col("shard"), col("batch"))) -
+          col(nTokCol))
+      .select(col(idCol), col("bucket"), col("shard"), col("batch"),
+        col(nTokCol), col("padding_waste"))
+  }
+
   /** Per-document sliding token windows (RAG-style chunking): window k
     * covers tokens [k·stride, k·stride+size); the last window may be
     * short; a document shorter than `size` yields one window. A pure

@@ -95,6 +95,37 @@ object SamplingQueries {
         TextFns.tokens(col("text")), size = ChunkSize, stride = ChunkStride)
     }),
 
+    // Length-bucketed inference batching: width-16 token buckets ×
+    // hash shards × size-8 batches; per-doc padding waste against the
+    // batch max is the metric the layout exists to minimize. Every
+    // assignment and the waste column hash-check against the oracle's
+    // identical window arithmetic.
+    "pack_length_buckets" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      Packing.lengthBucketBatches(docs, "doc_id", "n_tok",
+        bucketWidth = 16, nShards = 4, batchSize = 8)
+    }),
+
+    // Dataset card: corpus composition report in ONE grouping-sets
+    // pass — per-lang, per-source, per-(lang × source), and the grand
+    // total; doc counts, token totals, char means. The report every
+    // training-data release ships, at one-shuffle cost.
+    "dataset_card" -> ((spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+          col("n_chars"))
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")),
+            Seq(col("lang"), col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+    }),
+
     // Domain-mix rebalance over the skewed `lang` column (en is ~44%
     // of the fixture): per-language acceptance rates derived from
     // measured cardinalities (uniform target share; over-represented
@@ -255,6 +286,31 @@ object SamplingQueries {
          |) WHERE rn <= 20""".stripMargin,
     "sample_stratified" -> stratifiedSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+        |    (doc_id * 2654435761) % 4 AS shard
+        |  FROM t
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY bucket, shard ORDER BY doc_id) AS rn
+        |  FROM b
+        |), a AS (
+        |  SELECT *, (rn - 1) // 8 AS batch FROM r
+        |)
+        |SELECT doc_id, bucket, shard, batch, n_tok,
+        |  max(n_tok) OVER (PARTITION BY bucket, shard, batch) - n_tok
+        |    AS padding_waste
+        |FROM a""".stripMargin,
+    "dataset_card" ->
+      """SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""".stripMargin,
     "text_chunk_sliding" -> chunkSlidingSql,
     "sample_domain_mix" -> domainMixSql,
     "layout_zorder" ->

@@ -71,6 +71,20 @@ class PackingSpec extends SparkSpec {
         col("chunk_idx") * 24 + col("n_in_chunk") =!= col("n")).isEmpty)
   }
 
+  test("length-bucket batches are bounded, homogeneous, and deterministic") {
+    val out = Packing.lengthBucketBatches(tokDocs, "doc_id", "n_tok",
+      bucketWidth = 16, nShards = 4, batchSize = 8)
+    // no batch exceeds batchSize members
+    assert(out.groupBy("bucket", "shard", "batch").count()
+      .where(col("count") > 8).isEmpty)
+    // all members of a batch share a length bucket → waste < bucketWidth
+    assert(out.where(col("padding_waste") >= 16 || col("padding_waste") < 0).isEmpty)
+    // assignment is a pure function of the data, not the partitioning
+    val again = Packing.lengthBucketBatches(
+      tokDocs.repartition(13), "doc_id", "n_tok", 16, 4, 8)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("domain rebalance caps over-represented domains deterministically") {
     val docs = Tables.documents(spark, sfDir)
     val before = docs.groupBy("lang").count()
