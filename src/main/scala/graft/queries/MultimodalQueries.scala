@@ -33,6 +33,21 @@ object MultimodalQueries {
       val sampled = Multimodal.frameSampleStub(spark, assets, stride = 3)
       val resized = Multimodal.resizeStub(spark, sampled.toDF(), targetBytes = 64)
       Multimodal.extractFeatures(spark, resized.toDF()).toDF()
+    }),
+
+    // REAL audio DSP: decode the WAV container, read the frame as
+    // little-endian PCM16, emit per-asset RMS energy + peak amplitude.
+    // int16 squares sum exactly in doubles (< 2^53), so the oracle
+    // rebuilds the identical values from the synthesized body bytes —
+    // the decode→DSP tier is hash-gated end to end.
+    "mm_audio_features" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val assets = Multimodal
+        .assetsFromDocuments(Tables.documents(spark, dir))
+        .where(col("media_type") === "audio")
+      Multimodal.pcm16Features(spark, assets).toDF()
+        .select(col("asset_id"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("peak"))
     })
   )
 
@@ -57,6 +72,24 @@ object MultimodalQueries {
         |        i -> ascii(substring(text, i::INTEGER, 1)))),
         |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin,
+
+    "mm_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, strlen(text) // 2 AS n FROM documents
+        |  WHERE doc_id % 3 = 1
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, n + 1),
+        |      i -> ascii(substring(text, CAST(2 * i - 1 AS INT), 1)) +
+        |           256 * ascii(substring(text, CAST(2 * i AS INT), 1))) AS smp
+        |  FROM a
+        |)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+        |  round(CASE WHEN n = 0 THEN 0.0
+        |    ELSE sqrt(list_sum(list_transform(smp, x -> x::DOUBLE * x)) / n)
+        |    END, 4) AS rms,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(smp) END AS BIGINT) AS peak
+        |FROM s""".stripMargin,
 
     "mm_resize_sample" ->
       s"""WITH s AS (
