@@ -206,6 +206,34 @@ object Multimodal {
     })
   }
 
+  final case class ImageStats(asset_id: Long, n_pixels: Long,
+                              mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** REAL raster statistics over the decoded BMP body: 24bpp pixels
+    * are BGR byte triplets; per-channel means are the first moment a
+    * vision pipeline computes (normalization constants). Byte sums
+    * stay integral in doubles → the oracle is bit-exact. A trailing
+    * partial triplet (body not divisible by 3) is ignored, as a
+    * rasterizer would ignore padding.
+    */
+  def bmpChannelStats(spark: SparkSession, assets: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.map { a =>
+      val frame = decode(a.payload).frame
+      val n = frame.length / 3
+      var i = 0
+      var sb = 0.0; var sg = 0.0; var sr = 0.0
+      while (i < n) {
+        sb += (frame(3 * i) & 0xff)
+        sg += (frame(3 * i + 1) & 0xff)
+        sr += (frame(3 * i + 2) & 0xff)
+        i += 1
+      }
+      if (n == 0) ImageStats(a.asset_id, 0L, 0.0, 0.0, 0.0)
+      else ImageStats(a.asset_id, n.toLong, sb / n, sg / n, sr / n)
+    })
+  }
+
   /** STUB resize: decodes, then truncates the FRAME to `targetBytes`
     * (a real impl would rescale samples/pixels). Output assets carry
     * the processed frame as an opaque payload.

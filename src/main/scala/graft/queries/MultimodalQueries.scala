@@ -35,6 +35,21 @@ object MultimodalQueries {
       Multimodal.extractFeatures(spark, resized.toDF()).toDF()
     }),
 
+    // REAL raster stats: decode the BMP container, read the body as
+    // 24bpp BGR triplets, emit per-image pixel count + channel means —
+    // byte sums stay integral in doubles, so the oracle is bit-exact.
+    "mm_image_stats" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val assets = Multimodal
+        .assetsFromDocuments(Tables.documents(spark, dir))
+        .where(col("media_type") === "image")
+      Multimodal.bmpChannelStats(spark, assets).toDF()
+        .select(col("asset_id"), col("n_pixels"),
+          round(col("mean_b"), 4).as("mean_b"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_r"), 4).as("mean_r"))
+    }),
+
     // REAL audio DSP: decode the WAV container, read the frame as
     // little-endian PCM16, emit per-asset RMS energy + peak amplitude.
     // int16 squares sum exactly in doubles (< 2^53), so the oracle
@@ -72,6 +87,26 @@ object MultimodalQueries {
         |        i -> ascii(substring(text, i::INTEGER, 1)))),
         |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin,
+
+    "mm_image_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, strlen(text) // 3 AS n FROM documents
+        |  WHERE doc_id % 3 = 0
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> ascii(substring(text, CAST(3 * i + 1 AS INT), 1))) AS bs,
+        |    list_transform(range(0, n),
+        |      i -> ascii(substring(text, CAST(3 * i + 2 AS INT), 1))) AS gs,
+        |    list_transform(range(0, n),
+        |      i -> ascii(substring(text, CAST(3 * i + 3 AS INT), 1))) AS rs
+        |  FROM a
+        |)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_pixels,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(bs)::DOUBLE / n END, 4) AS mean_b,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(gs)::DOUBLE / n END, 4) AS mean_g,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(rs)::DOUBLE / n END, 4) AS mean_r
+        |FROM s""".stripMargin,
 
     "mm_audio_features" ->
       """WITH a AS (
