@@ -46,6 +46,28 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("two-level prefix sum matches a sequential scan on random inputs") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 4) {
+      val n = 40 + trial * 30
+      // sparse ids (gaps, uneven buckets) + zero values mixed in
+      val rows = Seq.iterate(0L, n)(_ + 1 + rnd.nextInt(5))
+        .map(id => (id, if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(100).toLong))
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L)) {
+          case ((_, pv, acc), (id, v)) => (id, v, acc + pv)
+        }
+        .drop(1)
+        .map { case (id, _, acc) => (id, acc) }.toMap
+      val width = 1L + rnd.nextInt(17)
+      val got = graft.operators.Packing
+        .prefixSum(rows.toDF("id", "v"), "id", "v", "off", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expected, s"trial $trial width $width")
+    }
+  }
+
   test("as-of join matches per-row linear scan on random series") {
     import spark.implicits._
     val rnd = new Random(11)

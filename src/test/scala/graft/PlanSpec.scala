@@ -127,6 +127,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(800))
   }
 
+  test("contamination check broadcasts bench digests — corpus grams never shuffle") {
+    val p = plan(graft.queries.TextQueries.queries("text_contamination")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the only hash exchange is the matched-pair aggregation; gram
+    // volume reaches the join via broadcast + the widen round-robin
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(1500))
+  }
+
+  test("IVF-PQ composition: probe broadcasts, only the top-k shuffles") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val p = plan(graft.operators.Similarity.ivfPqTopK(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") % 200 === 0), 5))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
