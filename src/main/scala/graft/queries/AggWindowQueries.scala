@@ -161,6 +161,40 @@ object AggWindowQueries {
     // its own event-type slice; the per-user stage tables are
     // user-cardinality, so the planner (not a forced hint) decides
     // whether they broadcast.
+    // Daily resample + forward fill (gap filling): each user gets a
+    // dense day grid over their active span; days without an event
+    // carry the previous observation forward. "Last event of the day"
+    // is defined by max event_id — a deterministic, engine-agnostic
+    // tiebreak (ns-vs-µs timestamp precision differs across engines).
+    // Scale: the per-(user, day) reduction is map-side combinable, the
+    // grid explode is bounded by span/grain, and the fill window
+    // partitions per user (≤ span-days rows each) — nothing global.
+    "ts_resample_ffill" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+      val lastPerDay = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("day"))
+            .orderBy(col("event_id").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("day_value"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+        .select(col("user_id"),
+          explode(sequence(col("dmin"), col("dmax"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      grid.join(lastPerDay, Seq("user_id", "day"), "left")
+        .withColumn("value_ffill",
+          last(col("day_value"), ignoreNulls = true).over(
+            Window.partitionBy(col("user_id")).orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("value_ffill"), 4).as("value_ffill"),
+          col("day_value").isNotNull.as("observed"))
+    }),
+
     "funnel_stages" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("event_type"))
@@ -491,6 +525,32 @@ object AggWindowQueries {
         |)
         |SELECT l_returnflag, measure, val
         |FROM a UNPIVOT (val FOR measure IN (qty, disc, tax))""".stripMargin,
+
+    "ts_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, day, value AS day_value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY event_id DESC) AS rn
+        |    FROM e
+        |  ) WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, min(day) AS dmin, max(day) AS dmax
+        |  FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b
+        |)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  round(last_value(l.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill,
+        |  l.day_value IS NOT NULL AS observed
+        |FROM g LEFT JOIN l ON g.user_id = l.user_id AND g.day = l.day""".stripMargin,
 
     "funnel_stages" ->
       """WITH v AS (
