@@ -259,6 +259,18 @@ object TextQueries {
           (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
     }),
 
+    // Canonical text normalization (the step BEFORE exact dedup):
+    // lowercase → strip non-alphanumerics → collapse whitespace →
+    // trim, plus the md5 of the canonical form as the dedup key. Pure
+    // codegen'd projection; patterns stay in the RE2 ∩ java.util.regex
+    // ∩ DuckDB-RE dialect intersection (the pii_redact rule).
+    "text_normalize" -> ((spark, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_key"))
+    }),
+
     // Vocabulary coverage / OOV rate: top-V corpus words (deterministic
     // count-desc, word-asc cut) broadcast back, per-doc fraction of
     // tokens outside the vocab — the tokenizer-fit signal a pipeline
@@ -402,6 +414,15 @@ object TextQueries {
       """SELECT md5(substring(text, 1, 40)) AS dup_key, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_key FROM n""".stripMargin,
 
     "text_oov_rate" ->
       """WITH w AS (
