@@ -14,6 +14,12 @@ Test / fork := true
 // run them sequentially to avoid cross-suite races
 Test / parallelExecution := false
 run / fork := true
+// The bench/verify mains print machine-parsed JSON lines: stream the
+// forked JVM's stdout straight through (no "[info] " logger prefix)
+// and drop the trailing "[success]" banner so the LAST line of an
+// `sbt runMain` capture is the program's own JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -111,7 +111,12 @@ object SamplingQueries {
     // Dataset card: corpus composition report in ONE grouping-sets
     // pass — per-lang, per-source, per-(lang × source), and the grand
     // total; doc counts, token totals, char means. The report every
-    // training-data release ships, at one-shuffle cost.
+    // training-data release ships, at one-shuffle cost. All aggregates
+    // are EXACT integer arithmetic — the mean is reported as a
+    // fixed-point x1e4 integer derived from sum/count with one
+    // integral division, because round(avg(double)) is not stable
+    // across engines (summation order + half-up vs float rounding land
+    // on different 4th decimals at some grouping cells).
     "dataset_card" -> ((spark, dir) => {
       Tables.documents(spark, dir)
         .select(col("lang"), col("source"),
@@ -123,7 +128,9 @@ object SamplingQueries {
           col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("avg_chars_x1e4",
+          expr("(total_chars * 10000) div n_docs"))
     }),
 
     // Domain-mix rebalance over the skewed `lang` column (en is ~44%
@@ -307,8 +314,9 @@ object SamplingQueries {
     "dataset_card" ->
       """SELECT lang, source,
         |  count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
-        |  round(avg(n_chars), 4) AS avg_chars
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST((sum(n_chars) * 10000) // count(*) AS BIGINT) AS avg_chars_x1e4
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""".stripMargin,
     "text_chunk_sliding" -> chunkSlidingSql,

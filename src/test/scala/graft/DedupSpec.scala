@@ -93,6 +93,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native simhash64 matches the 64-vote declarative rebuild on every fixture doc") {
+    // Differential harness (formerly the registered dedup_simhash
+    // query; moved here so the BENCH query measures the production
+    // projection, not its verification): rebuild the sign-vote/bit
+    // logic from Spark built-ins over the shared token-hash kernel —
+    // explode tokens, 64 codegen'd sign-vote sums, reassemble the bit
+    // vector — and require bit-equality with the native one-pass
+    // expression for every document.
+    import graft.expressions.GraftFunctions
+    val voteCols = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val rebuilt = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    val docs = Tables.documents(spark, sfDir)
+    val mismatches = docs
+      .select(col("doc_id"), explode(GraftFunctions.tokenHashes(col("text"))).as("th"))
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), rebuilt.as("rebuilt"))
+      .join(docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("native")),
+        Seq("doc_id"))
+      .where(col("native") =!= col("rebuilt"))
+      .count()
+    assert(mismatches === 0L)
+    // exploded-token docs only: a doc with zero tokens never reaches
+    // the rebuild — pin coverage so the assertion is over ALL docs
+    assert(docs.where(size(TextFns.tokens(col("text"))) > 0).count() === docs.count())
+  }
+
   test("connected components labels chains, isolated pairs, and cycles") {
     import spark.implicits._
     // components: {1,2,3,4} (chain + cycle back), {10,11}, {20,21,22}
