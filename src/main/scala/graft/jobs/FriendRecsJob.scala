@@ -99,13 +99,17 @@ object FriendRecsJob {
     // evaluations instead of |users|². The exact (UNROUNDED, matching
     // the oracle's predicate) haversine filter runs inside
     // pairsWithinKm on candidates only; each undirected pair surfaces
-    // exactly once as (lo < hi). minCosLat 0.71 covers the fixture's
-    // |lat| ≤ 44° domain. Cross-engine boundary agreement is safe —
-    // the nearest pair distance to the 300 km cut over ALL grid
-    // coordinate pairs is 1.7e-3 km away, dwarfing libm ulps.
-    val near = GeoBlocking.pairsWithinKm(
+    // exactly once as (lo < hi). The longitude-shrink bound is DERIVED
+    // from the input's measured latitude extreme (one scalar agg over
+    // the already-checkpointed per-user aggregate) — a hardcoded
+    // cos-bound would silently under-size cells the day the input
+    // outgrows the fixture's |lat| ≤ 44° band. Cross-engine boundary
+    // agreement is safe — the nearest pair distance to the 300 km cut
+    // over ALL grid coordinate pairs is 1.7e-3 km away, dwarfing libm
+    // ulps.
+    val near = GeoBlocking.pairsWithinKmAuto(
       lastCoords.select(col("user_id"), col("lat"), col("lon")),
-      "user_id", "lat", "lon", maxKm = MaxDistKm, minCosLat = 0.71,
+      "user_id", "lat", "lon", maxKm = MaxDistKm,
       distanceKm = graft.functions.Geo.distanceKm(refCompat))
       .select(col("id_a").as("lo"), col("id_b").as("hi"))
 

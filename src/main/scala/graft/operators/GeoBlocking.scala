@@ -81,4 +81,34 @@ object GeoBlocking {
     // no dedup needed: b's single home cell appears exactly once in
     // a's 3×3 neighborhood, and id_a < id_b kills the mirrored role.
   }
+
+  /** [[pairsWithinKm]] with the longitude-shrink bound DERIVED from
+    * the input instead of asserted by the caller: one scalar
+    * min/max-latitude aggregate (bounded driver work — a single row,
+    * the same legitimacy class as the IVF quantizer sample) sizes the
+    * cells from the domain the data actually occupies. A hardcoded
+    * `minCosLat` is a silent-pair-loss hazard the moment the input
+    * outgrows the latitude band it was tuned for; deriving it makes
+    * the completeness guarantee unconditional.
+    *
+    * Polar guard: within 1° of a pole the longitude-grid approach
+    * degenerates (cells collapse, and the ±180 wrap this blocking
+    * deliberately ignores starts mattering at any longitude), so
+    * inputs beyond ±89° are rejected loudly. The derived cosine is
+    * nudged down one part in 1e6 so a point exactly AT the measured
+    * extreme can never trip [[pairsWithinKm]]'s domain guard through
+    * acos/cos rounding.
+    */
+  def pairsWithinKmAuto(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                        maxKm: Double,
+                        distanceKm: (Column, Column, Column, Column) => Column =
+                          Geo.haversineKm): DataFrame = {
+    val row = points.agg(max(abs(col(latCol)))).collect()(0)
+    val maxAbsLat = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    require(maxAbsLat <= 89.0,
+      f"pairsWithinKmAuto: |lat| up to $maxAbsLat%.4f deg — longitude-grid " +
+        "blocking degenerates near the poles; use a polar-cap strategy")
+    val minCos = math.max(math.cos(math.toRadians(maxAbsLat)) * (1.0 - 1e-6), 1e-3)
+    pairsWithinKm(points, idCol, latCol, lonCol, maxKm, minCos, distanceKm)
+  }
 }

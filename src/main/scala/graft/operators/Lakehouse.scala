@@ -88,7 +88,22 @@ object Lakehouse {
       throw new java.io.IOException(s"compact: cannot restore $crashBackup")
     // recursive listing: partitioned layouts keep data files under
     // partition subdirectories (note the rewrite itself flattens the
-    // layout — compact partitioned tables per-partition instead)
+    // layout — [[compactPartitioned]] is the layout-preserving form)
+    compactLeaf(spark, fs, path,
+      new org.apache.hadoop.fs.Path(dir + "__compacting"), crashBackup, targetBytes)
+  }
+
+  /** One directory's crash-safe rewrite: size by total parquet bytes,
+    * rewrite into `tmp`, swap via rename-aside + restore-on-failure.
+    * Shared by the flat [[compact]] and the per-leaf passes of
+    * [[compactPartitioned]].
+    */
+  private def compactLeaf(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          path: org.apache.hadoop.fs.Path,
+                          tmp: org.apache.hadoop.fs.Path,
+                          backup: org.apache.hadoop.fs.Path,
+                          targetBytes: Long): Int = {
     val it = fs.listFiles(path, true)
     var bytes = 0L
     while (it.hasNext) {
@@ -96,9 +111,7 @@ object Lakehouse {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
-    val backup = new org.apache.hadoop.fs.Path(dir + "__old")
-    spark.read.parquet(dir).repartition(nFiles)
+    spark.read.parquet(path.toString).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(backup, true) // stale backup from a previous crash
     if (!fs.rename(path, backup))
@@ -109,5 +122,63 @@ object Lakehouse {
     }
     fs.delete(backup, true)
     nFiles
+  }
+
+  /** Partition-scoped OPTIMIZE: compact each LEAF partition directory
+    * of a Hive-layout table (`k1=v1/k2=v2/...`) in place, preserving
+    * the layout — the form a real lake needs, since the flat
+    * [[compact]] would fold the partition columns into the data files
+    * and destroy partition pruning. Each leaf gets the same crash-safe
+    * rename protocol; scratch/backup siblings are dot-prefixed so
+    * Spark's file listing (which skips `.`/`_` names) NEVER sees a
+    * half-written rewrite or a crash leftover when reading the root —
+    * readers of an in-progress table see either the old or the new
+    * files of a leaf, nothing else.
+    *
+    * Self-healing: a crash between a leaf's two renames leaves only
+    * `.leaf__old`; the next call restores every such orphan (and
+    * clears stale backups whose swap DID complete) before compacting.
+    * Driver-side work is one directory walk — manifest cardinality,
+    * the same class as the zone-map planner.
+    *
+    * Returns (relative leaf path → files written).
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, root: String,
+                         targetBytes: Long): Seq[(String, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"compactPartitioned: no such dir $root")
+
+    def heal(d: Path): Unit =
+      fs.listStatus(d).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && n.endsWith("__old")) {
+          val orig = new Path(d, n.stripPrefix(".").stripSuffix("__old"))
+          if (fs.exists(orig)) fs.delete(st.getPath, true) // swap completed
+          else if (!fs.rename(st.getPath, orig))
+            throw new java.io.IOException(s"compactPartitioned: cannot restore ${st.getPath}")
+        } else if (n.startsWith(".") && n.endsWith("__compacting"))
+          fs.delete(st.getPath, true) // half-written rewrite, safe to drop
+        else if (!n.startsWith(".")) heal(st.getPath)
+      }
+    heal(rootPath)
+
+    def leaves(d: Path): Seq[Path] = {
+      val entries = fs.listStatus(d)
+        .filterNot(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_"))
+      val (dirs, files) = entries.partition(_.isDirectory)
+      if (files.exists(_.getPath.getName.endsWith(".parquet"))) Seq(d)
+      else dirs.flatMap(st => leaves(st.getPath)).toSeq
+    }
+    val rootUri = rootPath.toUri.getPath
+    leaves(rootPath).map { leaf =>
+      val parent = leaf.getParent
+      val n = compactLeaf(spark, fs, leaf,
+        new Path(parent, "." + leaf.getName + "__compacting"),
+        new Path(parent, "." + leaf.getName + "__old"), targetBytes)
+      leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/") -> n
+    }
   }
 }

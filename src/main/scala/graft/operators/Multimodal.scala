@@ -234,28 +234,96 @@ object Multimodal {
     })
   }
 
-  /** STUB resize: decodes, then truncates the FRAME to `targetBytes`
-    * (a real impl would rescale samples/pixels). Output assets carry
-    * the processed frame as an opaque payload.
+  /** REAL nearest-neighbor raster downsample of a 24bpp BGR body to a
+    * fixed `outW`×`outH` grid. The body is row-major width-`srcW`
+    * pixel triplets; the effective height is `floor(nPixels / srcW)`
+    * (a trailing partial row is ignored, as [[bmpChannelStats]]
+    * ignores a partial triplet). Output pixel (x', y') samples source
+    * pixel (x'·srcW / outW, y'·hEff / outH) — integer floor division,
+    * the classic nearest-neighbor kernel, exactly reproducible from
+    * the same bytes in the DuckDB oracle. A raster with zero complete
+    * rows downsamples to an empty frame.
     */
-  def resizeStub(spark: SparkSession, assets: DataFrame, targetBytes: Int): Dataset[Asset] = {
-    import spark.implicits._
-    assets.as[Asset].mapPartitions(_.map { a =>
-      val frame = decode(a.payload).frame
-      val out = frame.take(targetBytes)
-      a.copy(payload = out, declared_len = math.min(a.declared_len, out.length.toLong))
-    })
+  def resizeNearest(frame: Array[Byte], srcW: Int, outW: Int, outH: Int): Array[Byte] = {
+    val nPix = frame.length / 3
+    val hEff = if (srcW <= 0) 0 else nPix / srcW
+    if (hEff == 0) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = y * hEff / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * srcW / outW
+          val p = 3 * (sy * srcW + sx)
+          val o = 3 * (y * outW + x)
+          out(o) = frame(p); out(o + 1) = frame(p + 1); out(o + 2) = frame(p + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
-  /** STUB frame sampler: decodes, then keeps every `stride`-th byte of
-    * the frame (standing in for every n-th video frame).
+  /** REAL fixed-stride PCM16 frame sampling: keep every `stride`-th
+    * 16-bit sample of the decoded WAV body (both bytes, preserving
+    * sample alignment — the audio analog of keeping every n-th video
+    * frame). A trailing odd byte is ignored.
     */
-  def frameSampleStub(spark: SparkSession, assets: DataFrame, stride: Int): Dataset[Asset] = {
+  def pcmSampleStride(frame: Array[Byte], stride: Int): Array[Byte] = {
+    val n = frame.length / 2
+    val kept = if (n == 0) 0 else (n + stride - 1) / stride
+    val out = new Array[Byte](kept * 2)
+    var i = 0
+    while (i < kept) {
+      out(2 * i) = frame(2 * i * stride)
+      out(2 * i + 1) = frame(2 * i * stride + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Opaque-payload fallback sampler: every `stride`-th byte (for
+    * containers with no parseable structure, e.g. the video fixture).
+    */
+  def byteSample(frame: Array[Byte], stride: Int): Array[Byte] = {
+    val kept = if (frame.isEmpty) 0 else (frame.length + stride - 1) / stride
+    val out = new Array[Byte](kept)
+    var i = 0
+    while (i < kept) { out(i) = frame(i * stride); i += 1 }
+    out
+  }
+
+  final case class ResampleFeatures(asset_id: Long, media_type: String,
+                                    n_bytes: Long, first_byte: Int,
+                                    checksum: Long)
+
+  /** Full media resample pipeline, batched per partition: decode the
+    * container, apply the media-appropriate REAL transform —
+    * nearest-neighbor raster resize for BMP, fixed-stride PCM16 frame
+    * sampling for WAV, byte striding for opaque payloads — and emit
+    * fixed-width features of the transformed frame. Every output byte
+    * is a deterministic function of the input bytes, so the DuckDB
+    * twin rebuilds the identical features from the synthesized body —
+    * the lossy tier is now correctness-gated end to end, like the
+    * decode tier.
+    */
+  def resampleFeatures(spark: SparkSession, assets: DataFrame,
+                       outW: Int, outH: Int,
+                       pcmStride: Int, rawStride: Int): Dataset[ResampleFeatures] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions(_.map { a =>
-      val frame = decode(a.payload).frame
-      val sampled = frame.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
-      a.copy(payload = sampled, declared_len = sampled.length.toLong)
+      val d = decode(a.payload)
+      val out = d.container match {
+        case "bmp" => resizeNearest(d.frame, d.width.get.toInt, outW, outH)
+        case "wav" => pcmSampleStride(d.frame, pcmStride)
+        case _ => byteSample(d.frame, rawStride)
+      }
+      val checksum = out.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      ResampleFeatures(a.asset_id, a.media_type, out.length.toLong,
+        if (out.isEmpty) -1 else out(0) & 0xff, checksum)
     })
   }
 }

@@ -24,15 +24,19 @@ object MultimodalQueries {
       Multimodal.extractFeatures(spark, assets).toDF()
     }),
 
-    // Full media pipeline: decode → frame-sample (every 3rd byte) →
-    // resize (truncate to 64) → feature-extract, all batched per
-    // partition. Processed frames travel as opaque raw payloads, so
-    // the final decode reports container 'raw' with null metadata.
+    // Full media resample pipeline: decode → REAL media-appropriate
+    // transform → feature-extract, all batched per partition.
+    // Images: nearest-neighbor raster downsample to a fixed 8×4 grid
+    // (the thumbnail/normalization step of a vision pipeline).
+    // Audio: every-4th-PCM16-sample frame sampling (sample-aligned).
+    // Video/raw: every-16th-byte stride. Every output byte is a
+    // deterministic function of the input bytes, so the DuckDB twin
+    // rebuilds n_bytes/first_byte/checksum of the TRANSFORMED frame —
+    // the lossy tier is hash-gated like the decode tier.
     "mm_resize_sample" -> ((spark, dir) => {
       val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, dir))
-      val sampled = Multimodal.frameSampleStub(spark, assets, stride = 3)
-      val resized = Multimodal.resizeStub(spark, sampled.toDF(), targetBytes = 64)
-      Multimodal.extractFeatures(spark, resized.toDF()).toDF()
+      Multimodal.resampleFeatures(spark, assets,
+        outW = 8, outH = 4, pcmStride = 4, rawStride = 16).toDF()
     }),
 
     // REAL raster stats: decode the BMP container, read the body as
@@ -126,25 +130,49 @@ object MultimodalQueries {
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(smp) END AS BIGINT) AS peak
         |FROM s""".stripMargin,
 
+    // Rebuild of the REAL per-media transforms from the same bytes:
+    // image = nearest-neighbor 8×4 downsample over the effective
+    // width-W raster (W = 16 + doc_id%32, effective height
+    // (len//3)//W, partial row ignored); audio = every 4th PCM16
+    // sample (both bytes); video = every 16th byte. Features
+    // (n_bytes / first_byte / rolling checksum) are computed over the
+    // TRANSFORMED byte list, so a hash match pins the kernels
+    // byte-for-byte.
     "mm_resize_sample" ->
-      s"""WITH s AS (
+      """WITH img AS (
         |  SELECT doc_id,
-        |    substring(array_to_string(
-        |      list_transform(range(1, strlen(text) + 1, 3),
-        |        i -> substring(text, i::INTEGER, 1)), ''), 1, 64) AS st
-        |  FROM documents)
+        |    CASE WHEN (strlen(text) // 3) // (16 + (doc_id % 32)) = 0
+        |      THEN CAST([] AS INT[])
+        |    ELSE flatten(list_transform(
+        |      list_transform(range(0, 32),
+        |        k -> ((k // 8) * ((strlen(text) // 3) // (16 + (doc_id % 32))) // 4)
+        |               * (16 + (doc_id % 32)) + ((k % 8) * (16 + (doc_id % 32))) // 8),
+        |      p -> [ascii(substring(text, CAST(3 * p + 1 AS INT), 1)),
+        |            ascii(substring(text, CAST(3 * p + 2 AS INT), 1)),
+        |            ascii(substring(text, CAST(3 * p + 3 AS INT), 1))]))
+        |    END AS bl
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), aud AS (
+        |  SELECT doc_id,
+        |    flatten(list_transform(range(0, strlen(text) // 2, 4),
+        |      i -> [ascii(substring(text, CAST(2 * i + 1 AS INT), 1)),
+        |            ascii(substring(text, CAST(2 * i + 2 AS INT), 1))])) AS bl
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), vid AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text) + 1, 16),
+        |      i -> ascii(substring(text, CAST(i AS INT), 1))) AS bl
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), u AS (
+        |  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+        |)
         |SELECT doc_id AS asset_id,
-        |  $mediaSql AS media_type,
-        |  'raw' AS container,
-        |  CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS channels,
-        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
-        |  strlen(st) AS n_bytes,
-        |  CASE WHEN strlen(st) = 0 THEN -1 ELSE ascii(substring(st, 1, 1)) END AS first_byte,
+        |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+        |  CAST(len(bl) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN len(bl) = 0 THEN -1 ELSE bl[1] END AS INT) AS first_byte,
         |  list_reduce(
-        |    list_prepend(0::BIGINT,
-        |      list_transform(range(1, strlen(st) + 1),
-        |        i -> ascii(substring(st, i::INTEGER, 1)))),
+        |    list_prepend(0::BIGINT, list_transform(bl, x -> x::BIGINT)),
         |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
-        |FROM s""".stripMargin
+        |FROM u""".stripMargin
   )
 }

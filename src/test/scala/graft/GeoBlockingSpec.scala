@@ -54,6 +54,40 @@ class GeoBlockingSpec extends SparkSpec {
     assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
   }
 
+  test("auto-derived cos bound loses no pairs on a high-latitude fixture") {
+    import spark.implicits._
+    // 66–74°N: cos ≈ 0.28–0.40, far outside any mid-latitude hardcode
+    // (0.71 would under-size longitude cells ~2.5× here). Deterministic
+    // scatter; 300 km radius leaves a nontrivial pair set.
+    val pts = (0 until 120).map { i =>
+      (i.toLong, 66.0 + (i * 37 % 80) / 10.0, -20.0 + (i * 53 % 400) / 10.0)
+    }.toDF("id", "lat", "lon")
+    val blocked = GeoBlocking.pairsWithinKmAuto(pts, "id", "lat", "lon", 300.0)
+    val l = pts.select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"))
+    val r = pts.select(col("id").as("id_b"), col("lat").as("lat_b"), col("lon").as("lon_b"))
+    val brute = l.crossJoin(r)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__d", Geo.haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      .where(col("__d") <= 300.0)
+      .select(col("id_a"), col("id_b"), round(col("__d"), 4).as("dist_km"))
+    assert(brute.count() > 0, "test needs qualifying pairs")
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
+    // a point exactly AT the measured extreme must not trip the domain
+    // guard through acos/cos rounding (the 1e-6 nudge)
+    val edge = Seq((1L, 74.0, 0.0), (2L, 74.0, 0.1), (3L, -74.0, 0.0))
+      .toDF("id", "lat", "lon")
+    assert(GeoBlocking.pairsWithinKmAuto(edge, "id", "lat", "lon", 50.0).count() === 1L)
+  }
+
+  test("auto-derived bound rejects polar inputs loudly") {
+    import spark.implicits._
+    val pts = Seq((1L, 89.5, 10.0), (2L, 89.6, 11.0)).toDF("id", "lat", "lon")
+    val e = intercept[IllegalArgumentException] {
+      GeoBlocking.pairsWithinKmAuto(pts, "id", "lat", "lon", 100.0)
+    }
+    assert(e.getMessage.contains("polar"))
+  }
+
   test("latitudes beyond the minCosLat domain fail loudly, not silently") {
     import spark.implicits._
     val pts = Seq((1L, -60.0, 100.0), (2L, -60.1, 100.0)).toDF("id", "lat", "lon")

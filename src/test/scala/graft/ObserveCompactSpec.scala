@@ -47,6 +47,68 @@ class ObserveCompactSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === beforeRows)
   }
 
+  test("partition-scoped compaction preserves layout, rows, and values") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_scoped").toString + "/t"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("event_id") % 3).as("p"))
+      .repartition(12)
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    // partition columns come back type-inferred (int) — compare as strings
+    val beforeByPart = before.groupBy("p").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(before.inputFiles.length >= 30) // ~12 files per partition
+
+    val results = Lakehouse.compactPartitioned(spark, dir, targetBytes = Long.MaxValue)
+    // one result per leaf, layout preserved on disk
+    assert(results.map(_._1).sorted === Seq("p=0", "p=1", "p=2"))
+    assert(results.forall(_._2 === 1))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir)).map(_.getPath.getName).count(_.startsWith("p=")) === 3)
+    // no scratch/backup leftovers
+    assert(!fs.listStatus(new Path(dir)).exists(_.getPath.getName.startsWith(".")))
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() === beforeRows)
+    assert(after.groupBy("p").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap === beforeByPart)
+    assert(after.inputFiles.length === 3) // one file per partition now
+    // partition pruning still works post-compaction
+    val pruned = after.where(col("p") === 1)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"))
+    // content identical — compare against a FRESH derivation (the
+    // pre-compaction `before` frame holds now-replaced file paths)
+    val expected = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    assert(after.select("event_id", "user_id", "value").exceptAll(expected).isEmpty)
+  }
+
+  test("partition-scoped compaction self-heals a per-leaf crash window") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_scoped_heal").toString + "/t"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), (col("event_id") % 2).as("p"))
+      .repartition(4)
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two renames of leaf p=0: only the
+    // dot-prefixed backup exists. Root reads skip the dot dir — a
+    // reader mid-crash sees a consistent (if partial) table, and the
+    // next compactPartitioned restores the leaf before compacting.
+    assert(fs.rename(new Path(dir + "/p=0"), new Path(dir + "/.p=0__old")))
+    assert(spark.read.parquet(dir).count() < rows) // backup invisible to readers
+    val results = Lakehouse.compactPartitioned(spark, dir, targetBytes = Long.MaxValue)
+    assert(results.map(_._1).sorted === Seq("p=0", "p=1"))
+    assert(spark.read.parquet(dir).count() === rows)
+    assert(!fs.exists(new Path(dir + "/.p=0__old")))
+  }
+
   test("compaction self-heals a crash between the two swap renames") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_heal").toString + "/t"
     Tables.events(spark, sfDir).repartition(8).write.mode("overwrite").parquet(dir)

@@ -99,14 +99,50 @@ class TextFnsSpec extends SparkSpec {
     assert(Multimodal.decode(coreHeader).container === "raw")
   }
 
-  test("resize and frame-sample stubs preserve schema and shrink payloads") {
+  test("nearest-neighbor resize picks the exact kernel pixels") {
+    // 4×2 source raster (pixel value = 10*y + x encoded in all three
+    // channels), downsampled to 2×2: output (x', y') must sample
+    // source (x'·4/2, y'·2/2) = (0,0), (2,0), (0,1), (2,1).
+    val frame = (for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      yield (10 * y + x + c).toByte).toArray
+    val out = Multimodal.resizeNearest(frame, srcW = 4, outW = 2, outH = 2)
+    assert(out.length === 2 * 2 * 3)
+    def px(sy: Int, sx: Int) = (0 until 3).map(c => (10 * sy + sx + c).toByte)
+    assert(out.toSeq === (px(0, 0) ++ px(0, 2) ++ px(1, 0) ++ px(1, 2)))
+    // zero complete rows → empty output; partial trailing row ignored
+    assert(Multimodal.resizeNearest(Array.fill[Byte](9)(1), 4, 2, 2).isEmpty)
+  }
+
+  test("PCM stride sampling keeps whole aligned samples; byte stride keeps every nth") {
+    // samples (le 16-bit): 0x0100, 0x0302, 0x0504, 0x0706, 0x0908 —
+    // stride 2 keeps samples 0, 2, 4 with BOTH bytes intact.
+    val frame = Array.tabulate[Byte](10)(_.toByte)
+    assert(Multimodal.pcmSampleStride(frame, 2).toSeq ===
+      Seq[Byte](0, 1, 4, 5, 8, 9))
+    // trailing odd byte ignored
+    assert(Multimodal.pcmSampleStride(frame :+ 99.toByte, 2).toSeq ===
+      Seq[Byte](0, 1, 4, 5, 8, 9))
+    assert(Multimodal.byteSample("abcdefghij".getBytes("UTF-8"), 3).toSeq ===
+      "adgj".getBytes("UTF-8").toSeq)
+  }
+
+  test("resampleFeatures routes each container to its real transform") {
     import spark.implicits._
-    val docs = Seq((1L, "abcdefghij", "en", "src", 10L))
+    // doc_id 0 → image/BMP (W=16: text shorter than 48 chars → empty
+    // resample), 1 → audio/WAV, 2 → video/raw
+    val docs = Seq(
+      (0L, "x" * 40, "en", "src", 40L),
+      (1L, "abcdefgh", "en", "src", 8L),
+      (2L, "abcdefghij", "en", "src", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val assets = Multimodal.assetsFromDocuments(docs)
-    val resized = Multimodal.resizeStub(spark, assets, 4).collect().head
-    assert(resized.payload.length === 4 && resized.declared_len === 4L)
-    val sampled = Multimodal.frameSampleStub(spark, assets, 3).collect().head
-    assert(sampled.payload.toSeq === "adgj".getBytes("UTF-8").toSeq)
+    val got = Multimodal.resampleFeatures(spark, assets,
+      outW = 8, outH = 4, pcmStride = 4, rawStride = 3)
+      .collect().map(r => r.asset_id -> r).toMap
+    assert(got(0L).n_bytes === 0L && got(0L).first_byte === -1)
+    // audio: 4 samples, stride 4 keeps sample 0 → bytes "ab"
+    assert(got(1L).n_bytes === 2L && got(1L).first_byte === 'a'.toInt)
+    // video: every 3rd byte of 10 → 4 bytes, first 'a'
+    assert(got(2L).n_bytes === 4L && got(2L).first_byte === 'a'.toInt)
   }
 }
