@@ -21,13 +21,25 @@ object TpchQueries {
     * oracles so all four stay fully hash-checkable.
     */
   private def partsupp(spark: SparkSession, dir: String): DataFrame =
-    // equi-join on the materialized congruence class, not a theta join
-    // on `p % 4 = s % 4`: the latter plans a nested loop evaluating
-    // |part|×|supplier| predicates; hashing the 4-value key gets the
-    // same relation at linear probe cost.
-    Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
+    partsuppFrom(Tables.part(spark, dir), Tables.supplier(spark, dir))
+
+  /** Synthesis from caller-supplied (possibly PRE-FILTERED) part /
+    * supplier sides. partsupp drops every part/supplier attribute, so
+    * Catalyst cannot push a q2/q16/q20 part predicate or a q11 nation
+    * predicate through the generator join on its own — each row of
+    * the |part|·|supplier|/4 relation the query will immediately
+    * discard still gets synthesized. Passing the filtered side in IS
+    * that pushdown, done manually: a 16%-selective part filter shrinks
+    * the generated relation 6× before it exists. Equi-join on the
+    * materialized congruence class, not a theta join on
+    * `p % 4 = s % 4`: the latter plans a nested loop evaluating
+    * |part|×|supplier| predicates; hashing the 4-value key gets the
+    * same relation at linear probe cost.
+    */
+  private def partsuppFrom(part: DataFrame, supplier: DataFrame): DataFrame =
+    part.select(col("p_partkey"), col("p_retailprice"))
       .withColumn("__m", pmod(col("p_partkey"), lit(4)))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"))
           .withColumn("__m", pmod(col("s_suppkey"), lit(4)))),
         Seq("__m"))
       .drop("__m")
@@ -436,7 +448,10 @@ object TpchQueries {
       val p = Tables.part(spark, dir)
         .where(col("p_size") <= 15 && col("p_type") === "STANDARD")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))
-      partsupp(spark, dir)
+      // synthesize from the FILTERED part side (see partsuppFrom):
+      // the per-part min window only ranges over qualifying parts, so
+      // pre-filtering the generator is semantics-preserving
+      partsuppFrom(p, Tables.supplier(spark, dir))
         .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
         .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
         .withColumn("min_cost", min(col("ps_supplycost")).over(w))
@@ -452,7 +467,15 @@ object TpchQueries {
     // nation vs a scale-free multiple of the mean per-part value (a fixed fraction of the total, as in classic q11, goes empty as parts grow — TPC-H itself scales the fraction by 1/SF) (HAVING over a
     // scalar subquery; Spark plans the total as a one-row broadcast).
     "tpch_q11_important_stock" -> ((spark, dir) => {
-      partsupp(spark, dir).createOrReplaceTempView("ps_q11")
+      // natps keeps only NATION_3's suppliers — push that through the
+      // generator: synthesize partsupp from the nation-filtered
+      // supplier side (1/|nations| of the full relation ever exists)
+      val supp3 = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+      partsuppFrom(Tables.part(spark, dir), supp3)
+        .createOrReplaceTempView("ps_q11")
       Tables.supplier(spark, dir).createOrReplaceTempView("supp_q11")
       Tables.nation(spark, dir).createOrReplaceTempView("nat_q11")
       spark.sql(
@@ -473,7 +496,15 @@ object TpchQueries {
     // flagged suppliers via NOT IN (negative account balance stands in
     // for q16's complaint-comment scan — the fixture has no s_comment).
     "tpch_q16_supplier_cnt" -> ((spark, dir) => {
-      partsupp(spark, dir).createOrReplaceTempView("ps_q16")
+      // push the brand/type/size part filter through the generator —
+      // the WHERE below keeps the same predicates (idempotent on the
+      // pre-filtered relation) so the SQL remains self-describing
+      partsuppFrom(
+        Tables.part(spark, dir).where(
+          col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36)),
+        Tables.supplier(spark, dir))
+        .createOrReplaceTempView("ps_q16")
       Tables.part(spark, dir).createOrReplaceTempView("part_q16")
       Tables.supplier(spark, dir).createOrReplaceTempView("supp_q16")
       spark.sql(
@@ -492,7 +523,12 @@ object TpchQueries {
     // — availability above half the part-supplier's shipped quantity
     // for the year, then a semi join onto one nation's suppliers.
     "tpch_q20_excess_stock" -> ((spark, dir) => {
-      partsupp(spark, dir).createOrReplaceTempView("ps_q20")
+      // only '%bolt%' parts can reach the IN-subquery — synthesize
+      // from the name-filtered part side
+      partsuppFrom(
+        Tables.part(spark, dir).where(col("p_name").like("%bolt%")),
+        Tables.supplier(spark, dir))
+        .createOrReplaceTempView("ps_q20")
       Tables.part(spark, dir).createOrReplaceTempView("part_q20")
       Tables.supplier(spark, dir).createOrReplaceTempView("supp_q20")
       Tables.nation(spark, dir).createOrReplaceTempView("nat_q20")
