@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the last mile of the curation pipeline
+  * (dedup → quality filter → pack → EXPORT): write the corpus as a
+  * deterministic set of token-budgeted shards a training loader
+  * streams sequentially. The reference stops at datamart parquet
+  * (reference src/spark/collector.py:541,875,1130 — plain partitioned
+  * writes); sharded export is part of the training-data extension
+  * surface.
+  *
+  * Shard assignment is a pure function of the corpus: documents are
+  * laid out in id order, each document's global token offset comes
+  * from the two-level distributed prefix sum ([[Packing.prefixSum]] —
+  * no corpus-wide single-partition window), and a document belongs to
+  * `shard = tok_offset div tokensPerShard`. Documents never split
+  * across shards (loaders want whole records); a shard's token total
+  * therefore overshoots the budget by at most one document. Everything
+  * is integer arithmetic in a deterministic order — rerunning the
+  * export on the same corpus reproduces byte-identical assignments,
+  * which is what makes incremental re-export and train-resume sane.
+  */
+object Export {
+
+  /** (idCol, nTokCol, tok_offset, shard) — one row per document.
+    * Zero-token documents are dropped (they occupy no loader bytes;
+    * keeping them would pin empty records to boundary shards).
+    */
+  def shardAssignments(docs: DataFrame, idCol: String, nTokCol: String,
+                       tokensPerShard: Long, bucketWidth: Long): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    Packing.prefixSum(docs, idCol, nTokCol, "tok_offset", bucketWidth)
+      .where(col(nTokCol) > 0)
+      .withColumn("shard", expr(s"tok_offset DIV $tokensPerShard"))
+  }
+
+  /** Write the shard layout at rest: `dir/shard=N/...` with one
+    * parquet file per shard (each shard is one sequential read for the
+    * loader). Returns the number of shards written. The repartition
+    * keys rows by their FINAL shard so the writer emits each shard
+    * from one task — without it every task would append a sliver file
+    * to every shard directory, recreating the small-file problem the
+    * export exists to avoid.
+    */
+  def writeShards(docs: DataFrame, idCol: String, nTokCol: String,
+                  tokensPerShard: Long, bucketWidth: Long, dir: String): Long = {
+    val assigned = shardAssignments(docs, idCol, nTokCol, tokensPerShard, bucketWidth)
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+    assigned.agg(count_distinct(col("shard"))).collect()(0).getLong(0)
+  }
+
+  /** Per-shard manifest aggregated from the AT-REST files (not the
+    * in-flight assignment): doc/token counts and the id span. Reading
+    * back is the point — the manifest certifies what a loader will
+    * actually see, and hash-checking it against an independent rebuild
+    * of the assignment proves the write path end to end.
+    */
+  def shardManifest(spark: SparkSession, dir: String,
+                    idCol: String, nTokCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokCol)).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+}

@@ -156,6 +156,33 @@ object SamplingQueries {
             pmod(col("user_id"), lit(65536L))).as("zkey"))
     }),
 
+    // Training-shard export end to end: the corpus written at rest as
+    // token-budgeted whole-document shards (dir/shard=N/, one file per
+    // shard — one sequential read per loader worker), then the
+    // manifest aggregated from the READ-BACK files and hash-checked
+    // against the oracle's independent rebuild of the assignment
+    // arithmetic — certifying the write path, not just the plan.
+    // Write-once via the fingerprint-marker pattern (ann_ivf_bucketed).
+    "export_shards" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      val restDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_shards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val marker = new java.io.File(restDir, "_graft_shards")
+      val fp = docs.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).collect()(0)
+      val layoutId = s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};tps=$ShardTokens"
+      val fresh = marker.isFile && new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
+      if (!fresh) {
+        graft.operators.Export.writeShards(docs, "doc_id", "n_tok",
+          tokensPerShard = ShardTokens, bucketWidth = 1000, restDir)
+        java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
+      }
+      graft.operators.Export.shardManifest(spark, restDir, "doc_id", "n_tok")
+    }),
+
     // Zone-map data skipping end to end: events written Z-order-
     // clustered on (user_id, event_id/16) with a persisted per-file
     // min/max manifest, then a 2-D range predicate planned by pruning
@@ -193,6 +220,9 @@ object SamplingQueries {
   private val PackBudget = 512
   private val ChunkSize = 32
   private val ChunkStride = 24
+  // sized so the fixture corpus (≈27k tokens at sf0.01, ≈270k at
+  // sf0.1) spans a meaningful shard count at the correctness gate
+  private val ShardTokens = 4096L
 
   private val packSequencesSql: String =
     s"""WITH t AS (
@@ -321,6 +351,24 @@ object SamplingQueries {
         |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""".stripMargin,
     "text_chunk_sliding" -> chunkSlidingSql,
     "sample_domain_mix" -> domainMixSql,
+    "export_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_tok,
+         |    coalesce(sum(n_tok) OVER (
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         |  FROM t
+         |)
+         |SELECT off // $ShardTokens AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM p WHERE n_tok > 0
+         |GROUP BY 1""".stripMargin,
+
     "layout_zorder" ->
       s"""SELECT event_id,
          |  ${Layout.zorderKeySql("event_id % 65536", "user_id % 65536")} AS zkey

@@ -85,6 +85,48 @@ class PackingSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("shard export: whole docs, contiguous budgeted shards, byte-stable at rest") {
+    import graft.operators.Export
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val budget = 8192L
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_spec").toString + "/s"
+    val nShards = Export.writeShards(docs, "doc_id", "n_tok", budget, 100, dir)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        col("shard").cast("long").as("shard"))
+
+    // every nonzero-token doc lands in exactly one shard
+    val expectedDocs = docs.where(col("n_tok") > 0)
+    assert(back.count() === expectedDocs.count())
+    assert(back.select("doc_id").distinct().count() === back.count())
+
+    // assignment matches the window-function rebuild exactly
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rebuilt = docs
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .where(col("n_tok") > 0)
+      .withColumn("shard", expr(s"tok_offset DIV $budget"))
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"), col("shard"))
+    assert(back.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(back).isEmpty)
+
+    // shards are contiguous 0..n-1 and each holds one file (one
+    // sequential read per loader worker)
+    val shardIds = back.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(shardIds === (0L until nShards))
+    assert(spark.read.parquet(dir).inputFiles.length === nShards.toInt)
+
+    // whole-doc packing: a shard overshoots the budget by at most its
+    // last document (docs never split)
+    val overshoot = back.groupBy("shard")
+      .agg((sum(col("n_tok")) - lit(budget)).as("over"), max(col("n_tok")).as("mx"))
+      .where(col("over") > col("mx"))
+    assert(overshoot.isEmpty)
+  }
+
   test("domain rebalance caps over-represented domains deterministically") {
     val docs = Tables.documents(spark, sfDir)
     val before = docs.groupBy("lang").count()
