@@ -82,6 +82,52 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     graft.expressions.GraftFunctions.simhash64(textCol)
 
+  /** SimHash-banded near-duplicate pairs — the pair generator that
+    * makes the signature an OPERATOR rather than a column: split the
+    * 64-bit simhash into `nBands` contiguous bit-bands and bucket-join
+    * on (band index, band value), then verify candidates with the
+    * exact hamming distance `bit_count(a ^ b)`.
+    *
+    * Completeness is pigeonhole, not probability (unlike MinHash-LSH):
+    * two signatures within hamming distance d ≤ nBands − 1 differ in
+    * fewer bits than there are bands, so at least one band matches
+    * EXACTLY and the pair surfaces — `maxHamming < nBands` is required
+    * and makes recall 1.0 by construction (DedupSpec pins this against
+    * brute force).
+    *
+    * Scale: the join is keyed by 64/nBands-bit band values — bucket
+    * sizes bound the blowup exactly as in MinHash-LSH; the signature
+    * computes once per doc behind a repartition barrier (ReuseExchange
+    * collapses the two join sides). At 4 bands / 16-bit bands the
+    * bucket count is 4×65536 per band index — clustered corpora raise
+    * bucket occupancy, which is intrinsic to simhash banding (more
+    * bands trade verify volume for a higher detectable distance).
+    */
+  def simhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+                       nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(0 <= maxHamming && maxHamming < nBands,
+      s"maxHamming must be < nBands for the pigeonhole guarantee ($maxHamming vs $nBands)")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val withSig = df
+      .select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+      .repartition(col("doc"))
+    val banded = withSig.select(
+      col("doc"), col("sig"),
+      posexplode(array((0 until nBands).map { b =>
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"), col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"), col("doc").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over an undirected pair graph — the step
     * that turns near-duplicate PAIRS into dedup CLUSTERS (each cluster
     * keeps one canonical document). Iterative min-label propagation:

@@ -72,6 +72,26 @@ object TextQueries {
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash64"))
     }),
 
+    // SimHash-banded near-dup pairs, planted-copy guarantee harness
+    // (dedup_minhash pattern): an exact copy has an identical
+    // signature, so it collides in EVERY band and must surface with
+    // hamming 0 for every doc — the pigeonhole completeness of the
+    // band join, oracle-stated as an invariant. Probabilistic near-dup
+    // recall is pinned separately in DedupSpec against brute force.
+    "dedup_simhash_pairs" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val pairs = Dedup.simhashBandPairs(docs.union(planted), "doc_id", "text",
+        nBands = 4, maxHamming = 3)
+      docs.select(col("doc_id"))
+        .join(pairs.where(col("doc_b") === col("doc_a") + lit(1000000L))
+            .select(col("doc_a").as("doc_id"), col("hamming")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("hamming").isNotNull.as("planted_dup_found"),
+          coalesce(col("hamming"), lit(-1L)).as("hamming"))
+    }),
+
     // Repetition signals (Gopher-style quality filters): fraction of
     // the doc covered by its most frequent word / word-bigram. One
     // native per-row kernel (expressions.TopNgramRatio) — a zero-
@@ -365,6 +385,11 @@ object TextQueries {
     "dedup_minhash" ->
       """SELECT doc_id, true AS planted_dup_found,
         |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """SELECT doc_id, true AS planted_dup_found,
+        |  CAST(0 AS BIGINT) AS hamming
         |FROM documents""".stripMargin,
 
     "text_repetition" -> {

@@ -93,6 +93,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash band pairs: recall 1.0 vs brute force within the pigeonhole bound") {
+    // completeness is structural (hamming ≤ nBands−1 ⇒ some band
+    // matches exactly), so the banded join must find EVERY pair the
+    // all-pairs hamming scan finds — not a sampled approximation
+    val docs = Tables.documents(spark, sfDir).limit(250)
+      .select(col("doc_id"), col("text"))
+    val banded = Dedup.simhashBandPairs(docs, "doc_id", "text", nBands = 4, maxHamming = 3)
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    val l = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val brute = l.crossJoin(r)
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+    assert(brute.count() > 0, "fixture needs near-dup signature pairs")
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+  }
+
+  test("simhash band pairs rejects parameters that break the pigeonhole guarantee") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashBandPairs(docs, "doc_id", "text", nBands = 4, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashBandPairs(docs, "doc_id", "text", nBands = 5, maxHamming = 3)
+    }
+  }
+
   test("native simhash64 matches the 64-vote declarative rebuild on every fixture doc") {
     // Differential harness (formerly the registered dedup_simhash
     // query; moved here so the BENCH query measures the production
