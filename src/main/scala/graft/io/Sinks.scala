@@ -39,4 +39,24 @@ object Sinks {
         true
     }
   }
+
+  /** Fingerprint-guarded write-once for at-rest serving layouts
+    * (IVF-bucketed corpus, zone-mapped tables, training shards): run
+    * `write` only when `layoutId` — a caller-computed digest of the
+    * layout's inputs — differs from the id recorded in the marker
+    * file, then record it. The marker lives INSIDE the layout dir
+    * under a `_`-prefixed name, so Spark's file listing never sees it;
+    * one shared implementation keeps the three call sites' freshness
+    * protocol from drifting apart. Returns true when a rewrite ran.
+    */
+  def writeOnce(restDir: String, layoutId: String)(write: => Unit): Boolean = {
+    val marker = new java.io.File(restDir, "_graft_layout")
+    val fresh = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
+    if (!fresh) {
+      write
+      java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
+    }
+    !fresh
+  }
 }

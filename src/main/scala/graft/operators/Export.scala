@@ -51,7 +51,12 @@ object Export {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
-    assigned.agg(count_distinct(col("shard"))).collect()(0).getLong(0)
+    // count shards from what was WRITTEN: a partition-column-only scan
+    // is directory-listing work — re-running `assigned`'s lineage
+    // (tokenize + prefix sum, two shuffles) just for a count would
+    // double the export's cost
+    assigned.sparkSession.read.parquet(dir)
+      .select(col("shard")).distinct().count()
   }
 
   /** Per-shard manifest aggregated from the AT-REST files (not the

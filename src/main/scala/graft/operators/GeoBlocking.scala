@@ -98,6 +98,13 @@ object GeoBlocking {
     * nudged down one part in 1e6 so a point exactly AT the measured
     * extreme can never trip [[pairsWithinKm]]'s domain guard through
     * acos/cos rounding.
+    *
+    * Contract: `points` must be DETERMINISTIC across evaluations — the
+    * bound is measured in its own action and the pair join
+    * re-evaluates the plan; an input containing rand()/sampling could
+    * materialize a latitude above the measured extreme on the second
+    * pass and die at the domain guard. Checkpoint nondeterministic
+    * inputs first (FriendRecsJob feeds a localCheckpointed frame).
     */
   def pairsWithinKmAuto(points: DataFrame, idCol: String, latCol: String, lonCol: String,
                         maxKm: Double,

@@ -148,6 +148,16 @@ object Lakehouse {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Self-heal the ROOT itself first: when the root directory IS a
+    // leaf (non-partitioned layout), its crash backup lands as a
+    // dot-prefixed SIBLING outside the tree heal() scans — a crash
+    // between that leaf's two renames would otherwise strand the table
+    // in `.root__old` with every later call failing the existence
+    // require below.
+    val rootBackup = new Path(rootPath.getParent, "." + rootPath.getName + "__old")
+    if (!fs.exists(rootPath) && fs.exists(rootBackup) &&
+        !fs.rename(rootBackup, rootPath))
+      throw new java.io.IOException(s"compactPartitioned: cannot restore $rootBackup")
     require(fs.exists(rootPath), s"compactPartitioned: no such dir $root")
 
     def heal(d: Path): Unit =

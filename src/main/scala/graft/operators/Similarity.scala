@@ -242,15 +242,11 @@ object Similarity {
     // codebook needs no fingerprint — it is a deterministic function of
     // the corpus (hash-ordered sample + Lloyd), so equal inputs imply
     // an equal layout.
-    val marker = new java.io.File(restDir, "_graft_layout")
     val fp = corpus.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).collect()(0)
-    val layoutId = s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};nCells=$nCells"
-    val fresh = marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
-    if (!fresh) {
+    graft.io.Sinks.writeOnce(restDir,
+      s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};nCells=$nCells") {
       assignCellsWith(corpus, codebook)
         .write.mode("overwrite").partitionBy("cell").parquet(restDir)
-      java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
     }
 
     val probed = queries

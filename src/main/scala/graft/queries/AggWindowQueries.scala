@@ -125,6 +125,12 @@ object AggWindowQueries {
         .select(cols.map(col): _*)
         .unpivot(Array.empty[org.apache.spark.sql.Column],
           cols.map(col).toArray, "column", "v")
+        // NULL measures: drop them BEFORE grouping so ndv doesn't gain
+        // a null group and the mean's denominator matches avg()
+        // semantics (and DuckDB's UNPIVOT, which excludes nulls) on
+        // nullable columns — latent on the all-non-null fixture, but
+        // the profiler must not change meaning the day it meets one
+        .where(col("v").isNotNull)
         .groupBy("column", "v")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("column")

@@ -170,15 +170,11 @@ object SamplingQueries {
       val restDir = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft_shards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-      val marker = new java.io.File(restDir, "_graft_shards")
       val fp = docs.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).collect()(0)
-      val layoutId = s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};tps=$ShardTokens"
-      val fresh = marker.isFile && new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
-      if (!fresh) {
+      graft.io.Sinks.writeOnce(restDir,
+        s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};tps=$ShardTokens") {
         graft.operators.Export.writeShards(docs, "doc_id", "n_tok",
           tokensPerShard = ShardTokens, bucketWidth = 1000, restDir)
-        java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
       }
       graft.operators.Export.shardManifest(spark, restDir, "doc_id", "n_tok")
     }),
@@ -198,17 +194,13 @@ object SamplingQueries {
       val restDir = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft_zorder_rest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-      val marker = new java.io.File(restDir, "_graft_layout")
       val fp = ev.agg(count(lit(1)), expr("bit_xor(xxhash64(event_id))")).collect()(0)
-      val layoutId = s"rows=${fp.getLong(0)};ids=${fp.getLong(1)}"
-      val fresh = marker.isFile && new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == layoutId
-      if (!fresh) {
+      graft.io.Sinks.writeOnce(restDir,
+        s"rows=${fp.getLong(0)};ids=${fp.getLong(1)}") {
         Layout.writeZoneMapped(ev,
           pmod(col("user_id"), lit(65536L)),
           pmod(floor(col("event_id") / 16).cast("long"), lit(65536L)),
           nFiles = 32, restDir, statsCols = Seq("user_id", "event_id"))
-        java.nio.file.Files.write(marker.toPath, layoutId.getBytes("UTF-8"))
       }
       val (out, _, _) = Layout.statsPrunedRead(spark, restDir,
         Seq(("user_id", 4L, 10L), ("event_id", 100L, 2000L)))

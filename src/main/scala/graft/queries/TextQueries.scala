@@ -80,11 +80,15 @@ object TextQueries {
     // recall is pinned separately in DedupSpec against brute force.
     "dedup_simhash_pairs" -> ((spark, dir) => {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      val planted = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      // planted-copy offset DERIVED from the corpus (one tiny agg) —
+      // a hardcoded offset silently collides with real ids the day
+      // the corpus outgrows it, voiding the invariant being checked
+      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val planted = docs.select((col("doc_id") + lit(offset)).as("doc_id"), col("text"))
       val pairs = Dedup.simhashBandPairs(docs.union(planted), "doc_id", "text",
         nBands = 4, maxHamming = 3)
       docs.select(col("doc_id"))
-        .join(pairs.where(col("doc_b") === col("doc_a") + lit(1000000L))
+        .join(pairs.where(col("doc_b") === col("doc_a") + lit(offset))
             .select(col("doc_a").as("doc_id"), col("hamming")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -97,7 +97,9 @@ class DedupSpec extends SparkSpec {
     // completeness is structural (hamming ≤ nBands−1 ⇒ some band
     // matches exactly), so the banded join must find EVERY pair the
     // all-pairs hamming scan finds — not a sampled approximation
-    val docs = Tables.documents(spark, sfDir).limit(250)
+    // doc_id filter, not limit(): an unordered limit can hand the
+    // banded and brute-force plans different subsets
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 250)
       .select(col("doc_id"), col("text"))
     val banded = Dedup.simhashBandPairs(docs, "doc_id", "text", nBands = 4, maxHamming = 3)
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
