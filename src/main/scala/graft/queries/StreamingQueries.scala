@@ -43,6 +43,29 @@ object StreamingQueries {
           round(col("total_value"), 4).as("total_value"))
     }),
 
+    // Identical sessionization on the MODERN state API (Spark 4
+    // transformWithState + StatefulProcessor + typed ValueState) —
+    // same sentinel flush, same gaps-and-islands oracle, so the two
+    // state surfaces are pinned to the identical relation.
+    "stream_tws_sessionize" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val sentinels = ev.groupBy("user_id")
+        .agg(max(col("ts")).as("mx"))
+        .select(col("user_id"),
+          (col("mx") + expr("INTERVAL 1 DAY")).as("ts"),
+          lit("__flush").as("event_type"), lit(0.0).as("value"))
+      val evs = ev.unionByName(sentinels).as[StreamingOps.Ev]
+      StreamingOps.sessionizeTws(evs, GapMs).toDF()
+        .select(
+          col("user_id"),
+          unix_timestamp(col("start_ts")).as("start_s"),
+          unix_timestamp(col("end_ts")).as("end_s"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+    }),
+
     // Interval join in batch mode: purchases within 10 min of a click
     // by the same user.
     "stream_interval_join" -> ((spark, dir) => {
@@ -114,11 +137,12 @@ object StreamingQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // Gaps-and-islands: session breaks where the gap to the previous
-    // event exceeds GapMs; µs timestamps to match Spark.
-    "stream_sessionize" ->
-      s"""WITH e AS (
+  // Gaps-and-islands rebuild shared by BOTH custom-state sessionizers
+  // (flatMapGroupsWithState and transformWithState): session breaks
+  // where the gap to the previous event exceeds GapMs; µs timestamps
+  // to match Spark.
+  private val sessionizeSql: String =
+    s"""WITH e AS (
          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
          |), flagged AS (
          |  SELECT user_id, ts, value,
@@ -137,7 +161,11 @@ object StreamingQueries {
          |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
          |  count(*) AS n_events,
          |  round(sum(value), 4) AS total_value
-         |FROM grouped GROUP BY user_id, session_id""".stripMargin,
+         |FROM grouped GROUP BY user_id, session_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "stream_sessionize" -> sessionizeSql,
+    "stream_tws_sessionize" -> sessionizeSql,
 
     // session_window merges OVERLAPPING [ts, ts+gap) intervals, so the
     // break condition is diff >= gap (vs the strict > of the

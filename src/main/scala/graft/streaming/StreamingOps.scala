@@ -127,4 +127,79 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** The SAME gap sessionization on the modern Spark 4 state API:
+    * `transformWithState` with a [[StatefulProcessor]] holding a typed
+    * [[org.apache.spark.sql.streaming.ValueState]]. This is the API
+    * new state logic should target — named state variables (several
+    * per processor: value/list/map), per-state TTL, timers — where
+    * flatMapGroupsWithState forces one monolithic state object and
+    * global timeouts. Kept alongside the fMGWS form so the engine
+    * exercises both surfaces; `stream_tws_sessionize` pins them to the
+    * identical relation via the shared gaps-and-islands oracle.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var session: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionAgg]("session",
+        org.apache.spark.sql.Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+      var cur = if (session.exists()) Some(session.get()) else None
+      val out = Seq.newBuilder[UserSession]
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            cur = Some(s.copy(endMs = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
+            cur = Some(SessionAgg(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionAgg(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(session.update)
+      out.result().iterator
+    }
+  }
+
+  /** transformWithState loads a REAL state store even in batch mode,
+    * and its executors resolve the driver's StateStoreCoordinator RPC
+    * endpoint — which the streaming engine registers lazily on the
+    * first streaming-query start. On a session that never ran one,
+    * the lookup dies with RpcEndpointNotFoundException; running a
+    * one-row AvailableNow MemoryStream query once per SparkContext
+    * initializes the coordinator through its supported path.
+    */
+  private val coordinatorReady =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (coordinatorReady.add(spark.sparkContext.applicationId)) {
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      ms.addData(1)
+      val q = ms.toDS().writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+  /** [[sessionize]] on the transformWithState path — identical
+    * semantics (sentinel-flushed open sessions, append-only output).
+    */
+  def sessionizeTws(events: Dataset[Ev], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

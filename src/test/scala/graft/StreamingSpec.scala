@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.core.Tables
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Ev
 
@@ -32,6 +33,50 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1).n_events === 1 && u1(1).total_value === 3.0)
     val u2 = sessions.filter(_.user_id == 2L)
     assert(u2.length === 1 && u2(0).n_events === 1)
+  }
+
+  test("transformWithState sessionizer equals the fMGWS sessionizer in batch") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Ev]
+    val a = StreamingOps.sessionize(evs, gapMs = 30 * 60 * 1000).toDF()
+    val b = StreamingOps.sessionizeTws(evs, gapMs = 30 * 60 * 1000).toDF()
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("transformWithState runs as a REAL stream on the RocksDB state store") {
+    import spark.implicits._
+    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.sessionizeTws(ms.toDS(), gapMs = 10 * 60 * 1000)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        // batch 1 opens two sessions; batch 2's far-future events close
+        // them (state survives across microbatches in RocksDB)
+        ms.addData(Ev(1L, ts(0), "click", 1.0), Ev(1L, ts(2), "view", 2.0),
+          Ev(2L, ts(5), "view", 5.0))
+        q.processAllAvailable()
+        ms.addData(
+          Ev(1L, Timestamp.valueOf("2024-01-02 00:00:00"), "flush", 0.0),
+          Ev(2L, Timestamp.valueOf("2024-01-02 00:00:00"), "flush", 0.0))
+        q.processAllAvailable()
+        val sessions = spark.table("tws_sessions")
+          .where(col("total_value") > 0).collect()
+        assert(sessions.length === 2)
+        val u1 = sessions.find(_.getLong(0) == 1L).get
+        assert(u1.getInt(3) === 2 && u1.getDouble(4) === 3.0)
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("file-source readStream → windowed agg → file sink round-trip") {
