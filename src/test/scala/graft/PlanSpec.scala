@@ -145,6 +145,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("simhash band pairs plan is a bucket equi-join — no cartesian, no BNLJ") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.Dedup.simhashBandPairs(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("shard assignment funnels only the bucket-total table through one partition") {
+    import org.apache.spark.sql.functions.{col, size}
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val p = plan(graft.operators.Export.shardAssignments(docs, "doc_id", "n_tok", 4096, 100))
+    // the two-level prefix sum's ONLY single-partition stage is the
+    // ~N/bucketWidth bucket-offset table; the corpus-cardinality
+    // window partitions by bucket (a naive global running sum would
+    // add a second SinglePartition exchange over the full input)
+    assert(count(p, "Exchange SinglePartition") === 1, p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
