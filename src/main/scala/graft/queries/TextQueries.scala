@@ -7,9 +7,11 @@ import graft.functions.TextFns
 import graft.operators.Dedup
 
 /** Text-analysis and deduplication extension queries over `documents`
-  * (LLM training-data pipeline ops). Oracle-checked wherever the
-  * kernel is expressible in DuckDB; MinHash/SimHash use xxhash64 and
-  * are rows-only checked (plus ScalaTest property specs).
+  * (LLM training-data pipeline ops). Every query is value-level
+  * oracle-checked: even the hash-kernel signatures (FNV-1a simhash)
+  * are rebuilt exactly in DuckDB SQL; the MinHash/banding pipelines
+  * are gated by planted-copy invariant oracles plus ScalaTest
+  * property specs.
   */
 object TextQueries {
 
@@ -61,12 +63,14 @@ object TextQueries {
     }),
 
     // SimHash: the PRODUCTION operator — a zero-shuffle projection
-    // through the native one-pass simhash64 expression. The signature
-    // isn't SQL-expressible in DuckDB (xxhash64 token kernel), so the
-    // driver records the weaker rows-only check here; the value-level
-    // guarantee lives in DedupSpec's differential test, which rebuilds
-    // the 64 sign-votes from Spark built-ins over the shared token-hash
-    // kernel and pins bit-equality for every fixture document.
+    // through the native one-pass simhash64 expression. Fully
+    // value-level oracle-checked: the token kernel is FNV-1a 64 (a
+    // published, seed-free recurrence), so DuckDB rebuilds the exact
+    // signature from first principles — per-char FNV fold via
+    // list_reduce in 128-bit modular arithmetic, 64 sign-votes,
+    // bit reassembly — and the driver hash-compares the two engines'
+    // signatures bit for bit. DedupSpec keeps the in-engine
+    // differential rebuild as a second, independent witness.
     "dedup_simhash" -> ((spark, dir) => {
       Tables.documents(spark, dir)
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash64"))
@@ -395,6 +399,44 @@ object TextQueries {
       """SELECT doc_id, true AS planted_dup_found,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents""".stripMargin,
+
+    // Exact DuckDB rebuild of the native simhash64 expression
+    // (expressions.TextHash.simhash64): FNV-1a 64 per space-separated
+    // token (the fold runs in HUGEINT with an explicit mod-2^64 so the
+    // 64-bit wraparound of the JVM kernel is reproduced exactly),
+    // then a sign-vote per bit and bit reassembly; the final CASE maps
+    // the unsigned signature onto the JVM's signed long. string_split
+    // keeps empty tokens, matching the Scala kernel's behavior on
+    // consecutive/leading/trailing spaces.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |                   [unicode(c)::HUGEINT for c in string_split(tok, '')]),
+        |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS h
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1::HUGEINT = 1::HUGEINT
+        |             THEN 1 ELSE -1 END) AS vote
+        |  FROM hashed, (SELECT unnest(range(64)) AS b) bb
+        |  GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b
+        |             ELSE 0::HUGEINT END) AS u
+        |  FROM bits GROUP BY 1
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |            THEN u - 18446744073709551616::HUGEINT
+        |            ELSE u END AS BIGINT) AS simhash64
+        |FROM sig""".stripMargin,
 
     "text_repetition" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
