@@ -27,12 +27,24 @@ object Export {
   /** (idCol, nTokCol, tok_offset, shard) — one row per document.
     * Zero-token documents are dropped (they occupy no loader bytes;
     * keeping them would pin empty records to boundary shards).
+    *
+    * Shard ids are contiguous 0..n-1 ONLY because no document exceeds
+    * the budget: a doc with n_tok ≤ tokensPerShard advances the next
+    * offset by at most one whole shard, so `offset div budget` never
+    * skips an index. An oversize doc would silently leave empty shard
+    * indices behind it (breaking the "one file per shard id" loader
+    * contract), so it is rejected per-row via assert_true — a codegen'd
+    * check inside the same pass, not an extra aggregation.
     */
   def shardAssignments(docs: DataFrame, idCol: String, nTokCol: String,
                        tokensPerShard: Long, bucketWidth: Long): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
     Packing.prefixSum(docs, idCol, nTokCol, "tok_offset", bucketWidth)
       .where(col(nTokCol) > 0)
+      .where(assert_true(col(nTokCol) <= lit(tokensPerShard),
+        concat(lit(s"shardAssignments: document exceeds tokensPerShard=$tokensPerShard "),
+          lit("(would leave gaps in shard numbering); split or chunk it first: id="),
+          col(idCol).cast("string"))).isNull)
       .withColumn("shard", expr(s"tok_offset DIV $tokensPerShard"))
   }
 

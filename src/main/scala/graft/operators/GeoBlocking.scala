@@ -110,7 +110,9 @@ object GeoBlocking {
                         maxKm: Double,
                         distanceKm: (Column, Column, Column, Column) => Column =
                           Geo.haversineKm): DataFrame = {
-    val row = points.agg(max(abs(col(latCol)))).collect()(0)
+    // cast("double") so the extreme reads correctly whatever numeric
+    // type the latitude column arrives as (float/decimal/double)
+    val row = points.agg(max(abs(col(latCol))).cast("double")).collect()(0)
     val maxAbsLat = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     require(maxAbsLat <= 89.0,
       f"pairsWithinKmAuto: |lat| up to $maxAbsLat%.4f deg — longitude-grid " +

@@ -101,7 +101,11 @@ object AggWindowQueries {
           count_distinct(col("v")).as("ndv"),
           round(min(col("v")), 4).as("vmin"),
           round(max(col("v")), 4).as("vmax"),
-          round(avg(col("v")), 4).as("vmean"))
+          // exact fixed-point sum (measures are 2-decimal): float avg()
+          // is never hash-compared across engines — summation order
+          // diverges at some grouping cell (dataset_card precedent)
+          sum(round(col("v") * 100).cast("long")).as("vsum_x100"))
+        .withColumn("vmean_x1e4", expr("(vsum_x100 * 100) div n_rows"))
     }),
 
     // Profiling, scale form: NDV via HyperLogLog sketch instead of the
@@ -116,9 +120,9 @@ object AggWindowQueries {
     // count_distinct mixes with plain aggregates, and updates the HLL
     // once per DISTINCT value instead of once per row — which is why
     // this form beats the exact profile even at bench scale, not just
-    // asymptotically. The mean folds per-value sums (v·cnt — exact for
-    // the integral/2-decimal measures, and ulp-level for any double,
-    // far inside the 4-decimal report rounding).
+    // asymptotically. The mean is emitted as exact fixed-point
+    // (sum of 2-decimal values ×100 as long, one integral division) —
+    // float means are never hash-compared across engines.
     "profile_columns_approx" -> ((spark, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       Tables.lineitem(spark, dir)
@@ -140,11 +144,12 @@ object AggWindowQueries {
           approx_count_distinct(col("v")).as("andv"),
           round(min(col("v")), 4).as("vmin"),
           round(max(col("v")), 4).as("vmax"),
-          round(sum(col("v") * col("cnt")) / sum(col("cnt")), 4).as("vmean"))
+          sum(round(col("v") * 100).cast("long") * col("cnt")).as("vsum_x100"))
         .select(col("column"), col("n_rows"), col("ndv"),
           (abs(col("andv") - col("ndv")) <=
             greatest(col("ndv") * 0.1, lit(2.0))).as("ndv_in_tolerance"),
-          col("vmin"), col("vmax"), col("vmean"))
+          col("vmin"), col("vmax"), col("vsum_x100"),
+          expr("(vsum_x100 * 100) div n_rows").as("vmean_x1e4"))
     }),
 
     // Ordered string aggregation (listagg): deterministic via numeric
@@ -513,7 +518,9 @@ object AggWindowQueries {
         |)
         |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
         |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
-        |  round(avg(v), 4) AS vmean
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS vsum_x100,
+        |  CAST((sum(CAST(round(v * 100) AS BIGINT)) * 100) // count(*) AS BIGINT)
+        |    AS vmean_x1e4
         |FROM u GROUP BY 1""".stripMargin,
 
     "profile_columns_approx" ->
@@ -525,7 +532,9 @@ object AggWindowQueries {
         |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
         |  true AS ndv_in_tolerance,
         |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
-        |  round(avg(v), 4) AS vmean
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS vsum_x100,
+        |  CAST((sum(CAST(round(v * 100) AS BIGINT)) * 100) // count(*) AS BIGINT)
+        |    AS vmean_x1e4
         |FROM u GROUP BY 1""".stripMargin,
 
     "agg_string_agg" ->

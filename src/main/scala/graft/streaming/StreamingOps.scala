@@ -108,7 +108,11 @@ object StreamingOps {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.endMs <= gapMs =>
-            cur = Some(s.copy(endMs = t, n = s.n + 1, total = s.total + e.value))
+            // monotone bounds: a late cross-batch event whose ts falls
+            // INSIDE the stored session must widen it, never shrink it
+            // (in-order input makes both max/min no-ops)
+            cur = Some(s.copy(startMs = math.min(s.startMs, t),
+              endMs = math.max(s.endMs, t), n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             out += UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
             cur = Some(SessionAgg(t, t, 1, e.value))
@@ -156,7 +160,10 @@ object StreamingOps {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.endMs <= gapMs =>
-            cur = Some(s.copy(endMs = t, n = s.n + 1, total = s.total + e.value))
+            // monotone bounds (see the fMGWS twin): late cross-batch
+            // events widen the stored session, never shrink it
+            cur = Some(s.copy(startMs = math.min(s.startMs, t),
+              endMs = math.max(s.endMs, t), n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             out += UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
             cur = Some(SessionAgg(t, t, 1, e.value))
