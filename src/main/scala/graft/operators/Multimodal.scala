@@ -88,10 +88,87 @@ object Multimodal {
     bb.array()
   }
 
-  /** Real container parse: RIFF/WAVE and BMP headers → typed metadata
-    * + frame body; anything else passes through as an opaque frame.
-    * Malformed headers (truncated, bad lengths) fall back to raw
-    * rather than throwing — corrupt assets must not kill the stage.
+  // ImageIO's default ImageInputStream spools through a disk-backed
+  // cache file per call — pure overhead (and tmp-dir churn) on
+  // executors processing in-memory byte arrays.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode a `width`×`hEff` raster (the BMP fixture layout: row-major
+    * BGR byte triplets, `body(3p)=B body(3p+1)=G body(3p+2)=R`) as a
+    * real PNG or JPEG via `javax.imageio` (pure JDK — no codec
+    * dependency). PNG is lossless: decoding recovers the first
+    * `width*hEff*3` body bytes exactly, which is what lets the PNG
+    * path ride the same byte-exact DuckDB oracles as BMP. JPEG is
+    * lossy; its decode is gated by the round-trip invariant harness
+    * instead ([[jpegRoundtrip]]). Callers guarantee `hEff >= 1`.
+    */
+  def imageBytes(format: String, width: Int, hEff: Int, body: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, hEff, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgbs = new Array[Int](width * hEff)
+    var p = 0
+    while (p < rgbs.length) {
+      val b = body(3 * p) & 0xff
+      val g = body(3 * p + 1) & 0xff
+      val r = body(3 * p + 2) & 0xff
+      rgbs(p) = (r << 16) | (g << 8) | b
+      p += 1
+    }
+    img.setRGB(0, 0, width, hEff, rgbs, 0, width)
+    val baos = new java.io.ByteArrayOutputStream()
+    if (format == "jpeg" || format == "jpg") {
+      // explicit quality (default 0.75 loses ~5 gray levels of channel
+      // mean on noise-like rasters; 0.95 is the archival setting a
+      // training pipeline would use and keeps the mean within ~2)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.95f)
+      val out = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose()
+      out.close()
+    } else {
+      javax.imageio.ImageIO.write(img, format, baos)
+    }
+    baos.toByteArray
+  }
+
+  /** Decode a PNG/JPEG payload via `javax.imageio` into the SAME
+    * raster representation the BMP path produces (row-major BGR byte
+    * triplets), so every downstream raster kernel
+    * ([[bmpChannelStats]], [[resizeNearest]]) consumes real-codec
+    * output unchanged. Any decode failure falls back to an opaque raw
+    * frame — corrupt assets must not kill the stage.
+    */
+  private def imageIoDecode(bytes: Array[Byte], container: String): Decoded =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Decoded("raw", None, None, None, None, bytes)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+        val frame = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < rgbs.length) {
+          val rgb = rgbs(p)
+          frame(3 * p) = (rgb & 0xff).toByte
+          frame(3 * p + 1) = ((rgb >> 8) & 0xff).toByte
+          frame(3 * p + 2) = ((rgb >> 16) & 0xff).toByte
+          p += 1
+        }
+        Decoded(container, None, None, Some(w.toLong), Some(h.toLong), frame)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Decoded("raw", None, None, None, None, bytes)
+    }
+
+  /** Real container parse: RIFF/WAVE, BMP, PNG and JPEG → typed
+    * metadata + frame body; anything else passes through as an opaque
+    * frame. Malformed headers (truncated, bad lengths) fall back to
+    * raw rather than throwing — corrupt assets must not kill the stage.
     */
   private def tagAt(bytes: Array[Byte], at: Int, tag: String): Boolean =
     bytes.length >= at + tag.length &&
@@ -127,7 +204,32 @@ object Multimodal {
       else
         Decoded("bmp", None, None, Some(width), Some(height),
           java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+    } else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && tagAt(bytes, 1, "PNG")) {
+      imageIoDecode(bytes, "png")
+    } else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) {
+      imageIoDecode(bytes, "jpeg")
     } else Decoded("raw", None, None, None, None, bytes)
+  }
+
+  /** Image-typed documents as REAL PNG or JPEG assets: the text bytes
+    * are the raster body (width from [[widthOf]], effective height =
+    * complete rows only — a real codec can't carry a partial row, so
+    * documents too short for one row are skipped; the oracles mirror
+    * the same predicate).
+    */
+  def imageAssetsFromDocuments(docs: DataFrame, format: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.flatMap { case (id, text, nChars) =>
+        val w = widthOf(id)
+        val body = text.getBytes("UTF-8")
+        val hEff = (body.length / 3) / w
+        if (mediaTypeOf(id) != "image" || hEff == 0) None
+        else Some(Asset(id, "image", imageBytes(format, w, hEff, body), nChars))
+      })
+      .toDF()
   }
 
   /** Build an asset table from `documents` — text bytes become the
@@ -296,6 +398,59 @@ object Multimodal {
     out
   }
 
+  final case class JpegRoundtrip(asset_id: Long, width: Long, height: Long,
+                                 dims_match: Boolean, mean_within_tol: Boolean)
+
+  /** JPEG encode→decode invariant harness. JPEG is lossy, so its
+    * decode can't be byte-compared like PNG/BMP; what the DCT DOES
+    * preserve tightly is the per-channel first moment (means live in
+    * the DC coefficients). Each image-typed document is encoded as a
+    * real JPEG, decoded back through [[decode]], and gated on two
+    * invariants the oracle states as constants: exact dimensional
+    * round-trip, and per-channel mean error within `tol` gray levels
+    * of the pre-encode raster.
+    */
+  def jpegRoundtrip(docs: DataFrame, tol: Double): Dataset[JpegRoundtrip] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = widthOf(id)
+        val body = text.getBytes("UTF-8")
+        val hEff = (body.length / 3) / w
+        if (mediaTypeOf(id) != "image" || hEff == 0) None
+        else {
+          val d = decode(imageBytes("jpeg", w, hEff, body))
+          val n = w * hEff
+          var sb = 0.0; var sg = 0.0; var sr = 0.0
+          var p = 0
+          while (p < n) {
+            sb += (body(3 * p) & 0xff)
+            sg += (body(3 * p + 1) & 0xff)
+            sr += (body(3 * p + 2) & 0xff)
+            p += 1
+          }
+          val f = d.frame
+          val m = f.length / 3
+          var db = 0.0; var dg = 0.0; var dr = 0.0
+          var q = 0
+          while (q < m) {
+            db += (f(3 * q) & 0xff)
+            dg += (f(3 * q + 1) & 0xff)
+            dr += (f(3 * q + 2) & 0xff)
+            q += 1
+          }
+          val dimsOk = d.container == "jpeg" &&
+            d.width.contains(w.toLong) && d.height.contains(hEff.toLong)
+          val meanOk = m == n &&
+            math.abs(db / m - sb / n) <= tol &&
+            math.abs(dg / m - sg / n) <= tol &&
+            math.abs(dr / m - sr / n) <= tol
+          Some(JpegRoundtrip(id, w.toLong, hEff.toLong, dimsOk, meanOk))
+        }
+      })
+  }
+
   final case class ResampleFeatures(asset_id: Long, media_type: String,
                                     n_bytes: Long, first_byte: Int,
                                     checksum: Long)
@@ -317,7 +472,7 @@ object Multimodal {
     assets.as[Asset].mapPartitions(_.map { a =>
       val d = decode(a.payload)
       val out = d.container match {
-        case "bmp" => resizeNearest(d.frame, d.width.get.toInt, outW, outH)
+        case "bmp" | "png" | "jpeg" => resizeNearest(d.frame, d.width.get.toInt, outW, outH)
         case "wav" => pcmSampleStride(d.frame, pcmStride)
         case _ => byteSample(d.frame, rawStride)
       }

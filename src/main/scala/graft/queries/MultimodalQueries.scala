@@ -54,6 +54,38 @@ object MultimodalQueries {
           round(col("mean_r"), 4).as("mean_r"))
     }),
 
+    // REAL PNG codec round trip via javax.imageio: image docs encoded
+    // as genuine PNGs (complete-rows raster), decoded back through the
+    // shared decode() dispatcher. PNG is lossless, so the decoded
+    // frame is byte-identical to the truncated body and the oracle
+    // recomputes every field — dims, n_bytes, first_byte, rolling
+    // checksum — from the text directly. This is the representative-
+    // corpora codec path the BMP fixture anchors bit-exactly.
+    "mm_png_decode" -> ((spark, dir) => {
+      val assets = Multimodal.imageAssetsFromDocuments(
+        Tables.documents(spark, dir), "png")
+      Multimodal.extractFeatures(spark, assets).toDF()
+    }),
+
+    // Nearest-neighbor thumbnail over the PNG-decoded raster — the
+    // identical resize kernel and sampled source pixels as the BMP
+    // path (every sampled pixel lands inside the complete-rows
+    // raster), so the transformed-frame features hash-match the same
+    // byte rebuild.
+    "mm_png_resize" -> ((spark, dir) => {
+      val assets = Multimodal.imageAssetsFromDocuments(
+        Tables.documents(spark, dir), "png")
+      Multimodal.resampleFeatures(spark, assets,
+        outW = 8, outH = 4, pcmStride = 4, rawStride = 16).toDF()
+    }),
+
+    // JPEG (lossy) invariant harness: exact dimensional round trip +
+    // per-channel mean preserved within 2.5 gray levels (measured
+    // worst error 1.33 at quality 0.95 across every sf0.1 image doc).
+    "mm_jpeg_roundtrip" -> ((spark, dir) => {
+      Multimodal.jpegRoundtrip(Tables.documents(spark, dir), tol = 2.5).toDF()
+    }),
+
     // REAL audio DSP: decode the WAV container, read the frame as
     // little-endian PCM16, emit per-asset RMS energy + peak amplitude.
     // int16 squares sum exactly in doubles (< 2^53), so the oracle
@@ -129,6 +161,67 @@ object MultimodalQueries {
         |    END, 4) AS rms,
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(smp) END AS BIGINT) AS peak
         |FROM s""".stripMargin,
+
+    // PNG is lossless: the decoded raster is the first w*h*3 body
+    // bytes verbatim, so the oracle rebuilds every decoded field from
+    // the text. Docs with zero complete rows are skipped on both sides
+    // (a real codec can't carry a partial row).
+    "mm_png_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, 16 + (doc_id % 32) AS w,
+        |    (strlen(text) // 3) // (16 + (doc_id % 32)) AS h
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0
+        |    AND (strlen(text) // 3) // (16 + (doc_id % 32)) >= 1
+        |)
+        |SELECT doc_id AS asset_id, 'image' AS media_type, 'png' AS container,
+        |  CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS channels,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 * w * h AS BIGINT) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(range(1, 3 * w * h + 1),
+        |        i -> ascii(substring(text, i::INTEGER, 1)))),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |FROM a""".stripMargin,
+
+    // Same sampled-pixel rebuild as the img branch of mm_resize_sample
+    // (the nearest-neighbor kernel only ever samples inside complete
+    // rows), restricted to docs with at least one complete row.
+    "mm_png_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    flatten(list_transform(
+        |      list_transform(range(0, 32),
+        |        k -> ((k // 8) * ((strlen(text) // 3) // (16 + (doc_id % 32))) // 4)
+        |               * (16 + (doc_id % 32)) + ((k % 8) * (16 + (doc_id % 32))) // 8),
+        |      p -> [ascii(substring(text, CAST(3 * p + 1 AS INT), 1)),
+        |            ascii(substring(text, CAST(3 * p + 2 AS INT), 1)),
+        |            ascii(substring(text, CAST(3 * p + 3 AS INT), 1))])) AS bl
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0
+        |    AND (strlen(text) // 3) // (16 + (doc_id % 32)) >= 1
+        |)
+        |SELECT doc_id AS asset_id, 'image' AS media_type,
+        |  CAST(len(bl) AS BIGINT) AS n_bytes,
+        |  CAST(bl[1] AS INT) AS first_byte,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(bl, x -> x::BIGINT)),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |FROM img""".stripMargin,
+
+    // Invariant harness (dedup_minhash pattern): the oracle states the
+    // contract — dims round-trip exactly, channel means within
+    // tolerance — and Spark computes the evidence.
+    "mm_jpeg_roundtrip" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(16 + (doc_id % 32) AS BIGINT) AS width,
+        |  CAST((strlen(text) // 3) // (16 + (doc_id % 32)) AS BIGINT) AS height,
+        |  true AS dims_match, true AS mean_within_tol
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |  AND (strlen(text) // 3) // (16 + (doc_id % 32)) >= 1""".stripMargin,
 
     // Rebuild of the REAL per-media transforms from the same bytes:
     // image = nearest-neighbor 8×4 downsample over the effective

@@ -99,6 +99,29 @@ class TextFnsSpec extends SparkSpec {
     assert(Multimodal.decode(coreHeader).container === "raw")
   }
 
+  test("PNG round-trips byte-exactly; JPEG preserves dims and means; corrupt streams fall back") {
+    val body = (0 until 8 * 3 * 3).map(i => ((i * 37 + 11) % 251).toByte).toArray
+    // PNG: lossless — decoded frame == raster bytes verbatim
+    val png = Multimodal.decode(Multimodal.imageBytes("png", 8, 3, body))
+    assert(png.container === "png")
+    assert(png.width === Some(8L) && png.height === Some(3L))
+    assert(png.frame.toSeq === body.toSeq)
+    // JPEG: lossy — dims exact, per-channel mean within the gate's tol
+    val jpg = Multimodal.decode(Multimodal.imageBytes("jpeg", 8, 3, body))
+    assert(jpg.container === "jpeg")
+    assert(jpg.width === Some(8L) && jpg.height === Some(3L))
+    assert(jpg.frame.length === body.length)
+    (0 until 3).foreach { c =>
+      def mean(a: Array[Byte]) =
+        (0 until a.length / 3).map(p => a(3 * p + c) & 0xff).sum.toDouble / (a.length / 3)
+      assert(math.abs(mean(jpg.frame) - mean(body)) <= 2.5)
+    }
+    // a PNG magic with garbage after it must fall back to raw, not throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    assert(Multimodal.decode(corrupt).container === "raw")
+    assert(Multimodal.decode(corrupt).frame.toSeq === corrupt.toSeq)
+  }
+
   test("nearest-neighbor resize picks the exact kernel pixels") {
     // 4×2 source raster (pixel value = 10*y + x encoded in all three
     // channels), downsampled to 2×2: output (x', y') must sample
