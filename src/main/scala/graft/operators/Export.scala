@@ -71,6 +71,48 @@ object Export {
       .select(col("shard")).distinct().count()
   }
 
+  /** Append-only incremental export for corpus increments: new
+    * documents get shards AFTER the current maximum, existing shard
+    * files are never rewritten — at 100 TB a daily increment must not
+    * rewrite yesterday's layout (and byte-stable old shards are what
+    * keeps loader caches and train-resume valid). The increment
+    * starts at a FRESH shard boundary rather than topping up the
+    * possibly-partial last shard — topping up would rewrite an
+    * existing file, which is the thing this path exists to avoid; the
+    * cost is one undershot shard per increment, amortized to nothing.
+    *
+    * Contract: increments are id-ordered batches — every new id must
+    * exceed the last exported id (enforced per-row via assert_true;
+    * out-of-order ids would silently violate the id-ordered layout
+    * the manifest and dedup-by-prefix rely on). The existing layout's
+    * bounds are read cheaply: max shard from the partition column
+    * (directory-listing work) and max exported id from ONLY the last
+    * shard's file via partition pruning (ids are laid out in order,
+    * so the global max id lives in the max shard).
+    *
+    * Returns the total shard count after the append.
+    */
+  def appendShards(newDocs: DataFrame, idCol: String, nTokCol: String,
+                   tokensPerShard: Long, bucketWidth: Long, dir: String): Long = {
+    val spark = newDocs.sparkSession
+    val existing = spark.read.parquet(dir)
+    val maxShard = existing
+      .agg(max(col("shard").cast("long"))).head().getLong(0)
+    val maxId = existing
+      .where(col("shard") === maxShard)
+      .agg(max(col(idCol))).head().getLong(0)
+    val guarded = newDocs.where(assert_true(col(idCol) > lit(maxId),
+      concat(lit(s"appendShards: id not past the exported prefix (max exported id $maxId): "),
+        col(idCol).cast("string"))).isNull)
+    val assigned = shardAssignments(guarded, idCol, nTokCol, tokensPerShard, bucketWidth)
+      .withColumn("shard", col("shard") + lit(maxShard + 1))
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.partitionBy("shard").mode("append").parquet(dir)
+    spark.read.parquet(dir).select(col("shard")).distinct().count()
+  }
+
   /** Per-shard manifest aggregated from the AT-REST files (not the
     * in-flight assignment): doc/token counts and the id span. Reading
     * back is the point — the manifest certifies what a loader will

@@ -179,6 +179,33 @@ object SamplingQueries {
       graft.operators.Export.shardManifest(spark, restDir, "doc_id", "n_tok")
     }),
 
+    // Incremental (append-only) shard re-export: the corpus exported
+    // in two id-ordered batches — base prefix, then an increment that
+    // appends NEW shards after the current max without touching the
+    // at-rest prefix (Export.appendShards; PackingSpec pins old files
+    // byte-identical). The union manifest is oracle-rebuilt: base
+    // shards from the prefix sum over the first half, increment
+    // shards from a FRESH prefix sum offset past the base's max shard.
+    "export_shards_incremental" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      val restDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_shards_incr_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val fp = docs.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))"),
+        expr("(min(doc_id) + max(doc_id)) div 2")).collect()(0)
+      val split = fp.getLong(2)
+      graft.io.Sinks.writeOnce(restDir,
+        s"rows=${fp.getLong(0)};ids=${fp.getLong(1)};tps=$ShardTokens;split=$split") {
+        graft.operators.Export.writeShards(docs.where(col("doc_id") <= split),
+          "doc_id", "n_tok", tokensPerShard = ShardTokens, bucketWidth = 1000, restDir)
+        graft.operators.Export.appendShards(docs.where(col("doc_id") > split),
+          "doc_id", "n_tok", tokensPerShard = ShardTokens, bucketWidth = 1000, restDir)
+      }
+      graft.operators.Export.shardManifest(spark, restDir, "doc_id", "n_tok")
+    }),
+
     // Zone-map data skipping end to end: events written Z-order-
     // clustered on (user_id, event_id/16) with a persisted per-file
     // min/max manifest, then a 2-D range predicate planned by pruning
@@ -360,6 +387,41 @@ object SamplingQueries {
          |  max(doc_id) AS last_doc
          |FROM p WHERE n_tok > 0
          |GROUP BY 1""".stripMargin,
+
+    // Two-phase rebuild: base shards from the prefix sum over the
+    // id-prefix half, increment shards from a FRESH prefix sum offset
+    // to start one past the base's max shard (appendShards contract —
+    // the increment never tops up the base's partial last shard).
+    "export_shards_incremental" ->
+      s"""WITH s AS (
+         |  SELECT (min(doc_id) + max(doc_id)) // 2 AS split FROM documents
+         |), t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+         |), p1 AS (
+         |  SELECT doc_id, n_tok,
+         |    coalesce(sum(n_tok) OVER (
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         |  FROM t WHERE doc_id <= (SELECT split FROM s)
+         |), a1 AS (
+         |  SELECT doc_id, n_tok, off // $ShardTokens AS shard FROM p1 WHERE n_tok > 0
+         |), mx AS (
+         |  SELECT max(shard) + 1 AS base FROM a1
+         |), p2 AS (
+         |  SELECT doc_id, n_tok,
+         |    coalesce(sum(n_tok) OVER (
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         |  FROM t WHERE doc_id > (SELECT split FROM s)
+         |), a2 AS (
+         |  SELECT doc_id, n_tok, (SELECT base FROM mx) + off // $ShardTokens AS shard
+         |  FROM p2 WHERE n_tok > 0
+         |), u AS (
+         |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM u GROUP BY 1""".stripMargin,
 
     "layout_zorder" ->
       s"""SELECT event_id,

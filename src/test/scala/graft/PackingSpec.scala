@@ -127,6 +127,58 @@ class PackingSpec extends SparkSpec {
     assert(overshoot.isEmpty)
   }
 
+  test("incremental shard export: appends new shards, old files byte-identical") {
+    import graft.operators.Export
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val budget = 8192L
+    val split = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2")).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_incr_spec").toString + "/s"
+    val nBase = Export.writeShards(docs.where(col("doc_id") <= split),
+      "doc_id", "n_tok", budget, 100, dir)
+
+    def fileBytes(): Map[String, Seq[Byte]] = {
+      val root = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    val before = fileBytes()
+
+    val nAll = Export.appendShards(docs.where(col("doc_id") > split),
+      "doc_id", "n_tok", budget, 100, dir)
+    assert(nAll > nBase)
+
+    // the base layout is byte-for-byte untouched by the append
+    val after = fileBytes()
+    before.foreach { case (path, bytes) =>
+      assert(after.contains(path), s"base file $path disappeared")
+      assert(after(path) === bytes, s"base file $path was rewritten")
+    }
+
+    // increment shards start at a fresh boundary one past the base max
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"))
+    val shardIds = back.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(shardIds === (0L until nAll))
+    assert(back.where(col("doc_id") > split)
+      .agg(min(col("shard"))).head().getLong(0) === nBase)
+    // one file per shard still holds across the union
+    assert(spark.read.parquet(dir).inputFiles.length === nAll.toInt)
+
+    // appending ids that do not exceed the exported prefix fails loudly
+    val ex = intercept[Exception] {
+      Export.appendShards(docs.where(col("doc_id") <= split),
+        "doc_id", "n_tok", budget, 100, dir)
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("domain rebalance caps over-represented domains deterministically") {
     val docs = Tables.documents(spark, sfDir)
     val before = docs.groupBy("lang").count()
