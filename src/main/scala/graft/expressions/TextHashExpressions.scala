@@ -302,6 +302,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Subword token count of a string under a fitted BPE merge-rank
+  * table ([[graft.functions.Bpe]]). The table is a driver-fitted
+  * model attached via `ctx.addReferenceObj` (PqExpressions pattern) —
+  * the apply stays a zero-shuffle codegen'd projection with no
+  * per-row table deserialization.
+  */
+case class BpeTokenCount(child: Expression,
+                         ranks: java.util.HashMap[String, Integer])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.Bpe.tokenCount(input.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe.tokenCount($c.toString(), $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_token_count"
+}
+
 /** k-entry MinHash signature (array<long>) of an array<long> shingle set. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, "signature length must be >= 1")

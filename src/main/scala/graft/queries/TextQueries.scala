@@ -115,6 +115,36 @@ object TextQueries {
         round(GraftFunctions.topNgramRatio(col("text"), 2), 4).as("top_bigram_ratio"))
     }),
 
+    // Subword (BPE) token counting: a deterministic greedy merge
+    // table fitted on the corpus's bounded top-K word sample
+    // (quantizer-sample pattern), applied as a zero-shuffle native
+    // projection. The count itself has no DuckDB twin (the table is a
+    // fitted model), so the oracle is an invariant harness: the
+    // DuckDB-exact companions (ws tokens, nonempty words, nonspace
+    // chars) hash-match, and every document must satisfy
+    // n_words <= n_bpe <= n_nonspace_chars (each word is at least one
+    // token; no token is shorter than one char). The value-level
+    // guarantee — priority apply == sequential reference apply,
+    // 0 merges == char count, monotone compression — lives in BpeSpec.
+    "text_bpe_tokens" -> ((spark, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val docs = Tables.documents(spark, dir)
+      val ranks = graft.functions.Bpe.ranksOf(
+        graft.functions.Bpe.fitFromCorpus(docs, col("text")))
+      val bpe = ColumnBridge.column(graft.expressions.BpeTokenCount(
+        ColumnBridge.expression(col("text")), ranks))
+      docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(filter(TextFns.tokens(col("text")), w => length(w) > 0))
+            .cast("long").as("n_words"),
+          length(translate(col("text"), " ", "")).cast("long").as("n_nonspace_chars"),
+          bpe.as("nb"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_words"),
+          col("n_nonspace_chars"),
+          (col("nb") >= col("n_words") && col("nb") <= col("n_nonspace_chars"))
+            .as("bounds_ok"))
+    }),
+
     // Token counting: whitespace + regex tokenizations.
     "text_token_count" -> ((spark, dir) => {
       Tables.documents(spark, dir)
@@ -460,6 +490,17 @@ object TextQueries {
          |LEFT JOIN wr ON d.doc_id = wr.doc_id
          |LEFT JOIN br ON d.doc_id = br.doc_id""".stripMargin
     },
+
+    // Invariant harness: the companions are DuckDB-exact; the bounds
+    // boolean states the per-document BPE contract as a constant.
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    AS BIGINT) AS n_words,
+        |  strlen(replace(text, ' ', '')) AS n_nonspace_chars,
+        |  true AS bounds_ok
+        |FROM documents""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS dup_key, min(doc_id) AS keeper_id, count(*) AS n_copies
