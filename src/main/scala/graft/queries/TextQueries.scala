@@ -304,6 +304,36 @@ object TextQueries {
           (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
     }),
 
+    // Quality-aware canonical selection: real curation keeps the
+    // BEST document per duplicate component, not the min-id one.
+    // Same component structure as dedup_pipeline (prefix-40 groups →
+    // connectedComponents), composed with the text_quality signal
+    // (unique-token ratio; ties broken by doc_id so the choice is
+    // deterministic) via a per-component argmax window. Scale: the
+    // window partitions by component — bounded groups, no global sort.
+    "dedup_canonical_quality" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextFns.tokens(col("text"))
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("k"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("q"))
+      val roots = docs.groupBy("k").agg(min(col("doc_id")).as("root"))
+      val edges = docs.join(roots, Seq("k"))
+        .where(col("doc_id") =!= col("root"))
+        .select(col("root").as("a"), col("doc_id").as("b"))
+      val cc = Dedup.connectedComponents(edges, "a", "b")
+      val withComp = docs
+        .join(cc.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"),
+          col("q"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("q").desc, col("doc_id"))
+      withComp
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("component"),
+          round(col("q"), 4).as("quality"), (col("rn") === 1).as("keep"))
+    }),
+
     // Canonical text normalization (the step BEFORE exact dedup):
     // lowercase → strip non-alphanumerics → collapse whitespace →
     // trim, plus the md5 of the canonical form as the dedup key. Pure
@@ -566,6 +596,22 @@ object TextQueries {
         |  FROM documents
         |)
         |SELECT doc_id, comp AS component, doc_id = comp AS keep FROM g""".stripMargin,
+
+    "dedup_canonical_quality" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY substring(text, 1, 40)) AS comp,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS q
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, comp, q,
+        |    row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+        |  FROM g
+        |)
+        |SELECT doc_id, comp AS component, round(q, 4) AS quality,
+        |  rn = 1 AS keep
+        |FROM r""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
