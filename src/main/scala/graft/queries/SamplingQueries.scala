@@ -133,6 +133,31 @@ object SamplingQueries {
           expr("(total_chars * 10000) div n_docs"))
     }),
 
+    // Dataset card v2 companion: per-column NDV + top-k frequent
+    // values with counts — the composition table a curation team
+    // ships next to the grouping-sets card. Exact by design: the
+    // card's columns are categorical, so groupBy(column, value)
+    // map-side-combines to a value-cardinality-sized table and the
+    // per-column top-k rides the TopKPerKey operator (row_number <= k)
+    // over bounded partitions. (For unbounded-NDV columns the
+    // HeavyHitters Misra-Gries + exact-verify path is the scale form —
+    // text_heavy_hitters; a card never profiles such a column exactly.)
+    "dataset_card_values" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val long = Tables.documents(spark, dir)
+        .select(col("lang"), col("source"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("lang"), col("source")), "column", "value")
+      val freqs = long.groupBy("column", "value").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("column").orderBy(col("freq").desc, col("value"))
+      freqs
+        .withColumn("ndv", count(lit(1)).over(Window.partitionBy("column")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("column"), col("ndv").cast("long").as("ndv"),
+          col("value"), col("freq"), col("rank").cast("long").as("rank"))
+    }),
+
     // Domain-mix rebalance over the skewed `lang` column (en is ~44%
     // of the fixture): per-language acceptance rates derived from
     // measured cardinalities (uniform target share; over-represented
@@ -368,6 +393,23 @@ object SamplingQueries {
         |  CAST((sum(n_chars) * 10000) // count(*) AS BIGINT) AS avg_chars_x1e4
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""".stripMargin,
+    "dataset_card_values" ->
+      """WITH u AS (
+        |  SELECT "column", value FROM (SELECT lang, source FROM documents)
+        |  UNPIVOT (value FOR "column" IN (lang, source))
+        |), f AS (
+        |  SELECT "column", value, count(*) AS freq FROM u GROUP BY 1, 2
+        |), r AS (
+        |  SELECT "column", value, freq,
+        |    count(*) OVER (PARTITION BY "column") AS ndv,
+        |    row_number() OVER (PARTITION BY "column"
+        |                       ORDER BY freq DESC, value) AS rank
+        |  FROM f
+        |)
+        |SELECT "column", CAST(ndv AS BIGINT) AS ndv, value, freq,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
     "text_chunk_sliding" -> chunkSlidingSql,
     "sample_domain_mix" -> domainMixSql,
     "export_shards" ->
