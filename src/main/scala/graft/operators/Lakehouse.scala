@@ -79,7 +79,9 @@ object Lakehouse {
     * data itself is never lost).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              targetBytes: Long): Int = {
+              targetBytes: Long,
+              recluster: Option[(org.apache.spark.sql.DataFrame, Int) =>
+                org.apache.spark.sql.DataFrame] = None): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
@@ -90,20 +92,26 @@ object Lakehouse {
     // partition subdirectories (note the rewrite itself flattens the
     // layout — [[compactPartitioned]] is the layout-preserving form)
     compactLeaf(spark, fs, path,
-      new org.apache.hadoop.fs.Path(dir + "__compacting"), crashBackup, targetBytes)
+      new org.apache.hadoop.fs.Path(dir + "__compacting"), crashBackup,
+      targetBytes, recluster)
   }
 
   /** One directory's crash-safe rewrite: size by total parquet bytes,
     * rewrite into `tmp`, swap via rename-aside + restore-on-failure.
     * Shared by the flat [[compact]] and the per-leaf passes of
-    * [[compactPartitioned]].
+    * [[compactPartitioned]]. `recluster` (frame, nFiles) replaces the
+    * default shuffle-repartition with a layout-producing partitioning
+    * (e.g. Z-order range clustering) so compaction can TIGHTEN data
+    * skipping instead of scrambling it.
     */
   private def compactLeaf(spark: org.apache.spark.sql.SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
                           path: org.apache.hadoop.fs.Path,
                           tmp: org.apache.hadoop.fs.Path,
                           backup: org.apache.hadoop.fs.Path,
-                          targetBytes: Long): Int = {
+                          targetBytes: Long,
+                          recluster: Option[(org.apache.spark.sql.DataFrame, Int) =>
+                            org.apache.spark.sql.DataFrame] = None): Int = {
     val it = fs.listFiles(path, true)
     var bytes = 0L
     while (it.hasNext) {
@@ -111,7 +119,8 @@ object Lakehouse {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(path.toString).repartition(nFiles)
+    val frame = spark.read.parquet(path.toString)
+    recluster.map(f => f(frame, nFiles)).getOrElse(frame.repartition(nFiles))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(backup, true) // stale backup from a previous crash
     if (!fs.rename(path, backup))

@@ -86,6 +86,30 @@ object Layout {
       .write.mode("overwrite").parquet(dir + "/_zonemap")
   }
 
+  /** Compaction that preserves the skipping contract: rewrite a
+    * zone-mapped layout into ceil(bytes/targetBytes) files that are
+    * RE-Z-ORDERED during the rewrite (each output file again owns a
+    * compact Z-range), then regenerate `_zonemap` from the files at
+    * rest. A plain byte-packing compaction shuffle-scrambles rows
+    * across files, widening every file's min/max box until the zone
+    * map prunes nothing — compaction would silently destroy the
+    * layout's reason to exist. Rides [[Lakehouse.compact]]'s
+    * crash-safe rename protocol; the stale zone map leaves with the
+    * renamed-aside original and the new one is written only after the
+    * swap, so a reader never pairs new files with old stats.
+    * Returns the number of data files written.
+    */
+  def compactZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long, x: Column, y: Column,
+                        statsCols: Seq[String]): Int = {
+    val n = Lakehouse.compact(spark, dir, targetBytes,
+      recluster = Some((df, nFiles) => zorderCluster(df, x, y, nFiles)))
+    zoneMap(spark.read.parquet(dir), statsCols)
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir + "/_zonemap")
+    n
+  }
+
   /** Scan-time data skipping from the persisted zone map: keep only
     * the files whose [min, max] box overlaps EVERY predicate interval
     * (bounds inclusive), then read just those and apply the exact

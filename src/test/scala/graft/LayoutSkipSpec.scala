@@ -31,6 +31,52 @@ class LayoutSkipSpec extends SparkSpec {
       .count())
   }
 
+  test("re-Z-ordering compaction keeps skipping effective; plain compaction scrambles it") {
+    val x = pmod(col("user_id"), lit(65536L))
+    val y = pmod(floor(col("event_id") / 16).cast("long"), lit(65536L))
+    val stats = Seq("user_id", "event_id")
+    val ranges = Seq(("user_id", 2L, 5L), ("event_id", 50L, 400L))
+    val ev = Tables.events(spark, sfDir)
+
+    def writeSmallFiles(dir: String): Unit =
+      Layout.writeZoneMapped(ev, x, y, nFiles = 16, dir, stats)
+    def targetBytesFor(dir: String, want: Int): Long = {
+      val bytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      math.max(1L, bytes / want)
+    }
+
+    // zone-map-aware compaction: 16 small files -> ~4, still Z-ordered
+    val dirA = Files.createTempDirectory("graft_zmap_rez").toString + "/t"
+    writeSmallFiles(dirA)
+    val n = Layout.compactZoneMapped(spark, dirA, targetBytesFor(dirA, 4), x, y, stats)
+    assert(n < 16)
+    val (prunedA, readA, totalA) = Layout.statsPrunedRead(spark, dirA, ranges)
+    assert(totalA === n)
+    assert(readA < totalA,
+      s"re-Z-ordered compaction must keep skipping: read $readA of $totalA")
+    // no rows lost by the rewrite
+    val full = ev.where(col("user_id").between(2, 5) && col("event_id").between(50, 400))
+    assert(prunedA.count() === full.count())
+    val a = prunedA.select(col("event_id"))
+    val b = full.select(col("event_id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // the counterfactual: plain byte-packing compaction at the same
+    // target scrambles rows across every output file — the regenerated
+    // zone map can no longer prove anything and pruning collapses
+    val dirB = Files.createTempDirectory("graft_zmap_plain").toString + "/t"
+    writeSmallFiles(dirB)
+    graft.operators.Lakehouse.compact(spark, dirB, targetBytesFor(dirB, 4))
+    Layout.zoneMap(spark.read.parquet(dirB), stats)
+      .repartition(1).write.mode("overwrite").parquet(dirB + "/_zonemap")
+    val (_, readB, totalB) = Layout.statsPrunedRead(spark, dirB, ranges)
+    val ratioA = readA.toDouble / totalA
+    val ratioB = readB.toDouble / totalB
+    assert(ratioA < ratioB,
+      s"Z-ordered compaction ($readA/$totalA) should skip more than plain ($readB/$totalB)")
+  }
+
   test("a predicate outside every file's range reads zero files") {
     val dir = Files.createTempDirectory("graft_zmap_none").toString + "/t"
     Layout.writeZoneMapped(Tables.events(spark, sfDir),
