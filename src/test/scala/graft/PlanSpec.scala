@@ -165,6 +165,38 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange SinglePartition") === 1, p.take(1500))
   }
 
+  test("card values top-k plans through TopKPerKey with partial combine") {
+    val p = plan(graft.queries.SamplingQueries.queries("dataset_card_values")(spark, sfDir))
+    // frequencies come from a partial+final hash aggregate, and the
+    // per-column top-5 is the custom bounded-heap operator, never a
+    // sort-everything WindowExec over row_number
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("canonical-quality selection joins labels and windows by component — no cartesian") {
+    val p = plan(graft.queries.TextQueries.queries("dedup_canonical_quality")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the argmax window partitions by component (bounded groups) —
+    // an unpartitioned window would funnel the corpus into one task
+    assert(!p.contains("windowspecdefinition()"), p.take(1500))
+  }
+
+  test("BPE token counting applies as a zero-shuffle projection") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val ranks = graft.functions.Bpe.ranksOf(Seq(("a", "b"), ("c", "d")))
+    val p = plan(docs.select(col("doc_id"),
+      ColumnBridge.column(graft.expressions.BpeTokenCount(
+        ColumnBridge.expression(col("text")), ranks)).as("n")))
+    // the fitted table rides the expression (addReferenceObj); the
+    // apply itself moves no data
+    assert(count(p, "Exchange") === 0, p.take(1200))
+    assert(p.contains("bpe_token_count"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
