@@ -84,4 +84,26 @@ class BpeSpec extends SparkSpec {
       .where(col("w") > budget)
     assert(over.isEmpty)
   }
+
+  test("shard export budgeted in BPE tokens: whole docs, budget overshoot bounded") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs0 = Tables.documents(spark, sfDir)
+    val ranks = Bpe.ranksOf(Bpe.fitFromCorpus(docs0, col("text")))
+    val docs = docs0.select(col("doc_id"),
+      ColumnBridge.column(graft.expressions.BpeTokenCount(
+        ColumnBridge.expression(col("text")), ranks)).as("n_tok"))
+    val budget = 4096L
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_shards").toString + "/s"
+    val n = graft.operators.Export.writeShards(docs, "doc_id", "n_tok", budget, 100, dir)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("n_tok"), col("shard").cast("long").as("shard"))
+    // loader-accurate budgets: every shard's BPE-token total overshoots
+    // the budget by at most its last whole document
+    val over = back.groupBy("shard")
+      .agg((sum(col("n_tok")) - lit(budget)).as("over"), max(col("n_tok")).as("mx"))
+      .where(col("over") > col("mx"))
+    assert(over.isEmpty)
+    assert(back.count() === docs.where(col("n_tok") > 0).count())
+    assert(spark.read.parquet(dir).inputFiles.length === n.toInt)
+  }
 }
