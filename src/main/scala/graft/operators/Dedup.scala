@@ -211,6 +211,41 @@ object Dedup {
     labels
   }
 
+  /** Segment-level exact dedup — the paragraph-dedup stage of a web
+    * curation pipeline (RefinedWeb/C4 shape: boilerplate repeats
+    * ACROSS documents at sub-document granularity, so whole-doc dedup
+    * misses it). Documents are cut into fixed `segTokens`-token
+    * segments (the fixture corpus carries no structural delimiters; a
+    * real corpus would cut on newlines instead — same plan), and the
+    * FIRST occurrence of each distinct segment in (doc, position)
+    * order is kept. Emits one row per segment with the keep decision,
+    * from which a caller reconstructs deduped documents.
+    *
+    * Scale: segmentation is a zero-shuffle projection (sequence +
+    * slice + explode inside codegen); the keep decision is ONE
+    * shuffle keyed by segment text, and each window partition is
+    * bounded by a segment's duplicate multiplicity — never corpus-
+    * sized. The two-shuffle alternative (groupBy min + join back)
+    * moves the segment table twice for the same answer.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFns.tokens(col(textCol))
+    // split() never yields an empty array (empty text -> [""]), so
+    // nSeg >= 1 and the sequence below is always ascending
+    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs.select(col(idCol).as("doc_id"),
+      posexplode(transform(sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
+        .as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("kept"))
+  }
+
   /** Blocked exact n-gram-Jaccard near-dup pairs: all pairs within a
     * blocking key (e.g. lang+source) scored by shingle-set Jaccard.
     * Scale: the quadratic pair generation is confined to blocks; for

@@ -304,6 +304,15 @@ object TextQueries {
           (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
     }),
 
+    // Segment-level (paragraph) dedup: boilerplate repeats across
+    // documents below whole-doc granularity; first occurrence in
+    // (doc, position) order wins. 5-token segments over the
+    // delimiter-free fixture (a real corpus cuts on newlines — same
+    // plan); ~6% of fixture segments are cross-corpus duplicates.
+    "dedup_segments" -> ((spark, dir) => {
+      Dedup.segmentDedup(Tables.documents(spark, dir), "doc_id", "text", segTokens = 5)
+    }),
+
     // Quality-aware canonical selection: real curation keeps the
     // BEST document per duplicate component, not the min-id one.
     // Same component structure as dedup_pipeline (prefix-40 groups →
@@ -596,6 +605,18 @@ object TextQueries {
         |  FROM documents
         |)
         |SELECT doc_id, comp AS component, doc_id = comp AS keep FROM g""".stripMargin,
+
+    "dedup_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(t[i*5+1 : i*5+5], ' ') AS s
+        |  FROM toks, unnest(range((len(t) + 4) // 5)) AS u(i)
+        |)
+        |SELECT doc_id, seg_idx,
+        |  row_number() OVER (PARTITION BY s ORDER BY doc_id, seg_idx) = 1 AS kept
+        |FROM seg""".stripMargin,
 
     "dedup_canonical_quality" ->
       """WITH g AS (

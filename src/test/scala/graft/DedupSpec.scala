@@ -124,6 +124,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("segment dedup keeps exactly one copy of each distinct segment, first occurrence wins") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 5)
+    // kept rows == distinct segments; duplicates exist in the fixture
+    val nKept = out.where(col("kept")).count()
+    val nAll = out.count()
+    assert(nKept < nAll, "fixture should contain cross-corpus duplicate segments")
+    // rebuild segments independently and count distinct
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val nSeg = ceil(size(toks) / lit(5.0)).cast("int")
+    val distinctSegs = docs.select(
+        explode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toks, i * 5 + 1, lit(5))))).as("seg"))
+      .select("seg").distinct().count()
+    assert(nKept === distinctSegs)
+    // the keeper of any duplicated segment precedes all its drops
+    val segs = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(toks, i * 5 + 1, lit(5))))).as(Seq("seg_idx", "seg")))
+    val joined = out.join(segs.select(col("doc_id"),
+      col("seg_idx").cast("long").as("seg_idx"), col("seg")), Seq("doc_id", "seg_idx"))
+    val firstByPos = joined.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"),
+        min(when(col("kept"), struct(col("doc_id"), col("seg_idx")))).as("keeper"))
+    assert(firstByPos.where(col("first") =!= col("keeper")).isEmpty)
+  }
+
   test("native simhash64 matches the 64-vote declarative rebuild on every fixture doc") {
     // Differential harness (formerly the registered dedup_simhash
     // query; moved here so the BENCH query measures the production
