@@ -425,8 +425,27 @@ object TextQueries {
           regexp_replace(
             regexp_replace(col("raw"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
             "[0-9][0-9][0-9]+", "<NUM>").as("redacted"))
+    }),
+
+    // BM25 retrieval: top-5 docs per query for three multi-term
+    // queries — the topical-subset ranking stage of a curation
+    // pipeline. Per-term contributions are fixed-point 1e-6 integers
+    // before the sum, so the ranking is engine-exact (no float
+    // summation-order hazard); top-k rides TopKPerKey.
+    "text_bm25_topk" -> ((spark, dir) => {
+      graft.operators.Retrieval.bm25TopK(
+        Tables.widen(Tables.documents(spark, dir)), "doc_id", "text",
+        Bm25Queries, k = 5)
     })
   )
+
+  /** Fixed BM25 query set — shared by the Spark query and its
+    * generated DuckDB oracle so term lists cannot drift.
+    */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "vector", 1 -> "merge",
+    2 -> "stream", 2 -> "filter",
+    3 -> "customer", 3 -> "batch")
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -725,6 +744,9 @@ object TextQueries {
         |        || '@mail.example code ' || CAST(n_chars * 37 AS VARCHAR),
         |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "text_bm25_topk" ->
+      graft.operators.Retrieval.bm25OracleSql(Bm25Queries, k = 5)
   )
 }

@@ -183,6 +183,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"), p.take(1500))
   }
 
+  test("BM25 top-k rides TopKPerKey; query/df sides broadcast — no cartesian") {
+    val p = plan(graft.queries.TextQueries.queries("text_bm25_topk")(spark, sfDir))
+    // the per-query top-5 is the bounded-heap operator, not a global
+    // WindowExec sort; df and the query-term table broadcast; the only
+    // corpus-wide work is the word explode + map-side-combined aggs
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("BPE token counting applies as a zero-shuffle projection") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.ColumnBridge
