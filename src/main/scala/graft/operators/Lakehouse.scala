@@ -40,6 +40,46 @@ object Lakehouse {
           .otherwise(lit("update")).as("merge_action")): _*)
   }
 
+  /** Snapshot reconciliation: row-level diff of two table versions on
+    * a key — added / removed / changed, plus exactly WHICH columns
+    * changed — the audit a corpus-versioning pipeline runs between a
+    * nightly re-crawl and yesterday's lake before deciding what to
+    * reprocess.
+    *
+    * `changed_cols` lists differing columns in the caller's
+    * `compareCols` order (null-safe comparison, so null→value and
+    * value→null both count as changes). Unchanged rows are dropped —
+    * the output is delta-sized, not corpus-sized.
+    *
+    * Scale: ONE full-outer hash join shuffled by the key; the change
+    * mask is a projection on the joined row. At lake scale, run it
+    * per changed partition (partition pruning on both sides) and —
+    * when payload columns are wide — compare a persisted per-row
+    * digest first so the wide columns never move for unchanged rows;
+    * the column-wise mask here is the explain-what-changed form.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    def tag(df: DataFrame, side: String): DataFrame =
+      df.select((keys.map(col) ++ compareCols.map(c => col(c).as(s"__${side}_$c")) :+
+        lit(true).as(s"__${side}_present")): _*)
+    // concat_ws skips nulls, so the mask concatenates exactly the
+    // differing column names in compareCols order
+    val mask = concat_ws(",", compareCols.map(c =>
+      when(not(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*)
+    tag(oldDf, "o").join(tag(newDf, "n"), keys, "full_outer")
+      .withColumn("changed_cols", mask)
+      .withColumn("status",
+        when(col("__o_present").isNull, lit("added"))
+          .when(col("__n_present").isNull, lit("removed"))
+          .when(col("changed_cols") =!= "", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select((keys.map(col) :+ col("status") :+
+        when(col("status") === "changed", col("changed_cols"))
+          .otherwise(lit("")).as("changed_cols")): _*)
+  }
+
   /** SCD Type-2 historization of a change log: collapse consecutive
     * rows with an unchanged tracked attribute, keep one row per
     * attribute run with its validity interval

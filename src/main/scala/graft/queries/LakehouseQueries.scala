@@ -74,6 +74,22 @@ object LakehouseQueries {
         payloadCols = Seq("band"))
         .select(col("o_orderkey"), col("user_id"),
           coalesce(col("band"), lit("none")).as("band_at_order"))
+    }),
+
+    // Snapshot diff: reconcile two corpus versions — a nightly
+    // re-crawl (rows dropped, rows added, lang/n_chars mutated on
+    // deterministic id classes) against yesterday's lake. Emits only
+    // the delta with per-row changed-column lists.
+    "lake_diff" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val old = docs.where(col("doc_id") % 10 =!= 3)
+      val neu = docs.where(col("doc_id") % 7 =!= 2)
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, upper(col("lang"))).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 10).otherwise(col("n_chars")))
+      Lakehouse.snapshotDiff(old, neu, Seq("doc_id"),
+        Seq("lang", "n_chars", "source", "text"))
     })
   )
 
@@ -137,6 +153,33 @@ object LakehouseQueries {
         |  coalesce(ch.band, 'none') AS band_at_order
         |FROM orders o ASOF LEFT JOIN ch
         |  ON o.o_custkey = ch.user_id
-        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= ch.v_ts""".stripMargin
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= ch.v_ts""".stripMargin,
+
+    "lake_diff" ->
+      """WITH o AS (
+        |  SELECT * FROM documents WHERE doc_id % 10 <> 3
+        |), n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
+        |    source,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars,
+        |    text
+        |  FROM documents WHERE doc_id % 7 <> 2
+        |), j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    o.doc_id IS NULL AS added, n.doc_id IS NULL AS removed,
+        |    concat_ws(',',
+        |      CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+        |      CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END,
+        |      CASE WHEN o.source IS DISTINCT FROM n.source THEN 'source' END,
+        |      CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END) AS mask
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN NOT added AND NOT removed THEN mask ELSE '' END
+        |    AS changed_cols
+        |FROM j WHERE added OR removed OR mask <> ''""".stripMargin
   )
 }

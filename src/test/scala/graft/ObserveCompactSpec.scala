@@ -32,6 +32,22 @@ class ObserveCompactSpec extends SparkSpec {
     assert(m.rows === 0 && m.nullKeys === 0 && m.negValues === 0)
   }
 
+  test("snapshot diff is null-safe and delta-sized") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a"), Option(10L)), (2L, Option("b"), None),
+      (3L, Option("c"), Option(30L)), (4L, Option("d"), Option(40L)))
+      .toDF("id", "s", "v")
+    val neu = Seq((1L, Option("a"), Option(10L)),        // unchanged → dropped
+      (2L, Option("b"), Option(20L)),                    // null → value: changed
+      (3L, Option.empty[String], Option(30L)),           // value → null: changed
+      (5L, Option("e"), Option(50L)))                    // added; 4 removed
+      .toDF("id", "s", "v")
+    val d = Lakehouse.snapshotDiff(old, neu, Seq("id"), Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d === Set((2L, "changed", "v"), (3L, "changed", "s"),
+      (4L, "removed", ""), (5L, "added", "")))
+  }
+
   test("compaction sizes partitioned layouts from the recursive file listing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
