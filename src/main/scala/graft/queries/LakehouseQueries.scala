@@ -90,6 +90,26 @@ object LakehouseQueries {
           when(col("doc_id") % 11 === 0, col("n_chars") + 10).otherwise(col("n_chars")))
       Lakehouse.snapshotDiff(old, neu, Seq("doc_id"),
         Seq("lang", "n_chars", "source", "text"))
+    }),
+
+    // Expectation-suite validation (the Deequ/dbt-test shape): the
+    // publish gate on the orders table — completeness, domain, bounds
+    // (one deliberately failing so the report is non-trivial), key
+    // uniqueness, and referential integrity against customer. Row
+    // checks share ONE aggregation pass.
+    "quality_expectations" -> ((spark, dir) => {
+      import graft.operators.Expectations
+      import graft.operators.Expectations.RowCheck
+      val orders = Tables.orders(spark, dir)
+      Expectations.suite(
+        Expectations.rowChecks(orders, Seq(
+          RowCheck("complete_custkey", col("o_custkey").isNull),
+          RowCheck("status_domain", !col("o_orderstatus").isin("O", "F", "P")),
+          RowCheck("price_positive", col("o_totalprice") <= 0),
+          RowCheck("price_le_250k", col("o_totalprice") > 250000))),
+        Expectations.uniqueness(orders, "unique_orderkey", Seq("o_orderkey")),
+        Expectations.referential(orders, "ri_custkey", "o_custkey",
+          Tables.customer(spark, dir), "c_custkey"))
     })
   )
 
@@ -180,6 +200,39 @@ object LakehouseQueries {
         |       ELSE 'changed' END AS status,
         |  CASE WHEN NOT added AND NOT removed THEN mask ELSE '' END
         |    AS changed_cols
-        |FROM j WHERE added OR removed OR mask <> ''""".stripMargin
+        |FROM j WHERE added OR removed OR mask <> ''""".stripMargin,
+
+    "quality_expectations" ->
+      """WITH rc AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS complete_custkey,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS price_positive,
+        |    CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS price_le_250k
+        |  FROM orders
+        |), u AS (
+        |  SELECT count(*) AS total,
+        |    count(*) - count(DISTINCT o_orderkey) AS viol FROM orders
+        |), ri AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS viol
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT 'complete_custkey' AS check_name, complete_custkey AS violations,
+        |  total, complete_custkey = 0 AS passed FROM rc
+        |UNION ALL SELECT 'status_domain', status_domain, total,
+        |  status_domain = 0 FROM rc
+        |UNION ALL SELECT 'price_positive', price_positive, total,
+        |  price_positive = 0 FROM rc
+        |UNION ALL SELECT 'price_le_250k', price_le_250k, total,
+        |  price_le_250k = 0 FROM rc
+        |UNION ALL SELECT 'unique_orderkey', viol, total, viol = 0 FROM u
+        |UNION ALL SELECT 'ri_custkey', viol, total, viol = 0 FROM ri""".stripMargin
   )
 }
