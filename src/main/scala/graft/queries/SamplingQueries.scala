@@ -170,6 +170,25 @@ object SamplingQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Per-domain quality quota: cap each source's contribution at its
+    // top-3 docs by quality — the "no domain dominates the mix" cap a
+    // curation pipeline applies after dedup. Ranking is pure-integer
+    // (distinct-token count desc, doc_id asc) so it is engine-exact;
+    // the per-domain top-k rides TopKPerKey (≤ k rows per domain per
+    // partition move — a WindowExec would sort every doc).
+    "sample_domain_topk" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_uniq").desc, col("doc_id").asc)
+      Tables.widen(Tables.documents(spark, dir))
+        .select(col("source"), col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("source"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("n_uniq"))
+    }),
+
     // Morton (Z-order) clustering key over two dimensions — the value
     // a layout-optimizing writer range-partitions by (Layout
     // .zorderCluster); checked bit-for-bit against DuckDB.
@@ -412,6 +431,19 @@ object SamplingQueries {
 
     "text_chunk_sliding" -> chunkSlidingSql,
     "sample_domain_mix" -> domainMixSql,
+
+    "sample_domain_topk" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_uniq
+        |  FROM documents
+        |)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_uniq
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY n_uniq DESC, doc_id ASC) AS rn
+        |      FROM s)
+        |WHERE rn <= 3""".stripMargin,
     "export_shards" ->
       s"""WITH t AS (
          |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
