@@ -27,6 +27,11 @@ object GraftSession {
       // graft's native Catalyst expressions (token_fingerprint, ...)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // saveAsTable targets (bucketed at-rest layouts) land in tmp, not
+      // the working directory; on a cluster the deployment overrides
+      // this with the real warehouse root.
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
 
   /** Cluster session: no master set here — spark-submit / the cluster

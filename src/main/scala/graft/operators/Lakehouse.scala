@@ -80,6 +80,75 @@ object Lakehouse {
           .otherwise(lit("")).as("changed_cols")): _*)
   }
 
+  /** Change-data-feed between two table versions — the Delta-CDF /
+    * Iceberg-changelog shape: one row per change with `_change_type`
+    * in {insert, delete, update_preimage, update_postimage}, updates
+    * emitting BOTH images so a downstream consumer can retract the old
+    * aggregate contribution and apply the new one (the streaming
+    * materialized-view maintenance contract). Unchanged rows emit
+    * nothing — the feed is delta-sized, not corpus-sized.
+    *
+    * Scale: ONE full-outer hash join shuffled by the key; the
+    * per-row change classification and the 0/1/2-row expansion are a
+    * projection + generate inside the same stage (the conditional
+    * array never materializes more than two structs per row). Same
+    * envelope as [[snapshotDiff]] — at lake scale run it partition-
+    * pruned per changed partition.
+    */
+  def changeDataFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                     valueCols: Seq[String]): DataFrame = {
+    def tag(df: DataFrame, side: String): DataFrame =
+      df.select((keys.map(col) ++ valueCols.map(c => col(c).as(s"__${side}_$c")) :+
+        lit(true).as(s"__${side}_present")): _*)
+    val changed = valueCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    def image(side: String, op: String) =
+      struct((lit(op).as("_change_type") +:
+        valueCols.map(c => col(s"__${side}_$c").as(c))): _*)
+    // filter(...) over a one-element array types the empty branch
+    // without spelling the struct DDL
+    val none = filter(array(image("o", "x")), _ => lit(false))
+    val feed = when(col("__o_present").isNull, array(image("n", "insert")))
+      .when(col("__n_present").isNull, array(image("o", "delete")))
+      .when(changed, array(image("o", "update_preimage"),
+        image("n", "update_postimage")))
+      .otherwise(none)
+    tag(oldDf, "o").join(tag(newDf, "n"), keys, "full_outer")
+      .select(keys.map(col) :+ explode(feed).as("__c"): _*)
+      .select(keys.map(col) ++ (col("__c._change_type").as("_change_type") +:
+        valueCols.map(c => col(s"__c.$c").as(c))): _*)
+  }
+
+  /** Time-travel read over a base snapshot plus an ordered delta log
+    * (the MVCC replay every table format performs): reconstruct the
+    * table AS OF `asOfVersion`. Each delta carries upserts and
+    * tombstones (`deleted = true`); the latest version ≤ asOfVersion
+    * wins per key, and a winning tombstone removes the row.
+    *
+    * Scale: the replay is NOT iterative — base (version 0) and all
+    * in-range deltas union into one frame and a single per-key
+    * max-version selection (TopKPerKey shape: one shuffle by key,
+    * bounded partitions) resolves every key. A real lake keeps deltas
+    * partition-pruned so the union reads only versions ≤ asOf and the
+    * shuffle carries delta-sized data plus the base.
+    */
+  def timeTravel(base: DataFrame, deltas: Seq[(Long, DataFrame)],
+                 keys: Seq[String], asOfVersion: Long): DataFrame = {
+    require(deltas.map(_._1).forall(_ > 0), "delta versions must be > 0 (0 is the base)")
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    def shape(df: DataFrame, v: Long, del: Column): DataFrame =
+      df.select((keys.map(col) ++ dataCols.map(col) :+
+        lit(v).as("__v") :+ del.as("__del")): _*)
+    val inRange = deltas.filter(_._1 <= asOfVersion)
+      .map { case (v, d) => shape(d, v,
+        if (d.columns.contains("deleted")) col("deleted") else lit(false)) }
+    val all = inRange.foldLeft(shape(base, 0L, lit(false)))(_ unionByName _)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && !col("__del"))
+      .select(keys.map(col) ++ dataCols.map(col): _*)
+  }
+
   /** SCD Type-2 historization of a change log: collapse consecutive
     * rows with an unchanged tracked attribute, keep one row per
     * attribute run with its validity interval

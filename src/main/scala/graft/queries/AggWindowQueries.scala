@@ -270,6 +270,31 @@ object AggWindowQueries {
             .as("p50_in_tolerance"))
     }),
 
+    // Mergeable sketch partials — the incremental-stats pattern a lake
+    // runs at 100 TB: per-week HLL sketches are built ONCE (at ingest
+    // they'd be persisted), then any rollup (here monthly) UNIONS the
+    // partials instead of rescanning history. a8 checks one sketch's
+    // bound; this checks the merge path: union-of-partials estimate
+    // vs an exact NDV computed independently. DataSketches HLL at the
+    // default lgK=12 has rsd ~1.6%; 5% + small-count slack is safe.
+    "sketch_hll_union" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+          date_trunc("week", col("ts")).cast("date").as("wk"), col("user_id"))
+      val weekly = ev.groupBy("month", "wk")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val monthly = weekly.groupBy("month")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("n_partials"))
+      val exact = ev.groupBy("month")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      exact.join(monthly, Seq("month"))
+        .select(col("month"), col("exact_users"), col("n_partials"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(2.0)))
+            .as("est_in_tolerance"))
+    }),
+
     // Statistical aggregates (corr/covar/stddev) — the stat-function
     // family the reference lacks. Regressors are small-magnitude
     // (days, not epochs) so 4-decimal rounding sits far above fp
@@ -608,6 +633,13 @@ object AggWindowQueries {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  true AS ndv_in_tolerance,
         |  true AS p50_in_tolerance
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_hll_union" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT date_trunc('week', ts)) AS n_partials,
+        |  true AS est_in_tolerance
         |FROM events GROUP BY 1""".stripMargin,
 
     "agg_percentile" ->

@@ -211,12 +211,55 @@ object JoinQueries {
       clicks.join(buys, Seq("user_id"), "full_outer")
         .na.fill(0, Seq("n_clicks", "n_buys"))
         .select(col("user_id"), col("n_clicks"), col("n_buys"))
+    }),
+
+    // Co-located join over tables bucketed AT REST on the join key —
+    // the storage-side half of the 100 TB join strategy: both scans
+    // read pre-shuffled bucket files, so the SortMergeJoin plans with
+    // ZERO exchange below it (PlanSpec pins it). The bucketed layout
+    // is written once per session into the warehouse dir; at lake
+    // scale this is the nightly table layout, not a query-time step.
+    "bucketed_join_colocated" -> ((spark, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // a fresh session's in-memory catalog doesn't know tables a
+      // previous JVM left in the warehouse dir — clear the stale
+      // location before re-creating, or CTAS fails LOCATION_EXISTS
+      def bucketed(table: String, df: DataFrame, key: String): Unit =
+        if (!spark.catalog.tableExists(table)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+          wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(wh, true)
+          df.write.bucketBy(16, key).sortBy(key)
+            .mode("overwrite").saveAsTable(table)
+        }
+      val liT = s"graft_li_bkt_$sfx"
+      val oT = s"graft_o_bkt_$sfx"
+      bucketed(liT, Tables.lineitem(spark, dir), "l_orderkey")
+      bucketed(oT, Tables.orders(spark, dir), "o_orderkey")
+      // quantities are small integral doubles: their sum is exact and
+      // engine-stable (q1_agg pattern), unlike a rounded price sum
+      // hint("merge") pins the SortMergeJoin path: without it the
+      // fixture-sized orders side broadcasts and the bucketed layout
+      // is never exercised (at lake scale SMJ is what AQE picks anyway)
+      spark.table(liT)
+        .join(spark.table(oT).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "j1_cross_nearest_city" -> nearestCityOracle,
     "geo_nearest_city_minby" -> nearestCityOracle,
+
+    "bucketed_join_colocated" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "j11_nullsafe_join" ->
       """WITH e AS (

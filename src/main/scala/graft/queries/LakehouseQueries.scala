@@ -92,6 +92,70 @@ object LakehouseQueries {
         Seq("lang", "n_chars", "source", "text"))
     }),
 
+    // Change-data-feed between the same two corpus versions lake_diff
+    // reconciles: inserts/deletes emit one row, updates emit BOTH
+    // images (the retract/apply contract incremental consumers need).
+    "merge_cdf" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val old = docs.where(col("doc_id") % 10 =!= 3)
+      val neu = docs.where(col("doc_id") % 7 =!= 2)
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, upper(col("lang"))).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 10).otherwise(col("n_chars")))
+      Lakehouse.changeDataFeed(old, neu, Seq("doc_id"), Seq("lang", "n_chars"))
+        .withColumnRenamed("_change_type", "change_type")
+    }),
+
+    // Incremental aggregate maintenance — the CDF consumer contract:
+    // a per-lang (count, sum_chars) materialized view is maintained by
+    // RETRACT/APPLY over the change feed (preimage subtracts, postimage
+    // adds, moves across groups handled by sign), never rescanning the
+    // corpus. The oracle recomputes the view directly from the NEW
+    // snapshot — equality proves the incremental path is exact.
+    // Scale: the base aggregate is the view already at rest; the
+    // update touches delta-sized data only.
+    "cdf_incremental_agg" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val old = docs.where(col("doc_id") % 10 =!= 3)
+      val neu = docs.where(col("doc_id") % 7 =!= 2)
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, upper(col("lang"))).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 10).otherwise(col("n_chars")))
+      val base = old.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val delta = Lakehouse.changeDataFeed(old, neu, Seq("doc_id"), Seq("lang", "n_chars"))
+        .withColumnRenamed("_change_type", "change_type")
+        .groupBy("lang")
+        .agg(sum(sign).as("dn"), sum(sign * col("n_chars")).as("dchars"))
+      base.join(delta, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+          (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+        .where(col("n_docs") > 0)
+    }),
+
+    // Time-travel read: base snapshot + two delta versions (full-row
+    // upserts and tombstones on deterministic id classes) replayed
+    // AS OF version 2 in ONE per-key latest-version selection — the
+    // MVCC read path of every lake table format, without iterating
+    // the log.
+    "lake_time_travel" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v1 = docs.where(col("doc_id") % 5 === 0 || col("doc_id") % 17 === 0)
+        .withColumn("n_chars", col("n_chars") + 100)
+        .withColumn("deleted", col("doc_id") % 17 === 0)
+      val v2 = docs.where(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+        .withColumn("lang", upper(col("lang")))
+        .withColumn("deleted", col("doc_id") % 13 === 0)
+      Lakehouse.timeTravel(docs, Seq(1L -> v1, 2L -> v2), Seq("doc_id"),
+        asOfVersion = 2L)
+    }),
+
     // Expectation-suite validation (the Deequ/dbt-test shape): the
     // publish gate on the orders table — completeness, domain, bounds
     // (one deliberately failing so the report is non-trivial), key
@@ -201,6 +265,61 @@ object LakehouseQueries {
         |  CASE WHEN NOT added AND NOT removed THEN mask ELSE '' END
         |    AS changed_cols
         |FROM j WHERE added OR removed OR mask <> ''""".stripMargin,
+
+    "merge_cdf" ->
+      """WITH o AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 3
+        |), n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 2
+        |), j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    o.doc_id IS NOT NULL AS o_p, n.doc_id IS NOT NULL AS n_p,
+        |    o.lang AS o_lang, o.n_chars AS o_nc,
+        |    n.lang AS n_lang, n.n_chars AS n_nc,
+        |    (o.lang IS DISTINCT FROM n.lang
+        |      OR o.n_chars IS DISTINCT FROM n.n_chars) AS chg
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |)
+        |SELECT doc_id, 'insert' AS change_type, n_lang AS lang, n_nc AS n_chars
+        |  FROM j WHERE NOT o_p
+        |UNION ALL SELECT doc_id, 'delete', o_lang, o_nc FROM j WHERE NOT n_p
+        |UNION ALL SELECT doc_id, 'update_preimage', o_lang, o_nc
+        |  FROM j WHERE o_p AND n_p AND chg
+        |UNION ALL SELECT doc_id, 'update_postimage', n_lang, n_nc
+        |  FROM j WHERE o_p AND n_p AND chg""".stripMargin,
+
+    "cdf_incremental_agg" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 2
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM n GROUP BY 1""".stripMargin,
+
+    "lake_time_travel" ->
+      """WITH v0 AS (
+        |  SELECT doc_id, lang, n_chars, 0 AS v, FALSE AS del FROM documents
+        |), v1 AS (
+        |  SELECT doc_id, lang, n_chars + 100 AS n_chars, 1 AS v,
+        |    doc_id % 17 = 0 AS del
+        |  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 17 = 0
+        |), v2 AS (
+        |  SELECT doc_id, upper(lang) AS lang, n_chars, 2 AS v,
+        |    doc_id % 13 = 0 AS del
+        |  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+        |), u AS (
+        |  SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
+        |  FROM u
+        |)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1 AND NOT del""".stripMargin,
 
     "quality_expectations" ->
       """WITH rc AS (

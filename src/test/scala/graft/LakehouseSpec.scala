@@ -71,4 +71,52 @@ class LakehouseSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
   }
+
+  test("changeDataFeed emits both update images, nothing for unchanged rows") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "n")
+    val neu = Seq((2L, "b", 21), (3L, "c", 30), (4L, "d", 40)).toDF("k", "s", "n")
+    val out = Lakehouse.changeDataFeed(old, neu, Seq("k"), Seq("s", "n"))
+      .orderBy(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (1L, "delete", "a", 10),
+      (2L, "update_postimage", "b", 21),
+      (2L, "update_preimage", "b", 20),
+      (4L, "insert", "d", 40)))
+  }
+
+  test("changeDataFeed treats null→value and value→null as updates") {
+    import spark.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "s")
+    val neu = Seq((1L, Some("y")), (2L, Option.empty[String])).toDF("k", "s")
+    val types = Lakehouse.changeDataFeed(old, neu, Seq("k"), Seq("s"))
+      .groupBy("k").count().orderBy("k").collect().map(_.getLong(1))
+    assert(types.toSeq === Seq(2L, 2L)) // pre+post image per key
+  }
+
+  test("timeTravel: latest version <= asOf wins; tombstones remove; asOf 0 = base") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v1 = Seq((2L, "b1", false), (3L, "c", true)).toDF("k", "v", "deleted")
+    val v2 = Seq((2L, "b2", false), (1L, "a", true)).toDF("k", "v", "deleted")
+    def read(asOf: Long) =
+      Lakehouse.timeTravel(base, Seq(1L -> v1, 2L -> v2), Seq("k"), asOf)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(read(0L) === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(read(1L) === Seq((1L, "a"), (2L, "b1")))
+    assert(read(2L) === Seq((2L, "b2")))
+  }
+
+  test("timeTravel resolves the whole log in one per-key shuffle, not per version") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val v1 = (1 to 50).map(i => (i.toLong, s"w$i", false)).toDF("k", "v", "deleted")
+    val v2 = (25 to 75).map(i => (i.toLong, s"x$i", i % 10 == 0)).toDF("k", "v", "deleted")
+    // un-executed plan: AQE's finalized toString would print the
+    // Initial Plan section too and double the exchange count
+    val p = Lakehouse.timeTravel(base, Seq(1L -> v1, 2L -> v2), Seq("k"), 2L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1500))
+  }
 }

@@ -208,6 +208,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bpe_token_count"), p.take(1200))
   }
 
+  test("bucketed co-located join reads bucket files with no exchange below the join") {
+    val df = JoinQueries.queries("bucketed_join_colocated")(spark, sfDir)
+    df.collect() // finalize the AQE plan before reading it
+    // keep only the Final Plan section: the Initial Plan dump repeats
+    // the tree and its aggregate exchange would trip the assertion
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(p.contains("SortMergeJoin"), p.take(1000))
+    assert(!joinSection.contains("Exchange hashpartitioning"), joinSection.take(1500))
+    assert(p.contains("Bucketed: true"), p.take(1500))
+  }
+
+  test("change-data-feed is one full-outer shuffle join plus a generate") {
+    val df = graft.queries.LakehouseQueries.queries("merge_cdf")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
