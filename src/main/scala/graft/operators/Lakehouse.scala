@@ -242,6 +242,39 @@ object Lakehouse {
     nFiles
   }
 
+  /** VACUUM for a zone-mapped layout: delete data files the
+    * `dir/_zonemap` manifest no longer references — overwrite/
+    * compaction leftovers and failed-write debris — once they are
+    * older than `retentionMs`. The retention window is the same
+    * contract every table format ships: a reader that planned its
+    * file list before a rewrite must be able to finish, so only files
+    * BOTH unreferenced and old get removed. Metadata (`_`/`.`-prefixed
+    * names) is never touched. Driver-side work is one directory
+    * listing plus the manifest read — planning cardinality, no data
+    * I/O. Returns the deleted paths.
+    */
+  def vacuumZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       retentionMs: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest `file` values are input_file_name() URIs; compare
+    // scheme-free paths so file:/ vs file:/// spellings can't differ
+    val live = spark.read.parquet(dir + "/_zonemap")
+      .select(col("file")).collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".") &&
+          !live.contains(st.getPath.toUri.getPath) &&
+          st.getModificationTime < cutoff
+      }
+      .map { st => fs.delete(st.getPath, false); st.getPath.toUri.getPath }
+  }
+
   /** Partition-scoped OPTIMIZE: compact each LEAF partition directory
     * of a Hive-layout table (`k1=v1/k2=v2/...`) in place, preserving
     * the layout — the form a real lake needs, since the flat

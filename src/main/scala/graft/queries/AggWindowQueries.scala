@@ -279,17 +279,17 @@ object AggWindowQueries {
     // default lgK=12 has rsd ~1.6%; 5% + small-count slack is safe.
     "sketch_hll_union" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
-        .select(date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+        .select(col("event_type"),
           date_trunc("week", col("ts")).cast("date").as("wk"), col("user_id"))
-      val weekly = ev.groupBy("month", "wk")
+      val weekly = ev.groupBy("event_type", "wk")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val monthly = weekly.groupBy("month")
+      val rolled = weekly.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
           count(lit(1)).as("n_partials"))
-      val exact = ev.groupBy("month")
+      val exact = ev.groupBy("event_type")
         .agg(count_distinct(col("user_id")).as("exact_users"))
-      exact.join(monthly, Seq("month"))
-        .select(col("month"), col("exact_users"), col("n_partials"),
+      exact.join(rolled, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"), col("n_partials"),
           (abs(col("est") - col("exact_users")) <=
             greatest(col("exact_users") * 0.05, lit(2.0)))
             .as("est_in_tolerance"))
@@ -636,7 +636,7 @@ object AggWindowQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "sketch_hll_union" ->
-      """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+      """SELECT event_type,
         |  count(DISTINCT user_id) AS exact_users,
         |  count(DISTINCT date_trunc('week', ts)) AS n_partials,
         |  true AS est_in_tolerance

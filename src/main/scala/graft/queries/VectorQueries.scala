@@ -128,6 +128,23 @@ object VectorQueries {
       Similarity.cosinePairsAbove(sample, "vec_id", "embedding", 0.35)
     }),
 
+    // Linear-model scoring at corpus scale — the trained-classifier
+    // filter stage of a curation pipeline (fastText/logreg quality
+    // gate): a literal weight vector rides the plan (no join, no
+    // shuffle), the margin w·x+b is a zero-shuffle projection, and
+    // the accept decision thresholds the margin directly — sigmoid is
+    // monotone, so serving never computes exp(). Weights are the same
+    // deterministic sin-derived literals the JL projection uses, so
+    // both engines score with bit-identical parameters.
+    "score_linear_classifier" -> ((spark, dir) => {
+      val ed = col("embedding").cast("array<double>")
+      val w = array((0 until 64).map(d => lit(math.sin(101 + d) / 2)): _*)
+      val margin = Similarity.dot(ed, w) + lit(0.05)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), round(margin, 4).as("margin"),
+          (margin > 0.0).as("accepted"))
+    }),
+
     // Johnson–Lindenstrauss random projection 64→16 (Achlioptas ±1
     // weights, deterministic literal matrix): the standard pre-step
     // when the dot product itself dominates ANN cost. Zero-shuffle
@@ -268,6 +285,17 @@ object VectorQueries {
          |FROM pairs p
          |JOIN d da ON p.vec_a = da.doc_id
          |JOIN d db ON p.vec_b = db.doc_id""".stripMargin
+    },
+
+    "score_linear_classifier" -> {
+      val w = (0 until 64).map(d => s"${math.sin(101 + d) / 2}")
+        .mkString("[", ", ", "]")
+      s"""SELECT vec_id,
+         |  round(list_dot_product(embedding::DOUBLE[], $w::DOUBLE[]) + 0.05, 4)
+         |    AS margin,
+         |  (list_dot_product(embedding::DOUBLE[], $w::DOUBLE[]) + 0.05) > 0.0
+         |    AS accepted
+         |FROM embeddings""".stripMargin
     },
 
     "vec_random_projection" -> {

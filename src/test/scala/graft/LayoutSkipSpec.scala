@@ -77,6 +77,40 @@ class LayoutSkipSpec extends SparkSpec {
       s"Z-ordered compaction ($readA/$totalA) should skip more than plain ($readB/$totalB)")
   }
 
+  test("vacuum deletes only unreferenced-AND-expired files, never metadata") {
+    val dir = Files.createTempDirectory("graft_zmap_vac").toString + "/t"
+    Layout.writeZoneMapped(Tables.events(spark, sfDir),
+      pmod(col("user_id"), lit(65536L)),
+      pmod(floor(col("event_id") / 16).cast("long"), lit(65536L)),
+      nFiles = 4, dir, statsCols = Seq("user_id"))
+    val before = spark.read.parquet(dir).count()
+    // plant two orphans: compaction/overwrite debris the manifest
+    // doesn't reference
+    val orphanOld = new java.io.File(dir, "part-99999-orphan.parquet")
+    val orphanNew = new java.io.File(dir, "part-99998-orphan.parquet")
+    Seq(orphanOld, orphanNew).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    }
+    orphanOld.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+
+    // 24h retention: the old orphan goes, the fresh one is still
+    // inside the reader-safety window, live files untouched
+    val deleted = graft.operators.Lakehouse.vacuumZoneMapped(
+      spark, dir, retentionMs = 24L * 3600 * 1000)
+    assert(deleted.map(p => new java.io.File(p).getName) === Seq(orphanOld.getName))
+    assert(!orphanOld.exists() && orphanNew.exists())
+
+    // retention 0 sweeps the remaining orphan
+    val deleted2 = graft.operators.Lakehouse.vacuumZoneMapped(spark, dir, 0L)
+    assert(deleted2.map(p => new java.io.File(p).getName) === Seq(orphanNew.getName))
+
+    // table reads identically and the zone map is intact
+    assert(spark.read.parquet(dir).count() === before)
+    val (_, read, total) =
+      Layout.statsPrunedRead(spark, dir, Seq(("user_id", 2L, 5L)))
+    assert(total === 4 && read <= total)
+  }
+
   test("a predicate outside every file's range reads zero files") {
     val dir = Files.createTempDirectory("graft_zmap_none").toString + "/t"
     Layout.writeZoneMapped(Tables.events(spark, sfDir),
