@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Lakehouse
@@ -156,6 +156,38 @@ object LakehouseQueries {
         asOfVersion = 2L)
     }),
 
+    // Distribution-drift monitor between the same two corpus versions
+    // the CDF family reconciles — the check a curation pipeline runs
+    // before accepting a re-crawl: population stability index of the
+    // n_chars distribution over FIXED bucket edges (drift math over
+    // moving quantile buckets self-launders; fixed edges don't), with
+    // add-one smoothing so empty buckets stay finite. Per-bucket
+    // counts are exact integers; PSI is one 13-term double sum.
+    // Scale: two bucket-count aggregations (map-side combinable) and
+    // a 13-row join — nothing corpus-sized past the first pass.
+    "drift_psi" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val old = docs.where(col("doc_id") % 10 =!= 3)
+      val neu = docs.where(col("doc_id") % 7 =!= 2)
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 10).otherwise(col("n_chars")))
+      def bucket(c: Column) = least(floor(c / 50), lit(12L)).cast("long")
+      def counts(df: DataFrame, out: String) =
+        df.groupBy(bucket(col("n_chars")).as("b")).agg(count(lit(1)).as(out))
+      val nb = 13.0
+      val j = counts(old, "n_o").join(counts(neu, "n_n"), Seq("b"), "full_outer")
+        .na.fill(0L, Seq("n_o", "n_n"))
+      val tot = j.agg(sum(col("n_o")).as("t_o"), sum(col("n_n")).as("t_n"))
+      j.crossJoin(tot)
+        .select(((col("n_o") + 1) / (col("t_o") + nb)).as("p"),
+          ((col("n_n") + 1) / (col("t_n") + nb)).as("q"),
+          col("t_o"), col("t_n"))
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),
+          first(col("t_o")).as("total_old"), first(col("t_n")).as("total_new"))
+        .select(lit("n_chars").as("metric"), col("psi"),
+          (col("psi") > 0.25).as("drifted"), col("total_old"), col("total_new"))
+    }),
+
     // Expectation-suite validation (the Deequ/dbt-test shape): the
     // publish gate on the orders table — completeness, domain, bounds
     // (one deliberately failing so the report is non-trivial), key
@@ -290,6 +322,38 @@ object LakehouseQueries {
         |  FROM j WHERE o_p AND n_p AND chg
         |UNION ALL SELECT doc_id, 'update_postimage', n_lang, n_nc
         |  FROM j WHERE o_p AND n_p AND chg""".stripMargin,
+
+    "drift_psi" ->
+      """WITH o AS (
+        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 12) AS b,
+        |    count(*) AS n_o
+        |  FROM documents WHERE doc_id % 10 <> 3 GROUP BY 1
+        |), n AS (
+        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 12) AS b,
+        |    count(*) AS n_n
+        |  FROM (
+        |    SELECT CASE WHEN doc_id % 11 = 0 THEN n_chars + 10
+        |      ELSE n_chars END AS n_chars
+        |    FROM documents WHERE doc_id % 7 <> 2
+        |  ) GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(o.b, n.b) AS b,
+        |    coalesce(n_o, 0) AS n_o, coalesce(n_n, 0) AS n_n
+        |  FROM o FULL OUTER JOIN n ON o.b = n.b
+        |), t AS (
+        |  SELECT sum(n_o) AS t_o, sum(n_n) AS t_n FROM j
+        |), s AS (
+        |  SELECT round(sum(
+        |      ((n_o + 1) / (t_o + 13.0) - (n_n + 1) / (t_n + 13.0)) *
+        |      ln(((n_o + 1) / (t_o + 13.0)) / ((n_n + 1) / (t_n + 13.0)))), 4)
+        |    AS psi,
+        |    CAST(first(t_o) AS BIGINT) AS total_old,
+        |    CAST(first(t_n) AS BIGINT) AS total_new
+        |  FROM j, t
+        |)
+        |SELECT 'n_chars' AS metric, psi, psi > 0.25 AS drifted,
+        |  total_old, total_new
+        |FROM s""".stripMargin,
 
     "cdf_incremental_agg" ->
       """WITH n AS (
