@@ -246,6 +246,51 @@ object Dedup {
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("kept"))
   }
 
+  /** Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
+    * filtering stage that [[segmentDedup]] does NOT cover: navigation
+    * chrome, cookie banners and license footers repeat across MANY
+    * documents, and every occurrence (including the first) should be
+    * dropped, whereas segment dedup keeps the first. Documents are cut
+    * into fixed `segTokens`-token segments (a real corpus cuts on
+    * newlines — same plan); a segment is boilerplate when it appears
+    * in >= `minDocFreq` DISTINCT documents. Emits one row per doc with
+    * segment counts and the reassembled clean text.
+    *
+    * Scale: segmentation is a zero-shuffle codegen projection. The
+    * document-frequency table and the mark join share ONE segment-
+    * keyed exchange (explicit repartition barrier, both consumers ride
+    * `ReusedExchange` — the dedup_simhash_pairs pattern); the
+    * boilerplate side is bounded by totalSegments / minDocFreq and in
+    * practice tiny, so AQE converts the mark join to broadcast.
+    * Reassembly is one doc-keyed aggregation. Nothing is ever
+    * corpus-quadratic and no window spans more than one document.
+    */
+  def boilerplateFilter(docs: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int, minDocFreq: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val toks = TextFns.tokens(col(textCol))
+    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs.select(col(idCol).as("doc_id"),
+      posexplode(transform(sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
+        .as(Seq("seg_idx", "seg")))
+      .repartition(col("seg"))
+    val boiler = segs.groupBy(col("seg"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("seg"), lit(true).as("bp"))
+    segs.join(boiler, Seq("seg"), "left")
+      .select(col("doc_id"), col("seg_idx"), col("seg"), col("bp").isNull.as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"))
+  }
+
   /** Blocked exact n-gram-Jaccard near-dup pairs: all pairs within a
     * blocking key (e.g. lang+source) scored by shingle-set Jaccard.
     * Scale: the quadratic pair generation is confined to blocks; for

@@ -313,6 +313,16 @@ object TextQueries {
       Dedup.segmentDedup(Tables.documents(spark, dir), "doc_id", "text", segTokens = 5)
     }),
 
+    // Corpus-frequency boilerplate removal (CCNet/RefinedWeb): drop
+    // EVERY occurrence of a 3-token segment that repeats in >= 5
+    // distinct documents, and reassemble the cleaned text. Distinct
+    // from dedup_segments (which keeps first occurrences). Exact
+    // integer counts + the reassembled string hash bit-for-bit.
+    "text_boilerplate" -> ((spark, dir) => {
+      Dedup.boilerplateFilter(Tables.documents(spark, dir), "doc_id", "text",
+        segTokens = 3, minDocFreq = 5)
+    }),
+
     // Quality-aware canonical selection: real curation keeps the
     // BEST document per duplicate component, not the min-id one.
     // Same component structure as dedup_pipeline (prefix-40 groups →
@@ -636,6 +646,26 @@ object TextQueries {
         |SELECT doc_id, seg_idx,
         |  row_number() OVER (PARTITION BY s ORDER BY doc_id, seg_idx) = 1 AS kept
         |FROM seg""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(t[i*3+1 : i*3+3], ' ') AS s
+        |  FROM toks, unnest(range((len(t) + 2) // 3)) AS u(i)
+        |), bp AS (
+        |  SELECT s FROM seg GROUP BY s HAVING count(DISTINCT doc_id) >= 5
+        |), k AS (
+        |  SELECT doc_id, seg_idx, s,
+        |    s NOT IN (SELECT s FROM bp) AS keep
+        |  FROM seg
+        |)
+        |SELECT doc_id, count(*) AS n_seg,
+        |  coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_kept,
+        |  coalesce(string_agg(s, ' ' ORDER BY seg_idx) FILTER (keep), '')
+        |    AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     "dedup_canonical_quality" ->
       """WITH g AS (

@@ -151,6 +151,37 @@ class DedupSpec extends SparkSpec {
     assert(firstByPos.where(col("first") =!= col("keeper")).isEmpty)
   }
 
+  test("boilerplate filter drops every occurrence of a planted high-frequency segment") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // plant the same 3-token footer into 10 documents (ids offset so
+    // they never collide with real ids)
+    val footer = "zz@@footer zz@@legal zz@@rights"
+    // truncate each base text to a multiple of 3 tokens so the footer
+    // lands on a segment boundary and forms the same segment everywhere
+    val t = TextFns.tokens(col("text"))
+    val planted = docs.orderBy(col("doc_id")).limit(10)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+        concat(array_join(slice(t, lit(1), (size(t) / 3).cast("int") * 3), " "),
+          lit(" " + footer)).as("text"))
+    val out = Dedup.boilerplateFilter(docs.union(planted), "doc_id", "text",
+      segTokens = 3, minDocFreq = 5)
+    // every planted doc lost at least its footer segment, and the
+    // footer string never survives into any clean_text
+    val plantedOut = out.where(col("doc_id") >= 5000000L)
+    assert(plantedOut.count() === 10)
+    assert(plantedOut.where(col("n_kept") === col("n_seg")).isEmpty)
+    assert(out.where(col("clean_text").contains("zz@@footer")).isEmpty)
+    // counts are conserved: n_kept <= n_seg, and clean_text's token
+    // count equals the sum of kept segment sizes (all segments are
+    // exactly 3 tokens except possibly a doc's last one)
+    assert(out.where(col("n_kept") > col("n_seg")).isEmpty)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val nTok = out.where(col("n_kept") === col("n_seg"))
+      .join(docs.union(planted), "doc_id")
+      .where(size(TextFns.tokens(col("clean_text"))) =!= size(toks))
+    assert(nTok.isEmpty, "fully-kept docs must reassemble to the original token count")
+  }
+
   test("native simhash64 matches the 64-vote declarative rebuild on every fixture doc") {
     // Differential harness (formerly the registered dedup_simhash
     // query; moved here so the BENCH query measures the production

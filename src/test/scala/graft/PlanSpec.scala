@@ -152,6 +152,21 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("boilerplate filter reuses one segment-keyed exchange for freq and mark") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.Dedup.boilerplateFilter(docs, "doc_id", "text",
+      segTokens = 3, minDocFreq = 5)
+    df.collect() // finalize under AQE before reading the plan
+    val p = df.queryExecution.executedPlan.toString
+    // the doc-frequency aggregation and the mark join both consume the
+    // single explicit segment-keyed repartition; a second corpus-sized
+    // exchange would double the largest shuffle in the operator
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("shard assignment funnels only the bucket-total table through one partition") {
     import org.apache.spark.sql.functions.{col, size}
     val docs = graft.core.Tables.documents(spark, sfDir)
