@@ -108,10 +108,32 @@ object Dedup {
     require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64, got $nBands")
     require(0 <= maxHamming && maxHamming < nBands,
       s"maxHamming must be < nBands for the pigeonhole guarantee ($maxHamming vs $nBands)")
+    signatureBandPairs(
+      df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig")),
+      "doc", "sig", nBands, maxHamming)
+  }
+
+  /** Banded near-dup pair generation over ANY precomputed 64-bit
+    * signature column (simhash over text, perceptual aHash over image
+    * rasters, …): split the signature into `nBands` equal bands,
+    * equi-join on (band, value), verify candidates with an exact
+    * `bit_count` hamming distance. Pigeonhole-complete for
+    * `maxHamming < nBands`: a pair within the distance bound must
+    * agree on at least one whole band, so the bucket join misses
+    * nothing. Scale: the signature computes once behind an explicit
+    * id-keyed repartition barrier (both join sides ride
+    * `ReusedExchange`); candidates are confined to shared-band
+    * buckets — never all-pairs.
+    */
+  def signatureBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                         nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(0 <= maxHamming && maxHamming < nBands,
+      s"maxHamming must be < nBands for the pigeonhole guarantee ($maxHamming vs $nBands)")
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val withSig = df
-      .select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+    val withSig = sigs
+      .select(col(idCol).as("doc"), col(sigCol).as("sig"))
       .repartition(col("doc"))
     val banded = withSig.select(
       col("doc"), col("sig"),

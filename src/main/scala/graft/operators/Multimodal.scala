@@ -398,6 +398,58 @@ object Multimodal {
     out
   }
 
+  /** Perceptual average-hash (aHash) over a 24bpp BGR raster: nearest-
+    * neighbor downsample to 8×8 (the shared [[resizeNearest]] kernel),
+    * per-cell grayscale as the INTEGER channel sum b+g+r (no division,
+    * no luma weights — keeps every step exact), bit i set iff
+    * `gray(i) * 64 >= sum(gray)` (the integer form of "cell >= mean").
+    * Near-duplicate images — recompressions, small edits — differ in a
+    * few bits; unrelated images differ in ~32. All arithmetic is
+    * integral, so the DuckDB oracle rebuilds the hash bit-for-bit from
+    * the synthesized raster. An empty raster (no complete row) hashes
+    * to 0.
+    */
+  def aHash64(frame: Array[Byte], srcW: Int): Long = {
+    val thumb = resizeNearest(frame, srcW, 8, 8)
+    if (thumb.isEmpty) 0L
+    else {
+      val gray = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        gray(i) = (thumb(3 * i) & 0xff).toLong + (thumb(3 * i + 1) & 0xff) +
+          (thumb(3 * i + 2) & 0xff)
+        sum += gray(i)
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (gray(i) * 64 >= sum) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  final case class PerceptualHash(asset_id: Long, width: Long, ahash64: Long)
+
+  /** Per-image perceptual hashes over decoded image assets — the
+    * signature stage of image dedup (pair generation rides the shared
+    * [[graft.operators.Dedup.signatureBandPairs]] band join). Width
+    * comes from the REAL container header parse. Zero-shuffle
+    * projection; `mapPartitions` justified by the opaque binary
+    * payload.
+    */
+  def imagePerceptualHashes(spark: SparkSession, assets: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.map { a =>
+      val d = decode(a.payload)
+      val w = d.width.getOrElse(0L).toInt
+      PerceptualHash(a.asset_id, w.toLong, aHash64(d.frame, w))
+    })
+  }
+
   final case class JpegRoundtrip(asset_id: Long, width: Long, height: Long,
                                  dims_match: Boolean, mean_within_tol: Boolean)
 

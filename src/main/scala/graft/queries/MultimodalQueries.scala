@@ -39,6 +39,34 @@ object MultimodalQueries {
         outW = 8, outH = 4, pcmStride = 4, rawStride = 16).toDF()
     }),
 
+    // Perceptual-hash image dedup: decode → 8×8 nearest-neighbor
+    // thumbnail → integer average-hash (all-integral arithmetic, so
+    // the 64-bit signature is rebuilt bit-for-bit in DuckDB), then
+    // near-dup pair generation through the SAME banded signature join
+    // text simhash uses. Planted-copy harness (dedup_minhash pattern):
+    // an exact pixel copy of every image hashes identically, so the
+    // band join must surface its pair at hamming 0 — the recall floor
+    // of the image-dedup pipeline is oracle-checked alongside the
+    // exact signature values.
+    "mm_phash_dedup" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, dir))
+        .where(col("media_type") === "image")
+      val offset = assets.agg(max(col("asset_id"))).head().getLong(0) + 1L
+      val planted = assets.select((col("asset_id") + lit(offset)).as("asset_id"),
+        col("media_type"), col("payload"), col("declared_len"))
+      val hashes = Multimodal
+        .imagePerceptualHashes(spark, assets.unionByName(planted)).toDF()
+      val pairs = graft.operators.Dedup.signatureBandPairs(
+        hashes, "asset_id", "ahash64", nBands = 4, maxHamming = 3)
+      hashes.where(col("asset_id") < offset)
+        .join(pairs.where(col("doc_b") === col("doc_a") + lit(offset))
+            .select(col("doc_a").as("asset_id"), col("hamming")),
+          Seq("asset_id"), "left")
+        .select(col("asset_id"), col("width"), col("ahash64"),
+          coalesce(col("hamming") === 0L, lit(false)).as("planted_dup_found"))
+    }),
+
     // REAL raster stats: decode the BMP container, read the body as
     // 24bpp BGR triplets, emit per-image pixel count + channel means —
     // byte sums stay integral in doubles, so the oracle is bit-exact.
@@ -123,6 +151,41 @@ object MultimodalQueries {
         |        i -> ascii(substring(text, i::INTEGER, 1)))),
         |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin,
+
+    "mm_phash_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |    16 + (doc_id % 32) AS w,
+        |    (strlen(text) // 3) // (16 + (doc_id % 32)) AS heff
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), p AS (
+        |  SELECT doc_id, text, w, heff,
+        |    list_transform(range(0, 64),
+        |      i -> ((i // 8) * heff // 8) * w + ((i % 8) * w // 8)) AS ps
+        |  FROM a WHERE heff > 0
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(ps, p ->
+        |      ascii(substring(text, CAST(3 * p + 1 AS INT), 1))
+        |      + ascii(substring(text, CAST(3 * p + 2 AS INT), 1))
+        |      + ascii(substring(text, CAST(3 * p + 3 AS INT), 1))) AS gray
+        |  FROM p
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      CASE WHEN gray[CAST(i + 1 AS INT)] * 64 >= list_sum(gray)
+        |           THEN 1::HUGEINT << CAST(i AS INT) ELSE 0::HUGEINT END)) AS u
+        |  FROM g
+        |), all_h AS (
+        |  SELECT a.doc_id, a.w, coalesce(h.u, 0::HUGEINT) AS u
+        |  FROM a LEFT JOIN h ON a.doc_id = h.doc_id
+        |)
+        |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |            THEN u - 18446744073709551616::HUGEINT ELSE u END
+        |       AS BIGINT) AS ahash64,
+        |  true AS planted_dup_found
+        |FROM all_h""".stripMargin,
 
     "mm_image_stats" ->
       """WITH a AS (

@@ -136,6 +136,28 @@ class TextFnsSpec extends SparkSpec {
     assert(Multimodal.resizeNearest(Array.fill[Byte](9)(1), 4, 2, 2).isEmpty)
   }
 
+  test("aHash64: integer mean threshold, copy invariance, empty raster") {
+    // 8×8 raster whose left half is dark (channel sum 3) and right
+    // half bright (channel sum 765): mean is in between, so exactly
+    // the 32 bright cells (x >= 4) set their bits.
+    val frame = (for (y <- 0 until 8; x <- 0 until 8; _ <- 0 until 3)
+      yield (if (x >= 4) 255 else 1).toByte).toArray
+    val h = Multimodal.aHash64(frame, srcW = 8)
+    val expected = (for (i <- 0 until 64; if i % 8 >= 4) yield 1L << i).sum
+    assert(h === expected)
+    // an exact pixel copy hashes identically; a one-cell edit flips
+    // few bits (near-dup stays within the band-join distance)
+    assert(Multimodal.aHash64(frame.clone(), 8) === h)
+    val edited = frame.clone()
+    edited(0) = 255.toByte; edited(1) = 255.toByte; edited(2) = 255.toByte
+    val hd = java.lang.Long.bitCount(Multimodal.aHash64(edited, 8) ^ h)
+    assert(hd >= 1 && hd <= 3, s"one-cell edit flipped $hd bits")
+    // uniform raster: every cell >= mean → all bits set
+    assert(Multimodal.aHash64(Array.fill[Byte](8 * 8 * 3)(7), 8) === -1L)
+    // no complete row → empty thumb → hash 0
+    assert(Multimodal.aHash64(Array.fill[Byte](9)(1), 8) === 0L)
+  }
+
   test("PCM stride sampling keeps whole aligned samples; byte stride keeps every nth") {
     // samples (le 16-bit): 0x0100, 0x0302, 0x0504, 0x0706, 0x0908 —
     // stride 2 keeps samples 0, 2, 4 with BOTH bytes intact.
