@@ -111,4 +111,58 @@ object Sampling {
     */
   def consistentSample(df: DataFrame, id: Column, k: Int): DataFrame =
     df.orderBy(xxhash64(id).asc, id.asc).limit(k)
+
+  /** Per-domain epoch plan for a token-budgeted training mixture (the
+    * LLaMA/DoReMi recipe written as exact integer arithmetic): given
+    * per-mille mixture weights and a total token budget, each domain's
+    * target `budget·w/1000` decomposes into `full_epochs` complete
+    * passes over the domain plus a hash-sampled partial pass accepting
+    * `accept_ppm` parts-per-million of docs (`rem·1e6/available`).
+    * Every column is one integral multiply/divide over exact
+    * aggregates, so the plan is engine-reproducible bit for bit.
+    * Scale: ONE map-side-combinable aggregation over the corpus; the
+    * plan table is domain-cardinality.
+    */
+  def epochMixturePlan(df: DataFrame, domainCol: String, tokCol: Column,
+                       weightsPerMille: Map[String, Int],
+                       budgetTokens: Long): DataFrame = {
+    require(weightsPerMille.values.forall(_ >= 0) &&
+      weightsPerMille.values.sum <= 1000,
+      "mixture weights are per-mille and must sum to <= 1000")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val wCol = weightsPerMille.toSeq.sortBy(_._1)
+      .foldRight(lit(0): Column) { case ((d, w), rest) =>
+        when(col(domainCol) === d, w).otherwise(rest)
+      }
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokCol).cast("long").as("available_tokens"))
+      .withColumn("__bw", lit(budgetTokens) * wCol.cast("long"))
+      .withColumn("target_tokens", expr("__bw div 1000"))
+      .withColumn("full_epochs", expr("target_tokens div available_tokens"))
+      .withColumn("rem_tokens", pmod(col("target_tokens"), col("available_tokens")))
+      .withColumn("accept_ppm", expr("(rem_tokens * 1000000) div available_tokens"))
+      .drop("__bw")
+  }
+
+  /** Materialize the training corpus a mixture plan describes: every
+    * doc appears once per full epoch of its domain, plus once more in
+    * the final partial epoch iff its hash bucket falls under the
+    * domain's acceptance rate — deterministic with-replacement
+    * oversampling and without-replacement downsampling in one shape.
+    * Scale: the domain-cardinality plan broadcasts; expansion is a
+    * zero-shuffle generate (sequence + explode inside codegen) whose
+    * output size is exactly the planned token budget's doc count.
+    */
+  def epochExpand(df: DataFrame, domainCol: String, id: Column,
+                  plan: DataFrame): DataFrame = {
+    val nEp = col("full_epochs") +
+      when(modBucket(id, 1000000) < col("accept_ppm"), 1L).otherwise(0L)
+    df.join(broadcast(plan.select(col(domainCol), col("full_epochs"), col("accept_ppm"))),
+        Seq(domainCol))
+      .withColumn("__n_ep", nEp)
+      .where(col("__n_ep") > 0)
+      .select(col("*"),
+        explode(sequence(lit(0L), col("__n_ep") - 1L)).as("epoch"))
+      .drop("full_epochs", "accept_ppm", "__n_ep")
+  }
 }

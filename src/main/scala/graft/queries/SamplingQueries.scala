@@ -277,8 +277,76 @@ object SamplingQueries {
         Seq(("user_id", 4L, 10L), ("event_id", 100L, 2000L)))
       out.select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 4).as("value"))
+    }),
+
+    // Token-budgeted mixture plan (the LLaMA/DoReMi recipe as exact
+    // integer arithmetic): per-language full-epoch counts + partial-
+    // epoch acceptance rates against a 50k-token budget.
+    "mix_epoch_plan" -> ((spark, dir) => {
+      Sampling.epochMixturePlan(Tables.documents(spark, dir), "lang",
+        size(TextFns.tokens(col("text"))).cast("long"),
+        MixWeights, MixBudgetTokens)
+    }),
+
+    // The corpus that plan describes, materialized: (doc, epoch) rows
+    // — deterministic oversampling of up-weighted domains and hash
+    // downsampling of the partial epoch, reproduced row-for-row by
+    // the oracle.
+    "mix_epoch_expand" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val plan = Sampling.epochMixturePlan(docs, "lang",
+        size(TextFns.tokens(col("text"))).cast("long"),
+        MixWeights, MixBudgetTokens)
+      Sampling.epochExpand(docs.select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), plan)
+        .select(col("doc_id"), col("lang"), col("epoch"))
     })
   )
+
+  private val MixWeights =
+    Map("en" -> 400, "de" -> 150, "es" -> 150, "fr" -> 150, "zh" -> 150)
+  private val MixBudgetTokens = 50000L
+
+  private val mixPlanSql: String =
+    """WITH w(lang, w) AS (
+      |  VALUES ('en', 400), ('de', 150), ('es', 150), ('fr', 150), ('zh', 150)
+      |), a AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS available_tokens
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT a.lang, a.n_docs, a.available_tokens,
+      |  CAST((50000 * coalesce(w.w, 0)) // 1000 AS BIGINT) AS target_tokens,
+      |  CAST(((50000 * coalesce(w.w, 0)) // 1000) // a.available_tokens
+      |       AS BIGINT) AS full_epochs,
+      |  CAST(((50000 * coalesce(w.w, 0)) // 1000) % a.available_tokens
+      |       AS BIGINT) AS rem_tokens,
+      |  CAST(((((50000 * coalesce(w.w, 0)) // 1000) % a.available_tokens)
+      |        * 1000000) // a.available_tokens AS BIGINT) AS accept_ppm
+      |FROM a LEFT JOIN w ON a.lang = w.lang""".stripMargin
+
+  private val mixExpandSql: String =
+    s"""WITH w(lang, w) AS (
+       |  VALUES ('en', 400), ('de', 150), ('es', 150), ('fr', 150), ('zh', 150)
+       |), a AS (
+       |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS avail
+       |  FROM documents GROUP BY 1
+       |), p AS (
+       |  SELECT a.lang,
+       |    ((50000 * coalesce(w.w, 0)) // 1000) // a.avail AS full_epochs,
+       |    ((((50000 * coalesce(w.w, 0)) // 1000) % a.avail) * 1000000)
+       |      // a.avail AS accept_ppm
+       |  FROM a LEFT JOIN w ON a.lang = w.lang
+       |), j AS (
+       |  SELECT d.doc_id, d.lang,
+       |    p.full_epochs + CASE
+       |      WHEN (d.doc_id * ${Sampling.KnuthMultiplier}) % 1000000
+       |           < p.accept_ppm THEN 1 ELSE 0 END AS n_ep
+       |  FROM documents d JOIN p ON d.lang = p.lang
+       |)
+       |SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch
+       |FROM j, unnest(range(n_ep)) AS u(e)
+       |WHERE n_ep > 0""".stripMargin
 
   private val PackBudget = 512
   private val ChunkSize = 32
@@ -376,6 +444,8 @@ object SamplingQueries {
   val oracles: Map[String, String] = Map(
     "sample_hash_split" -> splitSql,
     "sample_dedup_aware_split" -> dedupAwareSplitSql,
+    "mix_epoch_plan" -> mixPlanSql,
+    "mix_epoch_expand" -> mixExpandSql,
     "sample_reservoir_per_key" ->
       s"""SELECT event_type, rn, event_id FROM (
          |  SELECT event_type, event_id, row_number() OVER (

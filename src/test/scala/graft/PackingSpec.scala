@@ -199,4 +199,38 @@ class PackingSpec extends SparkSpec {
     val first = out.select(col("doc_id"), col("lang"))
     assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
   }
+
+  test("epoch mixture: every doc gets full_epochs or full_epochs+1 contiguous epochs") {
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val nTok = size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+    val weights = Map("en" -> 400, "de" -> 150, "es" -> 150, "fr" -> 150, "zh" -> 150)
+    val plan = Sampling.epochMixturePlan(docs, "lang", nTok, weights, budgetTokens = 50000L)
+    // plan identities: target decomposes exactly into epochs + remainder
+    val bad = plan.where(
+      col("full_epochs") * col("available_tokens") + col("rem_tokens")
+        =!= col("target_tokens"))
+    assert(bad.isEmpty)
+    assert(plan.where(col("accept_ppm") < 0 || col("accept_ppm") >= 1000000).isEmpty)
+    val out = Sampling.epochExpand(docs.select(col("doc_id"), col("lang")),
+      "lang", col("doc_id"), plan)
+    // per-doc: epochs are contiguous 0..n-1 with n in {full, full+1}
+    val perDoc = out.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"), min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+      .join(plan.select(col("lang"), col("full_epochs")), Seq("lang"))
+    assert(perDoc.where(col("lo") =!= 0 || col("hi") =!= col("n") - 1).isEmpty)
+    assert(perDoc.where(
+      col("n") =!= col("full_epochs") && col("n") =!= col("full_epochs") + 1).isEmpty)
+    // per-domain doc-row total = full_epochs * n_docs + accepted count,
+    // where acceptance re-derives from the same hash rule
+    val accepted = docs
+      .join(plan.select(col("lang"), col("accept_ppm")), Seq("lang"))
+      .where(Sampling.modBucket(col("doc_id"), 1000000) < col("accept_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_acc"))
+    val perDomain = out.groupBy("lang").agg(count(lit(1)).as("rows"))
+      .join(plan.select(col("lang"), col("full_epochs"), col("n_docs")), Seq("lang"))
+      .join(accepted, Seq("lang"), "left").na.fill(0L, Seq("n_acc"))
+    assert(perDomain.where(
+      col("rows") =!= col("full_epochs") * col("n_docs") + col("n_acc")).isEmpty)
+  }
 }
