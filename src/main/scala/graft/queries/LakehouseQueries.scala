@@ -188,6 +188,20 @@ object LakehouseQueries {
           (col("psi") > 0.25).as("drifted"), col("total_old"), col("total_new"))
     }),
 
+    // Privacy release gate: k-anonymity + l-diversity audit over the
+    // customer table's quasi-identifiers (nation × market segment ×
+    // a generalized balance band), sensitive value = exact balance.
+    // One map-side-combinable aggregation; class count bounded by the
+    // generalized QI space. Complements content-level text_pii_redact.
+    "privacy_k_anonymity" -> ((spark, dir) => {
+      import graft.operators.Privacy
+      Privacy.kAnonymityAudit(Tables.customer(spark, dir),
+        quasi = Seq(col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+        sensitive = col("c_acctbal"), k = 5, l = 3)
+    }),
+
     // Expectation-suite validation (the Deequ/dbt-test shape): the
     // publish gate on the orders table — completeness, domain, bounds
     // (one deliberately failing so the report is non-trivial), key
@@ -384,6 +398,16 @@ object LakehouseQueries {
         |  FROM u
         |)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1 AND NOT del""".stripMargin,
+
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  count(*) AS class_size,
+        |  count(DISTINCT c_acctbal) AS l_diversity,
+        |  count(*) >= 5 AS meets_k,
+        |  count(DISTINCT c_acctbal) >= 3 AS meets_l
+        |FROM customer
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "quality_expectations" ->
       """WITH rc AS (
