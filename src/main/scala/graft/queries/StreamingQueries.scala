@@ -127,6 +127,26 @@ object StreamingQueries {
           round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
+    // holds per-key state only until the watermark passes it — the
+    // bounded-memory form a 100 TB-per-day stream needs (plain
+    // dropDuplicates grows state forever). Runs as a REAL file-source
+    // stream drained through an AvailableNow memory sink (the operator
+    // rejects batch plans); one AvailableNow pass dedups every key, so
+    // the oracle is exact key distinct. State-eviction/re-admission
+    // semantics are pinned on a RocksDB-backed stream in StreamingSpec.
+    // Output restricted to the key columns so the kept representative
+    // is engine-deterministic.
+    "stream_dropdup_watermark" -> ((spark, dir) => {
+      val s = StreamingOps.eventsStream(spark, dir)
+        .select(col("ts"), col("user_id"), col("event_type"))
+      StreamingOps.runAvailableNow(
+        StreamingOps.dedupWithinWatermark(s, "ts", "10 minutes",
+            Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")),
+        "dropdup_wm")
+    }),
+
     // Sliding event-time windows (10 min window, 5 min slide).
     "stream_windowed_counts" -> ((spark, dir) => {
       StreamingOps.windowedTypeCounts(
@@ -231,6 +251,9 @@ object StreamingQueries {
 
     // Each event lands in exactly two 10-min/5-min-slide windows:
     // starts at floor(ts/5min)*5min and 5 min before it.
+    "stream_dropdup_watermark" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
     "stream_windowed_counts" ->
       """WITH e AS (
         |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events

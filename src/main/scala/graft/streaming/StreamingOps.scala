@@ -198,6 +198,49 @@ object StreamingOps {
       q.awaitTermination()
     }
 
+  /** The events table as a REAL file-source stream (same ns→µs ts
+    * normalization as the batch reader in [[graft.core.Tables]]).
+    * Schema comes from a metadata-only batch probe of the same path.
+    */
+  def eventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    // the file-stream source needs a directory basePath; the fixture
+    // table is a single file, so glob it under its parent
+    val df = spark.readStream.schema(raw.schema)
+      .option("basePath", dir).parquet(s"$dir/events*.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Watermark-bounded streaming dedup: per-key state lives only
+    * until the watermark passes the key's event time — the bounded-
+    * memory form an unbounded ingest needs (plain dropDuplicates
+    * grows state forever). Eviction/re-admission semantics are pinned
+    * in StreamingSpec on a RocksDB-backed stream.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String, delay: String,
+                           keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Drain an append-mode streaming DataFrame through an AvailableNow
+    * memory sink and return the collected table — the harness that
+    * lets streaming-only operators run under the batch correctness
+    * gate. Verification surface: the memory sink materializes the
+    * result, so callers keep output cardinality bounded (keys,
+    * aggregates — never raw events).
+    */
+  def runAvailableNow(out: DataFrame, prefix: String): DataFrame = {
+    val name = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = out.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+
   /** [[sessionize]] on the transformWithState path — identical
     * semantics (sentinel-flushed open sessions, append-only output).
     */

@@ -178,6 +178,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = mem.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_wm_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "click"), (1L, ts(1), "click"))
+      q.processAllAvailable()
+      // same key while its state is alive: still suppressed
+      mem.addData((1L, ts(3), "click"))
+      q.processAllAvailable()
+      // advance the watermark far past key 1's state lifetime
+      mem.addData((2L, ts(60), "view"))
+      q.processAllAvailable()
+      // the key returns AFTER eviction: emitted again — the bounded-
+      // state semantics plain dropDuplicates (grows forever) lacks
+      mem.addData((1L, ts(61), "click"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming ingest dedups against the lake digest, then within itself") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
