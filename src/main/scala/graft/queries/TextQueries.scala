@@ -198,6 +198,32 @@ object TextQueries {
         words, "word", minFreqFraction = 0.01, sketchK = 256)
     }),
 
+    // PMI collocation mining (tokenizer/vocab analysis): bigrams that
+    // co-occur far above chance, ranked by the integer-exact score
+    // c_xy·1e6 div (c_x·c_y) — the PMI argument with its corpus-
+    // constant factors dropped (ranking-invariant), kept in integral
+    // arithmetic so both engines agree bit for bit. Unigram table is
+    // vocabulary-sized → broadcast twice; top-20 rides
+    // TakeOrderedAndProject (no full sort). Ties broken by the
+    // (w1, w2) total order so the cutoff is engine-deterministic.
+    "text_pmi_collocations" -> ((spark, dir) => {
+      val toks = Tables.documents(spark, dir).select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w")).where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = toks.select(explode(TextFns.shingles(col("t"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 10)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+        .withColumn("score_x1e6", expr("(c_xy * 1000000L) div (c_x * c_y)"))
+        .orderBy(col("score_x1e6").desc, col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          col("score_x1e6"))
+    }),
+
     // TF-IDF top terms per document: term frequencies × inverse
     // document frequency, top-3 terms per doc (keyword extraction).
     // The IDF table is corpus-vocabulary-sized → broadcast; the final
@@ -724,6 +750,29 @@ object TextQueries {
         |)
         |SELECT word, count(*) AS freq FROM w GROUP BY 1
         |HAVING count(*) > (SELECT CAST(floor(count(*) * 0.01) AS BIGINT) FROM w)""".stripMargin,
+
+    "text_pmi_collocations" -> {
+      val sh = TextFns.shinglesSql("toks", 2)
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |), uni AS (
+         |  SELECT u AS w, count(*) AS c FROM (
+         |    SELECT unnest(toks) AS u FROM t
+         |  ) WHERE u <> '' GROUP BY 1
+         |), bi AS (
+         |  SELECT u AS bg, count(*) AS c_xy FROM (
+         |    SELECT unnest($sh) AS u FROM t
+         |  ) GROUP BY 1 HAVING count(*) >= 10
+         |), s AS (
+         |  SELECT string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2, c_xy
+         |  FROM bi
+         |)
+         |SELECT s.w1, s.w2, s.c_xy, x.c AS c_x, y.c AS c_y,
+         |  CAST((s.c_xy * 1000000) // (x.c * y.c) AS BIGINT) AS score_x1e6
+         |FROM s JOIN uni x ON s.w1 = x.w JOIN uni y ON s.w2 = y.w
+         |ORDER BY score_x1e6 DESC, s.w1, s.w2 LIMIT 20""".stripMargin
+    },
 
     "text_tfidf_topterms" ->
       """WITH words AS (
