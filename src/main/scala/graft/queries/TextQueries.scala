@@ -198,6 +198,22 @@ object TextQueries {
         words, "word", minFreqFraction = 0.01, sketchK = 256)
     }),
 
+    // Compression-ratio quality signal (Gopher/RefinedWeb heuristic).
+    // The DEFLATE size is zlib-deterministic but not portable
+    // arithmetic → invariant-harness oracle: exact raw length + two
+    // contract booleans (stored-block size bound; a doubled document
+    // compresses to under twice the original — the back-reference
+    // guarantee). Value-level properties pinned in CompressSpec.
+    "text_zlib_signal" -> ((spark, dir) => {
+      import graft.operators.Compressibility
+      Compressibility.signals(spark, Tables.documents(spark, dir), "doc_id", "text")
+        .toDF()
+        .select(col("doc_id"), col("n_raw"),
+          (col("n_deflate") <=
+            expr("n_raw + 5 * greatest((n_raw + 16382) div 16383, 1) + 6")).as("within_bound"),
+          (col("n_deflate_doubled") < col("n_deflate") * 2).as("doubled_better"))
+    }),
+
     // PMI collocation mining (tokenizer/vocab analysis): bigrams that
     // co-occur far above chance, ranked by the integer-exact score
     // c_xy·1e6 div (c_x·c_y) — the PMI argument with its corpus-
@@ -750,6 +766,11 @@ object TextQueries {
         |)
         |SELECT word, count(*) AS freq FROM w GROUP BY 1
         |HAVING count(*) > (SELECT CAST(floor(count(*) * 0.01) AS BIGINT) FROM w)""".stripMargin,
+
+    "text_zlib_signal" ->
+      """SELECT doc_id, length(text) AS n_raw,
+        |  true AS within_bound, true AS doubled_better
+        |FROM documents""".stripMargin,
 
     "text_pmi_collocations" -> {
       val sh = TextFns.shinglesSql("toks", 2)
