@@ -248,6 +248,22 @@ object JoinQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
+    // Integer-exact PageRank over the supplier⇄customer supply graph
+    // (supp keys even, cust keys odd, edges both directions): the
+    // iterative link-analysis operator a curation pipeline uses to
+    // weight sources by citation structure. Fixed-point BIGINT rank
+    // mass, `div`-exact updates — the DuckDB oracle unrolls the SAME
+    // 5 rounds as chained CTEs and matches bit for bit.
+    "graph_pagerank" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
+      val edges = sc.unionByName(sc.select(col("b").as("a"), col("a").as("b")))
+      GraphRank.pageRank(edges, "a", "b", iters = 5)
     })
   )
 
@@ -367,6 +383,49 @@ object JoinQueries {
         |)
         |SELECT coalesce(clicks.user_id, buys.user_id) AS user_id,
         |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_buys, 0) AS n_buys
-        |FROM clicks FULL OUTER JOIN buys ON clicks.user_id = buys.user_id""".stripMargin
+        |FROM clicks FULL OUTER JOIN buys ON clicks.user_id = buys.user_id""".stripMargin,
+
+    "graph_pagerank" -> pagerankSql
   )
+
+  // Generated twin of GraphRank.pageRank: the same 5 damped rounds
+  // unrolled as chained CTEs, every step in integral arithmetic
+  // (`//` on positives == Spark's `div`), so ranks match bit for bit.
+  private lazy val pagerankSql: String = {
+    val iters = 5
+    val scale = graft.operators.GraphRank.Scale
+    val head =
+      s"""WITH sc AS (
+         |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT a AS src, b AS dst FROM sc
+         |  UNION ALL SELECT b, a FROM sc
+         |), deg AS (
+         |  SELECT src, count(*) AS deg FROM e GROUP BY 1
+         |), nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+         |  )
+         |), np AS (SELECT count(*) AS n FROM nodes
+         |), r0 AS (
+         |  SELECT node,
+         |    CAST($scale // (SELECT n FROM np) AS BIGINT) AS rank
+         |  FROM nodes
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""", r$i AS (
+         |  SELECT nodes.node,
+         |    CAST((15 * ($scale // (SELECT n FROM np))) // 100
+         |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // deg.deg) AS s
+         |    FROM e JOIN deg ON e.src = deg.src
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1
+         |  ) c ON nodes.node = c.node
+         |)""".stripMargin
+    }.mkString
+    head + rounds + s"\nSELECT node, rank FROM r$iters"
+  }
 }
