@@ -198,6 +198,43 @@ object TextQueries {
         words, "word", minFreqFraction = 0.01, sketchK = 256)
     }),
 
+    // Count-Min sketch frequency estimation — the fixed-memory
+    // mergeable counter for vocabularies too wide to groupBy exactly
+    // (complements Misra-Gries top-k and HLL cardinality). Depth-4 ×
+    // width-256 sketch keyed by the seed-free FNV-1a family
+    // (row d hashes "d:word"), so DuckDB rebuilds the ENTIRE sketch
+    // cell-for-cell and the estimates match exactly; the CMS
+    // never-underestimates contract is asserted per word. Scale: the
+    // sketch build is one map-side-combinable agg to 1024 cells; the
+    // probe is 4 broadcast joins against those cells.
+    "sketch_cms_estimate" -> ((spark, dir) => {
+      import graft.expressions.GraftFunctions
+      val depth = 4
+      val width = 256L
+      def cmsCol(w: Column, d: Int): Column =
+        pmod(GraftFunctions.tokenHashes(concat(lit(s"$d:"), w)).getItem(0),
+          lit(width))
+      val words = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      val cells = words
+        .select(posexplode(array((0 until depth).map(d =>
+          cmsCol(col("w"), d)): _*)).as(Seq("d", "cell")))
+        .groupBy("d", "cell").agg(count(lit(1)).as("cell_c"))
+      val top = words.groupBy("w").agg(count(lit(1)).as("true_c"))
+        .orderBy(col("true_c").desc, col("w")).limit(20)
+      (0 until depth).foldLeft(top) { (acc, d) =>
+        acc.join(
+          broadcast(cells.where(col("d") === d)
+            .select(col("cell").as(s"cell$d"), col("cell_c").as(s"est$d"))),
+          cmsCol(col("w"), d) === col(s"cell$d"))
+          .drop(s"cell$d")
+      }
+        .select(col("w"), col("true_c"),
+          least((0 until depth).map(d => col(s"est$d")): _*).as("est_c"))
+        .withColumn("never_under", col("est_c") >= col("true_c"))
+    }),
+
     // Compression-ratio quality signal (Gopher/RefinedWeb heuristic).
     // The DEFLATE size is zlib-deterministic but not portable
     // arithmetic → invariant-harness oracle: exact raw length + two
@@ -766,6 +803,36 @@ object TextQueries {
         |)
         |SELECT word, count(*) AS freq FROM w GROUP BY 1
         |HAVING count(*) > (SELECT CAST(floor(count(*) * 0.01) AS BIGINT) FROM w)""".stripMargin,
+
+    "sketch_cms_estimate" ->
+      """WITH words AS (
+        |  SELECT u AS w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS u FROM documents
+        |  ) WHERE u <> ''
+        |), truth AS (
+        |  SELECT w, count(*) AS true_c FROM words GROUP BY 1
+        |), hashes AS (
+        |  SELECT w, d,
+        |    CAST(list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(c)::HUGEINT
+        |         for c in string_split(CAST(d AS VARCHAR) || ':' || w, '')]),
+        |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) % 256
+        |      AS BIGINT) AS cell
+        |  FROM truth, (SELECT unnest([0, 1, 2, 3]) AS d)
+        |), cells AS (
+        |  SELECT h.d, h.cell, sum(t.true_c) AS cell_c
+        |  FROM hashes h JOIN truth t USING (w) GROUP BY 1, 2
+        |), top AS (
+        |  SELECT w, true_c FROM truth ORDER BY true_c DESC, w LIMIT 20
+        |)
+        |SELECT top.w, top.true_c, min(c.cell_c) AS est_c,
+        |  min(c.cell_c) >= top.true_c AS never_under
+        |FROM top
+        |JOIN hashes h ON top.w = h.w
+        |JOIN cells c ON c.d = h.d AND c.cell = h.cell
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_zlib_signal" ->
       """SELECT doc_id, length(text) AS n_raw,
