@@ -373,6 +373,27 @@ object AggWindowQueries {
         .agg(sum(col("changed")).as("n_changes"))
     }),
 
+    // Markov transition matrix over per-user event journeys: exact
+    // transition counts (lag over (ts, event_id) — engine-deterministic
+    // order) + fixed-point row-normalized probabilities. The
+    // session-behavior model a funnel/recommendation pipeline fits.
+    // Scale: one user-keyed window (partitions are per-user journeys)
+    // + one |types|²-sized aggregation.
+    "events_markov_transitions" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val counts = Tables.events(spark, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy(col("prev_type"))
+      counts.withColumn("row_total", sum(col("n")).over(w2))
+        .withColumn("prob_x1e4", expr("(n * 10000) div row_total"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          col("row_total"), col("prob_x1e4"))
+    }),
+
     // W7: first over asc = registration timestamp (collector.py:746-755).
     "w7_first_event" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -677,6 +698,24 @@ object AggWindowQueries {
         |    THEN 1 ELSE 0 END AS changed
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "events_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type,
+        |    event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT prev_type, sum(n) AS row_total FROM c GROUP BY 1
+        |)
+        |SELECT c.prev_type, c.event_type, c.n,
+        |  CAST(r.row_total AS BIGINT) AS row_total,
+        |  CAST((c.n * 10000) // r.row_total AS BIGINT) AS prob_x1e4
+        |FROM c JOIN r USING (prev_type)""".stripMargin,
 
     "w7_first_event" ->
       """SELECT user_id,

@@ -279,6 +279,21 @@ object SamplingQueries {
         round(col("value"), 4).as("value"))
     }),
 
+    // Length-weighted (probability ∝ size) sampling: keep rate per doc
+    // is n_chars/max(n_chars) in exact ppm integer arithmetic, and
+    // membership is the same deterministic hash filter as every other
+    // sampler — the doc-level sampler whose EXPECTED output is
+    // token-balanced rather than doc-balanced. One scalar aggregate
+    // (max) broadcast back; zero-shuffle filter.
+    "sample_length_weighted" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("rate_ppm", expr("(n_chars * 1000000) div mx"))
+        .select(col("doc_id"), col("rate_ppm"),
+          (Sampling.modBucket(col("doc_id"), 1000000) < col("rate_ppm")).as("kept"))
+    }),
+
     // Token-budgeted mixture plan (the LLaMA/DoReMi recipe as exact
     // integer arithmetic): per-language full-epoch counts + partial-
     // epoch acceptance rates against a 50k-token budget.
@@ -446,6 +461,13 @@ object SamplingQueries {
     "sample_dedup_aware_split" -> dedupAwareSplitSql,
     "mix_epoch_plan" -> mixPlanSql,
     "mix_epoch_expand" -> mixExpandSql,
+    "sample_length_weighted" ->
+      s"""WITH m AS (SELECT max(n_chars) AS mx FROM documents)
+         |SELECT doc_id,
+         |  CAST((n_chars * 1000000) // mx AS BIGINT) AS rate_ppm,
+         |  ${Sampling.modBucketSql("doc_id", 1000000)}
+         |    < (n_chars * 1000000) // mx AS kept
+         |FROM documents, m""".stripMargin,
     "sample_reservoir_per_key" ->
       s"""SELECT event_type, rn, event_id FROM (
          |  SELECT event_type, event_id, row_number() OVER (
