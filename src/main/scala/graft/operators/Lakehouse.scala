@@ -80,6 +80,68 @@ object Lakehouse {
           .otherwise(lit("")).as("changed_cols")): _*)
   }
 
+  /** Three-way branch merge — git-style reconciliation of two corpus
+    * branches against their common base (the collaboration primitive
+    * a curation lake needs once two teams edit the same snapshot).
+    * Per key, a side's state vs base is `same`, `mod`, `add`, or
+    * `del`; the merge keeps the side that changed, keeps identical
+    * concurrent changes once, and flags divergent concurrent changes
+    * (mod≠mod, mod-vs-del, add-vs-add with different values) as
+    * conflicts with both candidate images — resolution policy stays
+    * with the caller, exactly like a VCS.
+    *
+    * Scale: TWO key-shuffled full-outer joins (base⋈A⋈B) and a pure
+    * projection — delta-sized output when branches are passed as
+    * deltas. Null-safe comparisons throughout.
+    */
+  def threeWayMerge(base: DataFrame, a: DataFrame, b: DataFrame,
+                    keys: Seq[String], valCols: Seq[String]): DataFrame = {
+    def tag(df: DataFrame, side: String): DataFrame =
+      df.select((keys.map(col) ++ valCols.map(c => col(c).as(s"__${side}_$c")) :+
+        lit(true).as(s"__${side}_present")): _*)
+    def present(s: String): Column = col(s"__${s}_present").isNotNull
+    def eqSides(s1: String, s2: String): Column =
+      valCols.map(c => col(s"__${s1}_$c") <=> col(s"__${s2}_$c"))
+        .reduce(_ && _)
+    def state(s: String): Column =
+      when(present(s) && present("base") && eqSides(s, "base"), "same")
+        .when(present(s) && present("base"), "mod")
+        .when(present(s) && !present("base"), "add")
+        .when(!present(s) && present("base"), "del")
+        .otherwise("absent") // in neither base nor this branch
+    val j = tag(base, "base")
+      .join(tag(a, "a"), keys, "full_outer")
+      .join(tag(b, "b"), keys, "full_outer")
+      .withColumn("__sa", state("a"))
+      .withColumn("__sb", state("b"))
+    val bothSame = col("__sa") === col("__sb") && eqSides("a", "b")
+    val outcome =
+      when(col("__sa").isin("same", "absent") && col("__sb").isin("same", "absent"), "base")
+        .when(col("__sb").isin("same", "absent"), "a")
+        .when(col("__sa").isin("same", "absent"), "b")
+        .when(bothSame, "both")
+        .otherwise("conflict")
+    def pick(c: String): Column =
+      when(col("__outcome") === "base", col(s"__base_$c"))
+        .when(col("__outcome").isin("a", "both"), col(s"__a_$c"))
+        .when(col("__outcome") === "b", col(s"__b_$c"))
+    val merged = j.withColumn("__outcome", outcome)
+      .withColumn("__present",
+        when(col("__outcome") === "base", present("base"))
+          .when(col("__outcome").isin("a", "both"), present("a"))
+          .when(col("__outcome") === "b", present("b"))
+          .otherwise(lit(false)))
+    merged.select((keys.map(col) :+
+      col("__outcome").as("outcome") :+
+      (col("__outcome") === "conflict").as("is_conflict") :+
+      col("__present").as("merged_present")) ++
+      valCols.map(c => pick(c).as(s"merged_$c")) ++
+      valCols.map(c => when(col("__outcome") === "conflict",
+        col(s"__a_$c")).as(s"a_$c")) ++
+      valCols.map(c => when(col("__outcome") === "conflict",
+        col(s"__b_$c")).as(s"b_$c")): _*)
+  }
+
   /** Change-data-feed between two table versions — the Delta-CDF /
     * Iceberg-changelog shape: one row per change with `_change_type`
     * in {insert, delete, update_preimage, update_postimage}, updates

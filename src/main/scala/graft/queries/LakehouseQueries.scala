@@ -188,6 +188,33 @@ object LakehouseQueries {
           (col("psi") > 0.25).as("drifted"), col("total_old"), col("total_new"))
     }),
 
+    // Three-way branch merge: two curation branches edited the same
+    // base snapshot — A re-scores some docs and deletes a slice, B
+    // re-scores a different (overlapping) set and appends new docs.
+    // The merge keeps single-sided changes, collapses identical
+    // concurrent changes, and flags divergent ones (mod≠mod at
+    // doc_id%77, mod-vs-del where %13-deletes meet %11-mods) with
+    // both candidate images. Exact full-outer-join arithmetic.
+    "lake_branch_merge" -> ((spark, dir) => {
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val aBr = base.where(col("doc_id") % 13 =!= 5)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 5).otherwise(col("n_chars")))
+      val bAdd = base.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("lang"), (col("n_chars") + 1).as("n_chars"))
+      val bBr = base
+        // B independently deletes the EVEN half of A's deleted slice —
+        // identical concurrent deletes must merge cleanly ('both')
+        .where(col("doc_id") % 13 =!= 5 || col("doc_id") % 2 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 9).otherwise(col("n_chars")))
+        .unionByName(bAdd)
+      Lakehouse.threeWayMerge(base, aBr, bBr,
+        Seq("doc_id"), Seq("lang", "n_chars"))
+    }),
+
     // Privacy release gate: k-anonymity + l-diversity audit over the
     // customer table's quasi-identifiers (nation × market segment ×
     // a generalized balance band), sensitive value = exact balance.
@@ -398,6 +425,76 @@ object LakehouseQueries {
         |  FROM u
         |)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1 AND NOT del""".stripMargin,
+
+    "lake_branch_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, true AS pb FROM documents
+        |), a AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+        |    true AS pa
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |), b AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 9 ELSE n_chars END AS n_chars,
+        |    true AS p2
+        |  FROM documents WHERE doc_id % 13 <> 5 OR doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, n_chars + 1, true FROM documents
+        |  WHERE doc_id % 17 = 0
+        |), j AS (
+        |  SELECT doc_id,
+        |    base.lang AS bl, base.n_chars AS bn, pb,
+        |    a.lang AS al, a.n_chars AS an, pa,
+        |    b.lang AS l2, b.n_chars AS n2, p2
+        |  FROM base
+        |  FULL JOIN a USING (doc_id)
+        |  FULL JOIN b USING (doc_id)
+        |), s AS (
+        |  SELECT *,
+        |    CASE WHEN pa IS NOT NULL AND pb IS NOT NULL
+        |           AND al IS NOT DISTINCT FROM bl
+        |           AND an IS NOT DISTINCT FROM bn THEN 'same'
+        |      WHEN pa IS NOT NULL AND pb IS NOT NULL THEN 'mod'
+        |      WHEN pa IS NOT NULL THEN 'add'
+        |      WHEN pb IS NOT NULL THEN 'del'
+        |      ELSE 'absent' END AS sa,
+        |    CASE WHEN p2 IS NOT NULL AND pb IS NOT NULL
+        |           AND l2 IS NOT DISTINCT FROM bl
+        |           AND n2 IS NOT DISTINCT FROM bn THEN 'same'
+        |      WHEN p2 IS NOT NULL AND pb IS NOT NULL THEN 'mod'
+        |      WHEN p2 IS NOT NULL THEN 'add'
+        |      WHEN pb IS NOT NULL THEN 'del'
+        |      ELSE 'absent' END AS sb,
+        |    (al IS NOT DISTINCT FROM l2
+        |     AND an IS NOT DISTINCT FROM n2) AS eqab
+        |  FROM j
+        |), o AS (
+        |  SELECT *,
+        |    CASE WHEN sa IN ('same', 'absent') AND sb IN ('same', 'absent')
+        |           THEN 'base'
+        |      WHEN sb IN ('same', 'absent') THEN 'a'
+        |      WHEN sa IN ('same', 'absent') THEN 'b'
+        |      WHEN sa = sb AND eqab THEN 'both'
+        |      ELSE 'conflict' END AS outcome
+        |  FROM s
+        |)
+        |SELECT doc_id, outcome, outcome = 'conflict' AS is_conflict,
+        |  CASE WHEN outcome = 'base' THEN pb IS NOT NULL
+        |    WHEN outcome IN ('a', 'both') THEN pa IS NOT NULL
+        |    WHEN outcome = 'b' THEN p2 IS NOT NULL
+        |    ELSE false END AS merged_present,
+        |  CASE WHEN outcome = 'base' THEN bl
+        |    WHEN outcome IN ('a', 'both') THEN al
+        |    WHEN outcome = 'b' THEN l2 END AS merged_lang,
+        |  CASE WHEN outcome = 'base' THEN bn
+        |    WHEN outcome IN ('a', 'both') THEN an
+        |    WHEN outcome = 'b' THEN n2 END AS merged_n_chars,
+        |  CASE WHEN outcome = 'conflict' THEN al END AS a_lang,
+        |  CASE WHEN outcome = 'conflict' THEN an END AS a_n_chars,
+        |  CASE WHEN outcome = 'conflict' THEN l2 END AS b_lang,
+        |  CASE WHEN outcome = 'conflict' THEN n2 END AS b_n_chars
+        |FROM o""".stripMargin,
 
     "privacy_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -95,6 +95,40 @@ class LakehouseSpec extends SparkSpec {
     assert(types.toSeq === Seq(2L, 2L)) // pre+post image per key
   }
 
+  test("threeWayMerge: full outcome taxonomy on a constructed base/A/B triple") {
+    import spark.implicits._
+    // key: 1 untouched, 2 A-mod, 3 B-mod, 4 identical concurrent mod,
+    // 5 divergent concurrent mod, 6 A-del B-same, 7 A-del B-mod,
+    // 8 A-add, 9 both-add identical, 10 both-add divergent,
+    // 11 both-del
+    val base = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40), (5L, 50),
+      (6L, 60), (7L, 70), (11L, 110)).toDF("k", "v")
+    val a = Seq((1L, 10), (2L, 21), (3L, 30), (4L, 41), (5L, 51),
+      (8L, 80), (9L, 90), (10L, 100)).toDF("k", "v")
+    val b = Seq((1L, 10), (2L, 20), (3L, 31), (4L, 41), (5L, 52),
+      (6L, 60), (7L, 71), (9L, 90), (10L, 101)).toDF("k", "v")
+    val out = Lakehouse.threeWayMerge(base, a, b, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4)))
+    assert(out.toSeq === Seq(
+      (1L, "base", true, 10),
+      (2L, "a", true, 21),
+      (3L, "b", true, 31),
+      (4L, "both", true, 41),
+      (5L, "conflict", false, -1),
+      (6L, "a", false, -1),      // deletion in A wins over unchanged B
+      (7L, "conflict", false, -1), // mod-vs-del
+      (8L, "a", true, 80),
+      (9L, "both", true, 90),
+      (10L, "conflict", false, -1), // divergent adds
+      (11L, "both", false, -1)))   // identical concurrent deletes
+    // conflicts carry both candidate images
+    val c5 = Lakehouse.threeWayMerge(base, a, b, Seq("k"), Seq("v"))
+      .where(col("k") === 5L).head()
+    assert(c5.getAs[Int]("a_v") === 51 && c5.getAs[Int]("b_v") === 52)
+  }
+
   test("timeTravel: latest version <= asOf wins; tombstones remove; asOf 0 = base") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
