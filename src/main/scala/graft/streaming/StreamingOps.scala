@@ -210,9 +210,13 @@ object StreamingOps {
     // table is a single file, so glob it under its parent
     val df = spark.readStream.schema(raw.schema)
       .option("basePath", dir).parquet(s"$dir/events*.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    val norm =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df
+    // watermarks require TIMESTAMP (LTZ); NTZ-written corpora (e.g.
+    // the synth scaling fixture) cast over, session tz is pinned UTC
+    norm.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermark-bounded streaming dedup: per-key state lives only

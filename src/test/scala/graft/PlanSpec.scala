@@ -152,6 +152,27 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("CMS probe broadcasts all four sketch rows — no shuffle join, no cartesian") {
+    val df = graft.SparkEntry.queries("sketch_cms_estimate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(count(p, "BroadcastHashJoin") >= 4, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("pageRank rounds stay equi-join shaped — no cartesian, no BNLJ") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val edges = ring.unionByName(ring.select(col("b").as("a"), col("a").as("b")))
+    val df = graft.operators.GraphRank.pageRank(edges, "a", "b", iters = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("boilerplate filter reuses one segment-keyed exchange for freq and mark") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val df = graft.operators.Dedup.boilerplateFilter(docs, "doc_id", "text",
