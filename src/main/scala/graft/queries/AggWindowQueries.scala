@@ -373,6 +373,29 @@ object AggWindowQueries {
         .agg(sum(col("changed")).as("n_changes"))
     }),
 
+    // Retention cohort matrix: users grouped by first-active week,
+    // per-cohort distinct-active counts at each week offset, retention
+    // as an exact ppm-free fixed-point ratio. The product-analytics
+    // staple. Scale: one distinct (user, week) projection, one
+    // user-keyed min, one cohort-keyed count — all map-side
+    // combinable; output is |cohorts| × |weeks|.
+    "events_retention_cohorts" -> ((spark, dir) => {
+      val act = Tables.events(spark, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(cohort, "user_id")
+        .withColumn("week_n", expr("datediff(wk, cohort_wk) div 7"))
+        .groupBy("cohort_wk", "week_n")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort"),
+          col("week_n"), col("n_active"), col("cohort_size"),
+          expr("(n_active * 10000) div cohort_size").as("retention_x1e4"))
+    }),
+
     // Markov transition matrix over per-user event journeys: exact
     // transition counts (lag over (ts, event_id) — engine-deterministic
     // order) + fixed-point row-normalized probabilities. The
@@ -698,6 +721,28 @@ object AggWindowQueries {
         |    THEN 1 ELSE 0 END AS changed
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "events_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort_wk, count(*) AS cohort_size FROM cohort GROUP BY 1
+        |), m AS (
+        |  SELECT c.cohort_wk,
+        |    date_diff('day', c.cohort_wk, a.wk) // 7 AS week_n,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM act a JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT strftime(m.cohort_wk, '%Y-%m-%d') AS cohort,
+        |  CAST(week_n AS BIGINT) AS week_n, n_active, s.cohort_size,
+        |  CAST((n_active * 10000) // s.cohort_size AS BIGINT)
+        |    AS retention_x1e4
+        |FROM m JOIN sizes s USING (cohort_wk)""".stripMargin,
 
     "events_markov_transitions" ->
       """WITH t AS (

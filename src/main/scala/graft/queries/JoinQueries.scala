@@ -250,6 +250,18 @@ object JoinQueries {
           sum(col("l_quantity")).cast("long").as("sum_qty"))
     }),
 
+    // Blocked fuzzy entity matching: near-identical customer records
+    // within (nation, segment) blocks at edit distance <= 1 — the
+    // structured-data record-linkage twin of document near-dup
+    // detection. Length prune + thresholded levenshtein before the
+    // full distance; quadratic confined to blocks.
+    "er_fuzzy_pairs" -> ((spark, dir) => {
+      import graft.operators.EntityResolution
+      EntityResolution.blockedEditDistancePairs(
+        Tables.customer(spark, dir), "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
+    }),
+
     // Integer-exact PageRank over the supplier⇄customer supply graph
     // (supp keys even, cust keys odd, edges both directions): the
     // iterative link-analysis operator a curation pipeline uses to
@@ -385,7 +397,17 @@ object JoinQueries {
         |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_buys, 0) AS n_buys
         |FROM clicks FULL OUTER JOIN buys ON clicks.user_id = buys.user_id""".stripMargin,
 
-    "graph_pagerank" -> pagerankSql
+    "graph_pagerank" -> pagerankSql,
+
+    "er_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
   )
 
   // Generated twin of GraphRank.pageRank: the same 5 damped rounds
