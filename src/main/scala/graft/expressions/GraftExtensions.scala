@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(cs.size == 1, "simhash64 takes exactly one argument")
       SimHash64(cs.head)
     })
+    inject(ext, "hilbert_index", classOf[HilbertIndex], { cs =>
+      require(cs.size == 3, "hilbert_index(x, y, order)")
+      HilbertIndex(cs.head, cs(1), intArg(cs(2), "hilbert order"))
+    })
     inject(ext, "minhash_sig", classOf[MinHashSig], { cs =>
       require(cs.size == 2, "minhash_sig(shingles, k)")
       MinHashSig(cs.head, intArg(cs(1), "signature length"))
@@ -90,6 +94,10 @@ object GraftFunctions {
 
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
+
+  def hilbertIndex(x: Column, y: Column, order: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "hilbert_index", x, y, org.apache.spark.sql.functions.lit(order))
 
   def topNgramRatio(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(

@@ -45,6 +45,68 @@ object Layout {
   def zorderKeySql(x: String, y: String): String =
     s"(${spreadBits16Sql(x)} | (${spreadBits16Sql(y)} << 1))"
 
+  /** Hilbert d-index of an (x, y) cell on a 2^order × 2^order grid —
+    * the published iterative xy2d mapping (rx/ry quadrant bits,
+    * quadrant offset s²·((3·rx) xor ry), rotate-and-reflect per
+    * level). Hilbert beats Z-order for layout because consecutive
+    * indices are ALWAYS Manhattan-adjacent cells (no Z-curve jumps),
+    * so each written file covers one compact blob in (x, y) space and
+    * min/max stats prune tighter on both dimensions. Pure integer
+    * arithmetic — the DuckDB twin ([[hilbertRoundsSql]]) replays the
+    * same rounds and matches bit for bit.
+    */
+  def hilbertXY2D(x0: Long, y0: Long, order: Int): Long = {
+    val mask = (1L << order) - 1L
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** DuckDB twin of [[hilbertXY2D]]: the same rounds as nested
+    * subqueries rebinding (x, y, d). `inner` must produce
+    * `passCols`, `x`, `y`, and `d` = 0.
+    */
+  def hilbertRoundsSql(inner: String, passCols: String, order: Int): String =
+    (0 until order).foldLeft(inner) { (acc, i) =>
+      val s = 1L << (order - 1 - i)
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""SELECT $passCols,
+         |  CASE WHEN $ry = 0
+         |    THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END)
+         |    ELSE x END AS x,
+         |  CASE WHEN $ry = 0
+         |    THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END)
+         |    ELSE y END AS y,
+         |  d + ${s * s}::BIGINT * xor(3 * $rx, $ry) AS d
+         |FROM ($acc)""".stripMargin
+    }
+
+  /** [[zorderCluster]] on the Hilbert key: range-partition + sort by
+    * the d-index so every file owns one contiguous, Manhattan-compact
+    * curve segment.
+    */
+  def hilbertCluster(df: DataFrame, x: Column, y: Column, nFiles: Int): DataFrame = {
+    val keyed = df.withColumn("__hkey",
+      graft.expressions.GraftFunctions.hilbertIndex(x, y, 16))
+    keyed
+      .repartitionByRange(nFiles, col("__hkey"))
+      .sortWithinPartitions(col("__hkey"))
+      .drop("__hkey")
+  }
+
   /** Cluster a frame for writing: range-partition by the Z-key of two
     * (bucketized 16-bit) dimensions, sort within partitions. Each
     * output file then owns a compact Z-range ⇒ tight min/max stats on

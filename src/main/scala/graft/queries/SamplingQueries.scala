@@ -200,6 +200,20 @@ object SamplingQueries {
             pmod(col("user_id"), lit(65536L))).as("zkey"))
     }),
 
+    // Hilbert-curve layout key (the Z-order upgrade: consecutive
+    // indices are ALWAYS Manhattan-adjacent cells, so clustered files
+    // cover compact 2-D blobs with no Z-jumps — tighter min/max
+    // pruning on both dimensions). Native codegen'd expression; the
+    // oracle replays the same rotate-and-reflect rounds as nested
+    // subqueries, bit for bit.
+    "layout_hilbert" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          graft.expressions.GraftFunctions.hilbertIndex(
+            pmod(col("event_id"), lit(65536L)),
+            pmod(col("user_id"), lit(65536L)), 16).as("hkey"))
+    }),
+
     // Training-shard export end to end: the corpus written at rest as
     // token-budgeted whole-document shards (dir/shard=N/, one file per
     // shard — one sequential read per loader worker), then the
@@ -593,6 +607,13 @@ object SamplingQueries {
       s"""SELECT event_id,
          |  ${Layout.zorderKeySql("event_id % 65536", "user_id % 65536")} AS zkey
          |FROM events""".stripMargin,
+    "layout_hilbert" -> {
+      val inner = """SELECT event_id, event_id % 65536 AS x,
+                    |  user_id % 65536 AS y, CAST(0 AS BIGINT) AS d FROM events""".stripMargin
+      s"""SELECT event_id, CAST(d AS BIGINT) AS hkey FROM (
+         |${Layout.hilbertRoundsSql(inner, "event_id", 16)}
+         |)""".stripMargin
+    },
     "layout_stats_skipping" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
         |FROM events

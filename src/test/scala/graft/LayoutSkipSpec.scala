@@ -111,6 +111,32 @@ class LayoutSkipSpec extends SparkSpec {
     assert(total === 4 && read <= total)
   }
 
+  test("hilbert index: bijective on the full grid, consecutive cells Manhattan-adjacent") {
+    import graft.operators.Layout
+    val order = 5
+    val n = 1 << order // 32×32 grid, exhaustive
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (Layout.hilbertXY2D(x.toLong, y.toLong, order), x, y)
+    // bijective: every d in [0, n²) hit exactly once
+    assert(cells.map(_._1).sorted === (0L until (n.toLong * n)).toSeq)
+    // the Hilbert property Z-order lacks: walking the curve moves one
+    // Manhattan step at a time — the locality argument for clustering
+    val byD = cells.sortBy(_._1)
+    byD.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump between d-neighbors ($x1,$y1)->($x2,$y2)")
+    }
+    // the codegen'd expression agrees with the kernel
+    import spark.implicits._
+    val df = cells.take(100).map { case (_, x, y) => (x.toLong, y.toLong) }
+      .toDF("x", "y")
+      .withColumn("h", graft.expressions.GraftFunctions.hilbertIndex(
+        col("x"), col("y"), order))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === Layout.hilbertXY2D(r.getLong(0), r.getLong(1), order))
+    }
+  }
+
   test("a predicate outside every file's range reads zero files") {
     val dir = Files.createTempDirectory("graft_zmap_none").toString + "/t"
     Layout.writeZoneMapped(Tables.events(spark, sfDir),
