@@ -373,6 +373,32 @@ object AggWindowQueries {
         .agg(sum(col("changed")).as("n_changes"))
     }),
 
+    // Behavioral anomaly flags composed from the Markov matrix: per
+    // user, the count of rare transitions (corpus probability below
+    // 2%) and the minimum transition probability seen — the
+    // bot/fraud-screen shape. All integer/fixed-point (min of exact
+    // x1e4 probs), so the composition stays engine-exact. Scale: the
+    // matrix is |types|²-sized → broadcast back onto the transition
+    // stream; one user-keyed aggregation.
+    "events_rare_transitions" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = Tables.events(spark, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .select(col("user_id"), col("prev_type"), col("event_type"))
+      val counts = tr.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy(col("prev_type"))
+      val matrix = counts.withColumn("row_total", sum(col("n")).over(w2))
+        .withColumn("prob_x1e4", expr("(n * 10000) div row_total"))
+        .select(col("prev_type"), col("event_type"), col("prob_x1e4"))
+      tr.join(broadcast(matrix), Seq("prev_type", "event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("prob_x1e4") < 200, 1L).otherwise(0L)).as("n_rare"),
+          min(col("prob_x1e4")).as("min_prob_x1e4"))
+    }),
+
     // Retention cohort matrix: users grouped by first-active week,
     // per-cohort distinct-active counts at each week offset, retention
     // as an exact ppm-free fixed-point ratio. The product-analytics
@@ -721,6 +747,31 @@ object AggWindowQueries {
         |    THEN 1 ELSE 0 END AS changed
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "events_rare_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type,
+        |    event_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT user_id, prev_type, event_type FROM t
+        |  WHERE prev_type IS NOT NULL
+        |), c AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM tr GROUP BY 1, 2
+        |), m AS (
+        |  SELECT prev_type, event_type,
+        |    (n * 10000) // sum(n) OVER (PARTITION BY prev_type) AS p
+        |  FROM c
+        |)
+        |SELECT tr.user_id, count(*) AS n_transitions,
+        |  CAST(sum(CASE WHEN m.p < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(min(m.p) AS BIGINT) AS min_prob_x1e4
+        |FROM tr JOIN m USING (prev_type, event_type)
+        |GROUP BY 1""".stripMargin,
 
     "events_retention_cohorts" ->
       """WITH act AS (
