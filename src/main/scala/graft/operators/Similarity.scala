@@ -535,6 +535,41 @@ object Similarity {
     }.mkString("[", ", ", "]")
   }
 
+  /** Multi-probe LSH ANN: each query probes its own signature bucket
+    * PLUS the nBits buckets at hamming distance 1 (flip one
+    * hyperplane bit) — the published multi-probe trick that buys
+    * recall without more hash tables or a bigger corpus-side build.
+    * Probe expansion is a (nBits+1)-way generate on the QUERY side
+    * only; probe buckets are pairwise distinct, so the bucket join
+    * needs no dedup and the corpus is hashed exactly once, as in
+    * single-probe [[lshTopK]].
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        dim: Int = 64, nBits: Int = 8): DataFrame = {
+    val sig = (df: DataFrame) =>
+      df.withColumn("sig", lshSignature(col("embedding"), dim, nBits))
+    val q = sig(queries).select(col("sig").as("qsig"),
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*))
+          .as("flip"),
+        col("qsig"))
+      .withColumn("sig", col("qsig").bitwiseXOR(col("flip")))
+      .drop("qsig", "flip")
+    val c = sig(corpus).withColumn("c_nrm", norm(col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    c.join(q, Seq("sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k within matching signature
     * buckets only. Trades recall for a bucket-local join — the scale
     * path when queries are too many to broadcast-score the corpus.

@@ -41,6 +41,15 @@ object VectorQueries {
         Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
     }),
 
+    // Multi-probe LSH: each query also probes the 8 buckets one
+    // hyperplane-bit away — recall without more hash tables. Oracle is
+    // the same exact signature-rebuild join as single-probe, with the
+    // probe expansion mirrored.
+    "ann_lsh_multiprobe" -> ((spark, dir) => {
+      Similarity.lshMultiProbeTopK(
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), K)
+    }),
+
     // IVF ANN (Lloyd-trained coarse quantizer + nProbe cell search),
     // wrapped in the recall harness: the oracle asserts mean recall vs
     // brute force ≥ 0.5 and rank-shape validity over every query.
@@ -218,6 +227,29 @@ object VectorQueries {
     terms.mkString("(", " + ", ")")
   }
 
+  private val lshMultiProbeOracle: String = {
+    val sig = (e: String) => lshSigSql(e, 64, 8)
+    val flips = (0L +: (0 until 8).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${sig("embedding")} AS sig FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |    xor(sig::BIGINT, f.flip) AS sig
+       |  FROM sigs, (SELECT unnest($flips::BIGINT[]) AS flip) f
+       |  WHERE vec_id % $QueryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    round(${Similarity.cosineSql("q.q_emb", "s.embedding")}, 6) AS score
+       |  FROM sigs s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id
+       |)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, score,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+  }
+
   private val lshOracle: String = {
     val sig = (e: String) => lshSigSql(e, 64, 8)
     s"""WITH sigs AS (
@@ -263,6 +295,7 @@ object VectorQueries {
     "ann_bruteforce_topk" -> topkOracle,
     "ann_aggregator_topk" -> topkOracle,
     "ann_lsh_topk" -> lshOracle,
+    "ann_lsh_multiprobe" -> lshMultiProbeOracle,
     "ann_ivf_topk" -> recallHarnessOracle,
     "ann_ivf_bucketed" -> recallHarnessOracle,
     "ann_pq_topk" -> recallHarnessOracle,

@@ -51,6 +51,29 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.where(col("qsig") =!= col("nsig")).isEmpty)
   }
 
+  test("multi-probe LSH dominates single-probe: superset candidates, recall never lower") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val k = 5
+    val single = Similarity.lshTopK(corpus, queries, k)
+    val multi = Similarity.lshMultiProbeTopK(corpus, queries, k)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .count()
+      hits.toDouble / exact.count()
+    }
+    val rs = recall(single)
+    val rm = recall(multi)
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    // the single-probe bucket is among the multi-probe probes (flip 0),
+    // so every single-probe candidate pair must reappear
+    val sPairs = single.select("query_id", "neighbor_id")
+    val mAll = Similarity.lshMultiProbeTopK(corpus, queries, 1000)
+      .select("query_id", "neighbor_id")
+    assert(sPairs.exceptAll(mAll).isEmpty)
+  }
+
   test("PQ/ADC top-k has useful recall and matches the exact scorer's shape") {
     val corpus = Tables.embeddings(spark, sfDir)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5)
