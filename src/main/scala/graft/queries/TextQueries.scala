@@ -319,6 +319,37 @@ object TextQueries {
         .agg(round(avg(log2(col("p"))), 4).as("avg_log2p"))
     }),
 
+    // Interpolated bigram LM predictability score — the Jelinek-Mercer
+    // mixture 0.7·p(w2|w1) + 0.3·p(w2) per transition, kept ENTIRELY
+    // in integer fixed-point (each term is one integral div of exact
+    // counts, summed exactly), so unlike a log-prob mean the score is
+    // engine-exact by construction. High = template-like/predictable,
+    // low = novel — the per-doc signal next to text_unigram_logprob.
+    // Scale: bigram/unigram count tables are vocabulary-sized →
+    // broadcast; one doc-keyed aggregation.
+    "text_bigram_lm" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val words = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      val nTotal = words.count() // corpus scalar, known pre-plan
+      val uni = words.groupBy("w").agg(count(lit(1)).as("cu"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(TextFns.shingles(col("t"), 2)).as("bg"))
+      val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+      bigrams
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(broadcast(bi), Seq("bg"))
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
+        .withColumn("p_x1e6",
+          expr(s"(7 * cb * 100000) div c1 + (3 * c2 * 100000) div ${nTotal}L"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trans"),
+          sum(col("p_x1e6")).as("sum_p_x1e6"))
+        .withColumn("mean_p_x1e6", expr("sum_p_x1e6 div n_trans"))
+    }),
+
     // Eval-decontamination: corpus docs sharing ≥ 2 distinct word
     // trigrams with any "benchmark" doc (stand-in: doc_id ≡ 0 mod 97).
     // Scale shape: distinct n-grams explode once per side, candidates
@@ -549,6 +580,33 @@ object TextQueries {
         |)
         |SELECT doc_id, round(avg(log2(p)), 4) AS avg_log2p
         |FROM w JOIN p USING (w) GROUP BY 1""".stripMargin,
+
+    "text_bigram_lm" -> {
+      val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), uni AS (
+         |  SELECT w, count(*) AS cu FROM w GROUP BY 1
+         |), n AS (
+         |  SELECT count(*) AS nt FROM w
+         |), bg AS (
+         |  SELECT doc_id, unnest($sh) AS bg FROM documents
+         |), bi AS (
+         |  SELECT bg, count(*) AS cb FROM bg GROUP BY 1
+         |), t AS (
+         |  SELECT bg.doc_id,
+         |    (7 * bi.cb * 100000) // u1.cu
+         |      + (3 * u2.cu * 100000) // (SELECT nt FROM n) AS p
+         |  FROM bg
+         |  JOIN bi USING (bg)
+         |  JOIN uni u1 ON string_split(bg.bg, ' ')[1] = u1.w
+         |  JOIN uni u2 ON string_split(bg.bg, ' ')[2] = u2.w
+         |)
+         |SELECT doc_id, count(*) AS n_trans,
+         |  CAST(sum(p) AS BIGINT) AS sum_p_x1e6,
+         |  CAST(sum(p) // count(*) AS BIGINT) AS mean_p_x1e6
+         |FROM t GROUP BY 1""".stripMargin
+    },
 
     "text_contamination" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 3)
