@@ -373,6 +373,29 @@ object AggWindowQueries {
         .agg(sum(col("changed")).as("n_changes"))
     }),
 
+    // Join-key skew diagnosis — the report you run BEFORE shuffling a
+    // 100 TB join: top-10 heaviest keys with exact ppm share and
+    // cumulative share (decides between AQE skew-join, salting, or a
+    // hot-key broadcast split). TakeOrdered top-10 (no full sort);
+    // the rank/cumulative windows run over the 10-row result only.
+    "diag_key_skew" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val total = ev.count() // corpus scalar, known pre-plan
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id")).limit(10)
+      val ord = Window.orderBy(col("c").desc, col("user_id"))
+      val cum = Window.orderBy(col("c").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("share_ppm", expr(s"(c * 1000000) div ${total}L"))
+        .withColumn("cum_ppm",
+          (sum(col("c")).over(cum) * lit(1000000L)).cast("long"))
+        .withColumn("cum_ppm", expr(s"cum_ppm div ${total}L"))
+        .select(col("rank"), col("user_id"), col("c"),
+          col("share_ppm"), col("cum_ppm"))
+    }),
+
     // Behavioral anomaly flags composed from the Markov matrix: per
     // user, the count of rare transitions (corpus probability below
     // 2%) and the minimum transition probability seen — the
@@ -747,6 +770,23 @@ object AggWindowQueries {
         |    THEN 1 ELSE 0 END AS changed
         |  FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "diag_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT count(*) AS n FROM events
+        |), r AS (
+        |  SELECT user_id, c,
+        |    row_number() OVER (ORDER BY c DESC, user_id) AS rank,
+        |    sum(c) OVER (
+        |      ORDER BY c DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id, c,
+        |  CAST((c * 1000000) // (SELECT n FROM t) AS BIGINT) AS share_ppm,
+        |  CAST((cum * 1000000) // (SELECT n FROM t) AS BIGINT) AS cum_ppm
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "events_rare_transitions" ->
       """WITH t AS (

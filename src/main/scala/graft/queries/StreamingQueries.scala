@@ -147,6 +147,26 @@ object StreamingQueries {
         "dropdup_wm")
     }),
 
+    // Trending detection: top-3 event types per tumbling 10-minute
+    // window by count — the windowed-heavy-hitters shape a streaming
+    // trend monitor runs (same transform works under readStream +
+    // watermark; the rank rides the TopKPerKey rewrite, partitions
+    // bounded by |types| per window).
+    "stream_trending_topk" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          col("event_type"), col("n"))
+      val w = Window.partitionBy(col("win_start_s"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("win_start_s"), col("rank").cast("long").as("rank"),
+          col("event_type"), col("n"))
+    }),
+
     // Sliding event-time windows (10 min window, 5 min slide).
     "stream_windowed_counts" -> ((spark, dir) => {
       StreamingOps.windowedTypeCounts(
@@ -253,6 +273,19 @@ object StreamingQueries {
     // starts at floor(ts/5min)*5min and 5 min before it.
     "stream_dropdup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_trending_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)
+        |    AS win_start_s, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT win_start_s, rank, event_type, n FROM (
+        |  SELECT win_start_s, event_type, n,
+        |    row_number() OVER (
+        |      PARTITION BY win_start_s ORDER BY n DESC, event_type) AS rank
+        |  FROM c
+        |) WHERE rank <= 3""".stripMargin,
 
     "stream_windowed_counts" ->
       """WITH e AS (
