@@ -80,6 +80,44 @@ object Lakehouse {
           .otherwise(lit("")).as("changed_cols")): _*)
   }
 
+  /** Write-Audit-Publish: stage the frame to `<dir>/.wap_staging`,
+    * audit the READ-BACK files with an expectation suite (auditing
+    * what was actually written, not the plan that produced it), and
+    * only on a clean report atomically swap the staging directory
+    * into place. A failing audit leaves the current table untouched
+    * and the staging directory behind for inspection — the
+    * Iceberg/Nessie WAP contract from plain filesystem renames.
+    * Returns the audit report and whether it published.
+    */
+  def writeAuditPublish(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                        dir: String,
+                        audit: DataFrame => DataFrame): (DataFrame, Boolean) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir)
+    val staging = new Path(target.getParent, "." + target.getName + "__wap_staging")
+    val retired = new Path(target.getParent, "." + target.getName + "__wap_old")
+    fs.delete(staging, true)
+    df.write.parquet(staging.toString)
+    // materialize BEFORE any rename — the lazy plan reads staging,
+    // which moves away on publish
+    val report = audit(spark.read.parquet(staging.toString))
+      .select(col("check_name"), col("violations"), col("total"), col("passed"))
+      .localCheckpoint(true)
+    val clean = report.where(!col("passed")).isEmpty
+    if (clean) {
+      fs.delete(retired, true)
+      if (fs.exists(target)) {
+        if (!fs.rename(target, retired))
+          throw new IllegalStateException(s"WAP: could not retire $target")
+      }
+      if (!fs.rename(staging, target))
+        throw new IllegalStateException(s"WAP: could not publish $staging")
+      fs.delete(retired, true)
+    }
+    (report, clean)
+  }
+
   /** Three-way branch merge — git-style reconciliation of two corpus
     * branches against their common base (the collaboration primitive
     * a curation lake needs once two teams edit the same snapshot).

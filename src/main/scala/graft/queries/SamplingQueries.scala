@@ -293,6 +293,26 @@ object SamplingQueries {
         round(col("value"), 4).as("value"))
     }),
 
+    // Deterministic negative sampling for contrastive training: each
+    // anchor doc draws 3 pseudo-random negatives via the avalanche
+    // hash of (anchor, slot), rejecting self-collisions by stepping
+    // one slot forward — pure integer arithmetic, reproducible across
+    // runs/engines, zero shuffle (the negative is an ID, not a row;
+    // the caller joins payloads when materializing pairs).
+    "sample_negatives" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      val n = docs.count() // corpus scalar, known pre-plan
+      docs.select(col("doc_id"),
+          explode(array((0 until 3).map(lit): _*)).as("slot"))
+        .withColumn("cand",
+          pmod(col("doc_id") * lit(Sampling.KnuthMultiplier) + col("slot") * lit(2654435769L),
+            lit(n)))
+        .withColumn("neg_id",
+          when(col("cand") === col("doc_id"), pmod(col("cand") + 1, lit(n)))
+            .otherwise(col("cand")))
+        .select(col("doc_id"), col("slot").cast("long").as("slot"), col("neg_id"))
+    }),
+
     // Length-weighted (probability ∝ size) sampling: keep rate per doc
     // is n_chars/max(n_chars) in exact ppm integer arithmetic, and
     // membership is the same deterministic hash filter as every other
@@ -475,6 +495,20 @@ object SamplingQueries {
     "sample_dedup_aware_split" -> dedupAwareSplitSql,
     "mix_epoch_plan" -> mixPlanSql,
     "mix_epoch_expand" -> mixExpandSql,
+    "sample_negatives" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, s.slot,
+         |    (doc_id * ${Sampling.KnuthMultiplier} + s.slot * 2654435769)
+         |      % (SELECT n FROM n) AS cand
+         |  FROM documents, (SELECT unnest([0, 1, 2]) AS slot) s
+         |)
+         |SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+         |  CAST(CASE WHEN cand = doc_id
+         |    THEN (cand + 1) % (SELECT n FROM n)
+         |    ELSE cand END AS BIGINT) AS neg_id
+         |FROM c""".stripMargin,
+
     "sample_length_weighted" ->
       s"""WITH m AS (SELECT max(n_chars) AS mx FROM documents)
          |SELECT doc_id,

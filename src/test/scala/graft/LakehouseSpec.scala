@@ -95,6 +95,34 @@ class LakehouseSpec extends SparkSpec {
     assert(types.toSeq === Seq(2L, 2L)) // pre+post image per key
   }
 
+  test("write-audit-publish: clean audit swaps in, failing audit leaves table untouched") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    import graft.operators.Expectations.RowCheck
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_wap_" + System.nanoTime()).toString
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      Expectations.suite(Expectations.rowChecks(df,
+        Seq(RowCheck("non_negative", col("v") < 0))))
+    // first publish: clean data goes live
+    val good = Seq((1L, 10), (2L, 20)).toDF("k", "v")
+    val (r1, ok1) = Lakehouse.writeAuditPublish(spark, good, dir, audit)
+    assert(ok1 && r1.where(!col("passed")).isEmpty)
+    assert(spark.read.parquet(dir).count() === 2)
+    // second publish violates the audit: table must keep v1
+    val bad = Seq((3L, -5)).toDF("k", "v")
+    val (r2, ok2) = Lakehouse.writeAuditPublish(spark, bad, dir, audit)
+    assert(!ok2)
+    assert(r2.where(!col("passed")).count() === 1)
+    val live = spark.read.parquet(dir).orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(live === Seq(1L, 2L), "failed audit must not touch the live table")
+    // third publish with clean data replaces v1
+    val next = Seq((7L, 70)).toDF("k", "v")
+    val (_, ok3) = Lakehouse.writeAuditPublish(spark, next, dir, audit)
+    assert(ok3)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
   test("threeWayMerge: full outcome taxonomy on a constructed base/A/B triple") {
     import spark.implicits._
     // key: 1 untouched, 2 A-mod, 3 B-mod, 4 identical concurrent mod,
