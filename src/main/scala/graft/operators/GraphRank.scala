@@ -33,7 +33,11 @@ object GraphRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    // pre-partition both loop-invariant sides by their join keys ONCE:
+    // every round's src-join then moves only the (node-cardinality)
+    // rank table, and the final node-join reuses the agg's own
+    // node-partitioning — the edge table never re-shuffles.
+    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -53,7 +57,12 @@ object GraphRank {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      // checkpoint PERIODICALLY, not per round: the per-round plan is
+      // shallow (one join + one agg), so a few stacked rounds replan
+      // cheaply, while an eager materialization every round costs more
+      // than it saves. Deep iteration counts still truncate lineage.
+      if ((iter + 1) % 4 == 0 && iter + 1 < iters)
+        ranks = ranks.localCheckpoint(true)
       iter += 1
     }
     ranks
