@@ -35,4 +35,55 @@ object EntityResolution {
       .where(col("__d") >= 0) // thresholded form returns -1 past maxDist
       .select(col("id_a"), col("id_b"), col("__d").cast("long").as("dist"))
   }
+
+  /** The SCALE form of fuzzy matching for substitution-style noise:
+    * split each name into `maxDist + 1` segments — a pair of
+    * equal-length names within hamming distance `maxDist` must agree
+    * EXACTLY on at least one segment (pigeonhole), so candidates come
+    * from a (block, length, segment-index, segment) equi-join instead
+    * of a block-quadratic loop, and only candidates pay the exact
+    * verify. Same banding argument as simhash band pairs, applied to
+    * strings. Semantics note: completeness is for HAMMING (equal
+    * lengths, substitutions); at maxDist = 1 that coincides exactly
+    * with levenshtein <= 1 on equal-length records (a single indel
+    * always changes the length), which is why [[blockedEditDistancePairs]]
+    * and this form agree there. Insert/delete-shifted pairs at
+    * maxDist >= 2 need PassJoin-style shifted segments — out of scope.
+    *
+    * Bucket sizes follow SEGMENT entropy: a constant shared prefix
+    * (the fixture's "Customer#") makes that band one block-sized hot
+    * bucket and candidate volume degrades to the quadratic form's
+    * (measured: parity on the fixture). Real registries with
+    * high-entropy names get the asymptotic win; for known dead
+    * prefixes, strip them into the blocking key first.
+    */
+  def bandedHammingPairs(df: DataFrame, idCol: String, nameCol: String,
+                         blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val nSeg = maxDist + 1
+    val base = df.select(
+        (blockCols.map(col) :+ col(idCol).as("__id") :+ col(nameCol).as("__nm")): _*)
+      .withColumn("__len", length(col("__nm")))
+      .select((blockCols.map(col) :+ col("__id") :+ col("__nm") :+ col("__len") :+
+        posexplode(expr(
+          s"""transform(sequence(0, ${nSeg - 1}),
+             |  i -> substring(__nm, cast(i * __len / $nSeg as int) + 1,
+             |    cast((i + 1) * __len / $nSeg as int)
+             |      - cast(i * __len / $nSeg as int)))""".stripMargin))
+          .as(Seq("__band", "__seg"))): _*)
+    val keys = blockCols ++ Seq("__len", "__band", "__seg")
+    val l = base.select((keys.map(col) :+
+      col("__id").as("id_a") :+ col("__nm").as("nm_a")): _*)
+    val r = base.select((keys.map(col) :+
+      col("__id").as("id_b") :+ col("__nm").as("nm_b")): _*)
+    val hamming = size(filter(
+      zip_with(split(col("nm_a"), ""), split(col("nm_b"), ""),
+        (a, b) => when(a =!= b, lit(1))),
+      x => x.isNotNull))
+    l.join(r, keys)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -253,11 +253,14 @@ object JoinQueries {
     // Blocked fuzzy entity matching: near-identical customer records
     // within (nation, segment) blocks at edit distance <= 1 — the
     // structured-data record-linkage twin of document near-dup
-    // detection. Length prune + thresholded levenshtein before the
-    // full distance; quadratic confined to blocks.
+    // detection. Registered engine is the BANDED form (pigeonhole
+    // segment equi-join — candidates only, never block-quadratic);
+    // at maxDist 1 its hamming semantics coincide exactly with
+    // levenshtein <= 1 on equal-length records, and ErSpec pins
+    // equality with the quadratic reference form.
     "er_fuzzy_pairs" -> ((spark, dir) => {
       import graft.operators.EntityResolution
-      EntityResolution.blockedEditDistancePairs(
+      EntityResolution.bandedHammingPairs(
         Tables.customer(spark, dir), "c_custkey", "c_name",
         Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
     }),
