@@ -67,6 +67,32 @@ object MultimodalQueries {
           coalesce(col("hamming") === 0L, lit(false)).as("planted_dup_found"))
     }),
 
+    // Image dedup end to end: perceptual hashes → banded pair
+    // generation → connected components → canonical selection, the
+    // full visual-dedup pipeline (planted exact copies make the
+    // clusters non-trivial). The oracle recomputes pairs by exhaustive
+    // hamming and closes them with a recursive CTE — the iterative
+    // min-label rounds must land on the same fixpoint.
+    "mm_phash_clusters" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, dir))
+        .where(col("media_type") === "image")
+      val hashes0 = Multimodal.imagePerceptualHashes(spark, assets).toDF()
+        .select(col("asset_id"), col("ahash64"))
+      val offset = hashes0.agg(max(col("asset_id"))).head().getLong(0) + 1L
+      val uni = hashes0.unionByName(hashes0.select(
+        (col("asset_id") + lit(offset)).as("asset_id"), col("ahash64")))
+      val pairs = graft.operators.Dedup.signatureBandPairs(
+        uni, "asset_id", "ahash64", nBands = 4, maxHamming = 3)
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      uni.join(cc.select(col("node").as("asset_id"), col("lbl")),
+          Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("lbl"), col("asset_id")).as("component"))
+        .withColumn("is_canonical", col("component") === col("asset_id"))
+    }),
+
     // REAL raster stats: decode the BMP container, read the body as
     // 24bpp BGR triplets, emit per-image pixel count + channel means —
     // byte sums stay integral in doubles, so the oracle is bit-exact.
@@ -134,6 +160,40 @@ object MultimodalQueries {
   private val mediaSql =
     "(['image', 'audio', 'video'])[(doc_id % 3) + 1]"
 
+  /** Shared aHash rebuild: per image doc the unsigned 64-bit
+    * average-hash in `all_h(doc_id, w, u)` — 8×8 nearest-neighbor
+    * sample indices, integer channel-sum grayscale, mean-threshold
+    * bits (the exact arithmetic of `Multimodal.aHash64`).
+    */
+  private val phashCte: String =
+    """WITH RECURSIVE a AS (
+      |  SELECT doc_id, text,
+      |    16 + (doc_id % 32) AS w,
+      |    (strlen(text) // 3) // (16 + (doc_id % 32)) AS heff
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), p AS (
+      |  SELECT doc_id, text, w, heff,
+      |    list_transform(range(0, 64),
+      |      i -> ((i // 8) * heff // 8) * w + ((i % 8) * w // 8)) AS ps
+      |  FROM a WHERE heff > 0
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_transform(ps, p ->
+      |      ascii(substring(text, CAST(3 * p + 1 AS INT), 1))
+      |      + ascii(substring(text, CAST(3 * p + 2 AS INT), 1))
+      |      + ascii(substring(text, CAST(3 * p + 3 AS INT), 1))) AS gray
+      |  FROM p
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CASE WHEN gray[CAST(i + 1 AS INT)] * 64 >= list_sum(gray)
+      |           THEN 1::HUGEINT << CAST(i AS INT) ELSE 0::HUGEINT END)) AS u
+      |  FROM g
+      |), all_h AS (
+      |  SELECT a.doc_id, a.w, coalesce(h.u, 0::HUGEINT) AS u
+      |  FROM a LEFT JOIN h ON a.doc_id = h.doc_id
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_decode_features" ->
       s"""SELECT doc_id AS asset_id,
@@ -153,39 +213,41 @@ object MultimodalQueries {
         |FROM documents""".stripMargin,
 
     "mm_phash_dedup" ->
-      """WITH a AS (
-        |  SELECT doc_id, text,
-        |    16 + (doc_id % 32) AS w,
-        |    (strlen(text) // 3) // (16 + (doc_id % 32)) AS heff
-        |  FROM documents WHERE doc_id % 3 = 0
-        |), p AS (
-        |  SELECT doc_id, text, w, heff,
-        |    list_transform(range(0, 64),
-        |      i -> ((i // 8) * heff // 8) * w + ((i % 8) * w // 8)) AS ps
-        |  FROM a WHERE heff > 0
-        |), g AS (
-        |  SELECT doc_id,
-        |    list_transform(ps, p ->
-        |      ascii(substring(text, CAST(3 * p + 1 AS INT), 1))
-        |      + ascii(substring(text, CAST(3 * p + 2 AS INT), 1))
-        |      + ascii(substring(text, CAST(3 * p + 3 AS INT), 1))) AS gray
-        |  FROM p
-        |), h AS (
-        |  SELECT doc_id,
-        |    list_sum(list_transform(range(0, 64), i ->
-        |      CASE WHEN gray[CAST(i + 1 AS INT)] * 64 >= list_sum(gray)
-        |           THEN 1::HUGEINT << CAST(i AS INT) ELSE 0::HUGEINT END)) AS u
-        |  FROM g
-        |), all_h AS (
-        |  SELECT a.doc_id, a.w, coalesce(h.u, 0::HUGEINT) AS u
-        |  FROM a LEFT JOIN h ON a.doc_id = h.doc_id
-        |)
+      s"""$phashCte
         |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
         |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
         |            THEN u - 18446744073709551616::HUGEINT ELSE u END
         |       AS BIGINT) AS ahash64,
         |  true AS planted_dup_found
         |FROM all_h""".stripMargin,
+
+    "mm_phash_clusters" ->
+      s"""$phashCte, sh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |              THEN u - 18446744073709551616::HUGEINT ELSE u END
+        |         AS BIGINT) AS h
+        |  FROM all_h
+        |), off AS (SELECT max(doc_id) + 1 AS o FROM sh
+        |), uni AS (
+        |  SELECT doc_id AS id, h FROM sh
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), h FROM sh
+        |), e AS (
+        |  SELECT a.id AS a, b.id AS b FROM uni a JOIN uni b
+        |  ON a.id < b.id AND bit_count(xor(a.h, b.h)) <= 3
+        |), sym AS (
+        |  SELECT a, b FROM e UNION SELECT b, a FROM e
+        |), reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |), lbl AS (
+        |  SELECT a AS id, min(b) AS component FROM reach GROUP BY 1
+        |)
+        |SELECT uni.id AS asset_id,
+        |  coalesce(lbl.component, uni.id) AS component,
+        |  coalesce(lbl.component, uni.id) = uni.id AS is_canonical
+        |FROM uni LEFT JOIN lbl ON uni.id = lbl.id""".stripMargin,
 
     "mm_image_stats" ->
       """WITH a AS (
