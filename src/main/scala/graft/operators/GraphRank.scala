@@ -67,4 +67,99 @@ object GraphRank {
     }
     ranks
   }
+
+  /** Canonical undirected edge list: self-loops dropped, both input
+    * orientations collapsed onto `a < b`, duplicates removed. */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol); val d = col(dstCol)
+    edges.where(s =!= d)
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .distinct()
+  }
+
+  /** Exact per-node triangle counts via degree orientation (the
+    * compact-forward / MR "partitioned wedge" algorithm): orient each
+    * undirected edge from the (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges only from each node's out-neighborhood,
+    * and close them against the oriented edge set. Out-degrees are
+    * bounded by O(√m), so total wedge work is O(m^1.5) — the best
+    * known for exact enumeration — instead of Σ deg² on the raw
+    * adjacency (hub nodes never fan out their full neighborhood).
+    *
+    * Three shuffles at graph cardinality: degree agg, wedge self-join
+    * on the pivot node, closing join on the (x, y) pair. Counts are
+    * exact integers, so any engine enumerating the same undirected
+    * graph (the oracle uses the simpler id-ordered a<b<c form — same
+    * triangle set) matches bit for bit.
+    *
+    * Returns (node, n_triangles) for every node on ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol)
+    val deg = canon.select(col("a").as("n"))
+      .unionByName(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Orient by (degree, id): strict total order, so each undirected
+    // edge appears exactly once, pointing at the "heavier" endpoint.
+    val orient = canon
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
+          .otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
+    // Wedges from each pivot u: unordered out-neighbor pairs, emitted
+    // in (degree, id) order so the closing edge is oriented x → y.
+    val o1 = orient.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = orient.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, Seq("u"))
+      .where(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val tris = wedges.join(
+      orient.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    tris.select(col("u").as("node"))
+      .unionByName(tris.select(col("x").as("node")))
+      .unionByName(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** k-core peeling, a FIXED number of rounds: each round recomputes
+    * degrees over the surviving subgraph and drops every node with
+    * degree < k (and its edges). The round count is part of the
+    * contract — every step is an integer degree count and a filter,
+    * so an engine unrolling the same R rounds (the DuckDB oracle, as
+    * chained CTEs) reproduces the surviving (node, degree) set
+    * exactly; on a graph whose peeling converges within R rounds the
+    * result IS the k-core (specs pin fixpoint on the fixtures).
+    *
+    * Scale: R rounds × (degree agg + semi-join back onto edges) —
+    * edge-cardinality shuffles, driver loops over ROUNDS only.
+    * Lineage is truncated periodically like [[pageRank]].
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50,
+      s"need k >= 1, 1 <= rounds <= 50; got k=$k rounds=$rounds")
+    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val deg = cur.select(col("a").as("n"))
+        .unionByName(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select(col("n"))
+      cur = cur
+        .join(keep.select(col("n").as("a")), Seq("a"), "leftsemi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "leftsemi")
+        .select(col("a"), col("b"))
+      if ((r + 1) % 3 == 0 && r + 1 < rounds) cur = cur.localCheckpoint(true)
+      r += 1
+    }
+    cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_degree"))
+  }
 }
