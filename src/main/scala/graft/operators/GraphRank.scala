@@ -86,16 +86,21 @@ object GraphRank {
     * known for exact enumeration — instead of Σ deg² on the raw
     * adjacency (hub nodes never fan out their full neighborhood).
     *
-    * Three shuffles at graph cardinality: degree agg, wedge self-join
-    * on the pivot node, closing join on the (x, y) pair. Counts are
-    * exact integers, so any engine enumerating the same undirected
-    * graph (the oracle uses the simpler id-ordered a<b<c form — same
-    * triangle set) matches bit for bit.
+    * Shuffle profile: degree agg and the orientation joins run at
+    * EDGE cardinality, but the closing join runs at WEDGE cardinality
+    * — O(m^1.5) rows hashed on (x, y) — and dominates at scale; the
+    * orientation bound is exactly what keeps that wedge stream from
+    * degenerating to Σ deg² on hub nodes. Counts are exact integers,
+    * so any engine enumerating the same undirected graph (the oracle
+    * uses the simpler id-ordered a<b<c form — same triangle set)
+    * matches bit for bit.
     *
     * Returns (node, n_triangles) for every node on ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = canonical(edges, srcCol, dstCol)
+    // canon feeds the degree agg AND the orientation join — pin it
+    // once so the dedup shuffle isn't recomputed per consumer.
+    val canon = canonical(edges, srcCol, dstCol).localCheckpoint(true)
     val deg = canon.select(col("a").as("n"))
       .unionByName(canon.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -134,8 +139,12 @@ object GraphRank {
     * contract — every step is an integer degree count and a filter,
     * so an engine unrolling the same R rounds (the DuckDB oracle, as
     * chained CTEs) reproduces the surviving (node, degree) set
-    * exactly; on a graph whose peeling converges within R rounds the
-    * result IS the k-core (specs pin fixpoint on the fixtures).
+    * exactly. The FINAL degree pass re-filters to `d >= k`, so every
+    * returned node satisfies the k-core degree bound even when
+    * peeling has not converged within R rounds (its reported
+    * `core_degree` is its degree in the last surviving subgraph —
+    * an upper bound on its true core degree until fixpoint; on a
+    * graph that converges within R rounds the result IS the k-core).
     *
     * Scale: R rounds × (degree agg + semi-join back onto edges) —
     * edge-cardinality shuffles, driver loops over ROUNDS only.
@@ -161,5 +170,10 @@ object GraphRank {
     }
     cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_degree"))
+      // the last peel round may have dropped neighbors AFTER this
+      // node's degree was checked — never hand back a node that no
+      // longer meets the bound (the footgun a fixed-round contract
+      // would otherwise ship).
+      .where(col("core_degree") >= k)
   }
 }

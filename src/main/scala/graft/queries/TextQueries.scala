@@ -799,7 +799,7 @@ object TextQueries {
         |  FROM seg
         |)
         |SELECT doc_id, count(*) AS n_seg,
-        |  coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(s, ' ' ORDER BY seg_idx) FILTER (keep), '')
         |    AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin,
@@ -880,12 +880,12 @@ object TextQueries {
         |      AS BIGINT) AS cell
         |  FROM truth, (SELECT unnest([0, 1, 2, 3]) AS d)
         |), cells AS (
-        |  SELECT h.d, h.cell, sum(t.true_c) AS cell_c
+        |  SELECT h.d, h.cell, CAST(sum(t.true_c) AS BIGINT) AS cell_c
         |  FROM hashes h JOIN truth t USING (w) GROUP BY 1, 2
         |), top AS (
         |  SELECT w, true_c FROM truth ORDER BY true_c DESC, w LIMIT 20
         |)
-        |SELECT top.w, top.true_c, min(c.cell_c) AS est_c,
+        |SELECT top.w, top.true_c, CAST(min(c.cell_c) AS BIGINT) AS est_c,
         |  min(c.cell_c) >= top.true_c AS never_under
         |FROM top
         |JOIN hashes h ON top.w = h.w
