@@ -279,8 +279,52 @@ object JoinQueries {
         .select((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
       val edges = sc.unionByName(sc.select(col("b").as("a"), col("a").as("b")))
       GraphRank.pageRank(edges, "a", "b", iters = 5)
+    }),
+
+    // Exact per-node triangle counts over the part co-purchase graph
+    // (parts appearing together in >= 2 distinct orders — the >= 2
+    // support threshold keeps the graph sparse where raw co-occurrence
+    // is near-complete). Community structure detection for curation:
+    // triangle-dense nodes sit in genuine clusters, not hub noise.
+    // Counts are exact integers; the oracle enumerates the same
+    // undirected graph with the simpler id-ordered a<b<c three-way
+    // self-join, so results match bit for bit.
+    "graph_triangles" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      GraphRank.triangleCounts(coPurchaseEdges(spark, dir), "a", "b")
+    }),
+
+    // k-core peeling (k=2, 4 fixed rounds) over the same co-purchase
+    // graph: strips low-support tendrils to expose the stable cluster
+    // skeleton. The round count is part of the contract — the oracle
+    // unrolls the SAME 4 peel rounds as chained CTEs, and the final
+    // `core_degree >= k` re-filter guarantees every returned node
+    // meets the degree bound even where peeling hasn't converged.
+    "graph_kcore" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      GraphRank.kCore(coPurchaseEdges(spark, dir), "a", "b",
+        k = KcoreK, rounds = KcoreRounds)
     })
   )
+
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
+  /** Part co-purchase edges: id-ordered part pairs sharing >= 2 orders.
+    * The order-key equi-join runs at lineitem cardinality; the group-by
+    * collapses to pair cardinality before any graph work. */
+  private def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select(col("a"), col("b"))
+  }
 
   val oracles: Map[String, String] = Map(
     "j1_cross_nearest_city" -> nearestCityOracle,
@@ -401,6 +445,8 @@ object JoinQueries {
         |FROM clicks FULL OUTER JOIN buys ON clicks.user_id = buys.user_id""".stripMargin,
 
     "graph_pagerank" -> pagerankSql,
+    "graph_triangles" -> trianglesSql,
+    "graph_kcore" -> kcoreSql,
 
     "er_fuzzy_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -452,5 +498,58 @@ object JoinQueries {
          |)""".stripMargin
     }.mkString
     head + rounds + s"\nSELECT node, rank FROM r$iters"
+  }
+
+  // Shared edge CTE for the graph_triangles / graph_kcore oracles:
+  // id-ordered part pairs with >= 2 supporting orders, mirroring
+  // coPurchaseEdges exactly (the group-by makes pairs distinct).
+  private lazy val coPurchaseCte: String =
+    """pp AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |)""".stripMargin
+
+  // Twin of GraphRank.triangleCounts: the oracle enumerates each
+  // triangle once via the id-ordered a<b<c three-way self-join (edges
+  // are already canonical a<b), then unions the three corners — the
+  // same triangle set the degree-oriented engine closes.
+  private lazy val trianglesSql: String =
+    s"""WITH $coPurchaseCte, tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM pp e1
+       |  JOIN pp e2 ON e1.b = e2.a
+       |  JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b
+       |)
+       |SELECT node, count(*) AS n_triangles
+       |FROM (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri
+       |)
+       |GROUP BY 1""".stripMargin
+
+  // Generated twin of GraphRank.kCore: the same fixed peel rounds
+  // unrolled as chained CTEs (degree >= k keep-set, semi-join back
+  // onto edges), with the final >= k re-filter on the last degrees.
+  private lazy val kcoreSql: String = {
+    val k = KcoreK
+    val rounds = (1 to KcoreRounds).map { i =>
+      s""", k$i AS (
+         |  SELECT n FROM (
+         |    SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}
+         |  ) GROUP BY n HAVING count(*) >= $k
+         |), e$i AS (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH $coPurchaseCte, e0 AS (SELECT a, b FROM pp)$rounds
+       |SELECT n, count(*) AS core_degree
+       |FROM (
+       |  SELECT a AS n FROM e$KcoreRounds UNION ALL SELECT b FROM e$KcoreRounds
+       |)
+       |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
   }
 }

@@ -32,6 +32,73 @@ class GraphRankSpec extends SparkSpec {
       s"lost more than truncation can explain: $total")
   }
 
+  test("triangleCounts: K4 gives every node C(3,2)=3 triangles") {
+    import spark.implicits._
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("a", "b")
+    val got = GraphRank.triangleCounts(k4, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: canonicalizes orientation/dups/self-loops; pendants excluded") {
+    import spark.implicits._
+    // one triangle {1,2,3} fed as a mix of orientations + a duplicate
+    // + a self-loop + a pendant edge 3-4: only the triangle's corners
+    // may appear, each on exactly one triangle.
+    val messy = Seq(
+      (1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (3L, 3L), (3L, 4L)
+    ).toDF("a", "b")
+    val got = GraphRank.triangleCounts(messy, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge count the shared corners twice") {
+    import spark.implicits._
+    // {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 are on 2 triangles
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val got = GraphRank.triangleCounts(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("kCore: converged peel returns the exact 2-core, tendrils stripped") {
+    import spark.implicits._
+    // K4 core with a pendant chain 4-5-6 hanging off node 4: the
+    // 2-core is exactly the K4, reached within 2 rounds.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val got = GraphRank.kCore(e, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: round-limited peel re-filters nodes the last round under-cut") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 with k=2: round 1 drops the endpoints, leaving
+    // 2-3, 3-4 where nodes 2 and 4 now have degree 1 < k. The final
+    // re-filter must drop them — only node 3 (degree 2 in the last
+    // surviving subgraph) may be returned.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val oneRound = GraphRank.kCore(chain, "a", "b", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound === Map(3L -> 2L))
+    // at fixpoint the 2-core of a chain is empty
+    val converged = GraphRank.kCore(chain, "a", "b", k = 2, rounds = 4)
+    assert(converged.isEmpty)
+  }
+
+  test("kCore: guards on k and round bounds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      GraphRank.kCore(e, "a", "b", k = 0, rounds = 3)
+    }
+    intercept[IllegalArgumentException] {
+      GraphRank.kCore(e, "a", "b", k = 2, rounds = 0)
+    }
+  }
+
   test("guards: iteration bounds and empty graph rejected") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("a", "b")

@@ -39,6 +39,16 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Scan parquet") === 1)
   }
 
+  test("graph triangle/k-core queries stay equi-join only — no cartesian, no nested loop") {
+    // the wedge-closing join and every peel-round semi-join must hash
+    // on keys; a nested-loop anywhere here is quadratic death at scale
+    for (name <- Seq("graph_triangles", "graph_kcore")) {
+      val p = plan(JoinQueries.queries(name)(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(1200)}")
+    }
+  }
+
   test("dimension joins broadcast instead of shuffling") {
     val p = plan(JoinQueries.queries("j2_left_join")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
