@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Datamart sinks (SURVEY §2.1 S5-S7).
   *
@@ -25,19 +25,46 @@ object Sinks {
       .option("compression", compression)
       .parquet(path)
 
-  /** S6+S7: datamart write with errorifexists→overwrite fallback.
-    * Returns true if the fallback path was taken (pre-existing data).
+  /** S6+S7: datamart write with the reference's errorifexists→overwrite
+    * contract (reference src/spark/collector.py:543-557): returns true
+    * iff data pre-existed and was overwritten (the daily idempotent
+    * re-run path), false on a fresh write.
+    *
+    * The write is STAGED: the full mart lands in a hidden sibling dir,
+    * then swaps into place with one atomic rename. A direct
+    * errorifexists write gives a torn mart under concurrent writers —
+    * Spark's existence check runs at job start, so two racing daily
+    * runs can both pass it and interleave part-files (duplicated
+    * rows). With the staged swap each writer publishes a COMPLETE
+    * mart or nothing; last writer wins whole. In-JVM writers
+    * serialize on a per-path lock; rename atomicity covers separate
+    * drivers on POSIX/HDFS (object stores need a committer/catalog
+    * for the same guarantee — same caveat as every rename-based
+    * publish).
     */
   def writeDatamart(df: DataFrame, path: String, singleFile: Boolean = false): Boolean = {
     val out = if (singleFile) df.coalesce(1) else df
-    try {
-      out.write.mode(SaveMode.ErrorIfExists).parquet(path)
-      false
-    } catch {
-      case _: AnalysisException =>
-        out.write.mode(SaveMode.Overwrite).parquet(path)
-        true
+    val target = new java.io.File(path).getAbsoluteFile
+    val staging = new java.io.File(target.getParentFile,
+      s".${target.getName}_staging_${java.util.UUID.randomUUID()}")
+    out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val lock = pathLocks.computeIfAbsent(target.toString, _ => new Object)
+    lock.synchronized {
+      val existed = target.exists()
+      if (existed) deleteRecursively(target.toPath)
+      java.nio.file.Files.move(staging.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      existed
     }
+  }
+
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** Fingerprint-guarded write-once for at-rest serving layouts

@@ -45,6 +45,32 @@ class IoSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan.take(500))
   }
 
+  test("concurrent datamart writers never leave a torn or duplicated mart") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // property-style: two writers race the same path with different
+    // payloads, several fresh rounds — the published mart must always
+    // be ONE writer's payload, complete, never an interleaving.
+    for (round <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"graft-race-$round").toString + "/dm"
+      val a = (1 to 50).map(i => (i.toLong, "a")).toDF("id", "v").repartition(4)
+      val b = (1 to 50).map(i => (i.toLong, "b")).toDF("id", "v").repartition(4)
+      val ra = Future(Sinks.writeDatamart(a, dir))
+      val rb = Future(Sinks.writeDatamart(b, dir))
+      Await.result(ra.zip(rb), 120.seconds)
+      val rows = spark.read.parquet(dir).collect()
+      assert(rows.length === 50, s"round $round: duplicated/torn mart")
+      val payloads = rows.map(_.getString(1)).distinct.toSeq
+      assert(payloads.size === 1, s"round $round: mixed payloads $payloads")
+      // no staging leftovers beside the mart
+      val leftovers = new java.io.File(dir).getParentFile.listFiles()
+        .filter(_.getName.contains("_staging_"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+    }
+  }
+
   test("single-file datamart opt-in writes one part file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-single").toString + "/dm"
