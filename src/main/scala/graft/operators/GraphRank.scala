@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * node-cardinality. Driver loops over ROUNDS, never rows. Dangling
   * nodes keep the base term only (their mass is not redistributed —
   * the variant is mirrored exactly in the oracle).
+  *
+  * Deployment caveat (applies to every operator here): lineage is
+  * truncated with `localCheckpoint` — executor-local blocks, NOT a
+  * reliable checkpoint. Under executor loss or dynamic allocation the
+  * job fails unrecoverably instead of recomputing; on long cluster
+  * runs set a checkpoint dir and swap in `checkpoint()` (or persist
+  * to MEMORY_AND_DISK and accept recompute) — the iteration structure
+  * is unchanged either way.
   */
 object GraphRank {
 

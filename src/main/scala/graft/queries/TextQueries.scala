@@ -885,7 +885,7 @@ object TextQueries {
         |), top AS (
         |  SELECT w, true_c FROM truth ORDER BY true_c DESC, w LIMIT 20
         |)
-        |SELECT top.w, top.true_c, CAST(min(c.cell_c) AS BIGINT) AS est_c,
+        |SELECT top.w, top.true_c, min(c.cell_c) AS est_c,
         |  min(c.cell_c) >= top.true_c AS never_under
         |FROM top
         |JOIN hashes h ON top.w = h.w
