@@ -46,6 +46,60 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts matches brute-force triple enumeration on random graphs") {
+    import spark.implicits._
+    import graft.operators.GraphRank
+    val rnd = new Random(13)
+    for (trial <- 1 to 4) {
+      val nNodes = 8 + trial * 4
+      // dense enough to guarantee triangles; feed RAW directed dups —
+      // canonicalization is part of what's under test
+      val edges = Seq.fill(nNodes * 3)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      val undirected = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = undirected.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expected = (for {
+        i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+        if undirected((i, j)) && undirected((j, k)) && undirected((i, k))
+      } yield Seq(i, j, k)).flatten
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val got = GraphRank.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: edges=$undirected")
+    }
+  }
+
+  test("round-limited kCore converges to the classic k-core on random graphs") {
+    import spark.implicits._
+    import graft.operators.GraphRank
+    val rnd = new Random(17)
+    for (trial <- 1 to 3) {
+      val nNodes = 10 + trial * 5
+      val k = 2 + trial % 2
+      val edges = Seq.fill(nNodes * 2)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: peel to fixpoint driver-side
+      var cur = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      var stable = false
+      while (!stable) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        stable = next == cur
+        cur = next
+      }
+      val expected = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      // n rounds always suffice for convergence on n nodes
+      val got = GraphRank.kCore(edges.toDF("a", "b"), "a", "b", k, rounds = nNodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial k=$k")
+    }
+  }
+
   test("two-level prefix sum matches a sequential scan on random inputs") {
     import spark.implicits._
     val rnd = new Random(11)
