@@ -504,7 +504,7 @@ object JoinQueries {
   // id-ordered part pairs with >= 2 supporting orders, mirroring
   // coPurchaseEdges exactly (the group-by makes pairs distinct).
   private lazy val coPurchaseCte: String =
-    """pp AS (
+    """pp AS MATERIALIZED (
       |  SELECT x.l_partkey AS a, y.l_partkey AS b
       |  FROM lineitem x JOIN lineitem y
       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
@@ -536,16 +536,16 @@ object JoinQueries {
   private lazy val kcoreSql: String = {
     val k = KcoreK
     val rounds = (1 to KcoreRounds).map { i =>
-      s""", k$i AS (
+      s""", k$i AS MATERIALIZED (
          |  SELECT n FROM (
          |    SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}
          |  ) GROUP BY n HAVING count(*) >= $k
-         |), e$i AS (
+         |), e$i AS MATERIALIZED (
          |  SELECT a, b FROM e${i - 1}
          |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i)
          |)""".stripMargin
     }.mkString
-    s"""WITH $coPurchaseCte, e0 AS (SELECT a, b FROM pp)$rounds
+    s"""WITH $coPurchaseCte, e0 AS MATERIALIZED (SELECT a, b FROM pp)$rounds
        |SELECT n, count(*) AS core_degree
        |FROM (
        |  SELECT a AS n FROM e$KcoreRounds UNION ALL SELECT b FROM e$KcoreRounds
