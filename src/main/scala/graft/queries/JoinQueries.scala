@@ -466,26 +466,26 @@ object JoinQueries {
     val iters = 5
     val scale = graft.operators.GraphRank.Scale
     val head =
-      s"""WITH sc AS (
+      s"""WITH sc AS MATERIALIZED (
          |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |), e AS (
+         |), e AS MATERIALIZED (
          |  SELECT a AS src, b AS dst FROM sc
          |  UNION ALL SELECT b, a FROM sc
-         |), deg AS (
+         |), deg AS MATERIALIZED (
          |  SELECT src, count(*) AS deg FROM e GROUP BY 1
-         |), nodes AS (
+         |), nodes AS MATERIALIZED (
          |  SELECT DISTINCT node FROM (
          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
          |  )
-         |), np AS (SELECT count(*) AS n FROM nodes
+         |), np AS MATERIALIZED (SELECT count(*) AS n FROM nodes
          |), r0 AS (
          |  SELECT node,
          |    CAST($scale // (SELECT n FROM np) AS BIGINT) AS rank
          |  FROM nodes
          |)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s""", r$i AS (
+      s""", r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    CAST((15 * ($scale // (SELECT n FROM np))) // 100
          |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
