@@ -304,6 +304,29 @@ object JoinQueries {
       import graft.operators.GraphRank
       GraphRank.kCore(coPurchaseEdges(spark, dir), "a", "b",
         k = KcoreK, rounds = KcoreRounds)
+    }),
+
+    // Runtime bloom-filter join pruning: the non-broadcastable-dim
+    // scale case (here modeled with an explicit shuffle_hash hint —
+    // broadcast would hide the exchange the bloom exists to shrink).
+    // A pre-pass builds a bloom over the selective dim's keys; the
+    // codegen'd probe drops ~90% of lineitem AT THE SCAN, before the
+    // exchange; the join then discards the bloom's false positives, so
+    // the result is exactly the plain join the oracle runs. At 100 TB
+    // the filter is ~1.2 MB per million keys (task-shippable at any
+    // dim size) and the shuffle carries matches + fpp·non-matches
+    // instead of the whole fact table.
+    "join_bloom_pruned" -> ((spark, dir) => {
+      import graft.operators.BloomJoin
+      // modulo keeps the dim 10%-selective at every SF (an acctbal
+      // threshold's selectivity drifts across the fixtures' scales)
+      val dim = Tables.supplier(spark, dir).where(col("s_suppkey") % 10 === 0)
+      val bloom = BloomJoin.buildBloom(dim, "s_suppkey", expectedItems = 4096)
+      BloomJoin.pruneFact(Tables.lineitem(spark, dir), "l_suppkey", bloom)
+        .join(dim.hint("shuffle_hash"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
     })
   )
 
@@ -456,7 +479,17 @@ object JoinQueries {
         |  AND a.c_mktsegment = b.c_mktsegment
         |  AND a.c_custkey < b.c_custkey
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
-        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Bloom pruning is invisible to semantics (no false negatives +
+    // the join re-verifies), so the oracle is the plain equi-join.
+    "join_bloom_pruned" ->
+      """SELECT s.s_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_suppkey % 10 = 0
+        |GROUP BY s.s_name""".stripMargin
   )
 
   // Generated twin of GraphRank.pageRank: the same 5 damped rounds
