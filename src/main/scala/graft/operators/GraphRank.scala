@@ -184,4 +184,61 @@ object GraphRank {
       // would otherwise ship).
       .where(col("core_degree") >= k)
   }
+
+  /** Synchronous label propagation, a FIXED number of rounds —
+    * community detection for corpus curation (cluster sources /
+    * co-purchase neighborhoods into communities finer than connected
+    * components, which collapse any touching clusters into one blob).
+    *
+    * Every node starts labeled with its own id; each round every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label. Counts are exact
+    * integers and the tie-break is total, so the whole iteration is
+    * deterministic and an engine unrolling the same R rounds (the
+    * DuckDB oracle, as chained CTEs) matches bit for bit. Synchronous
+    * updates can oscillate on bipartite structure (the classic LPA
+    * caveat — a star flips center/leaf labels each round); the fixed
+    * round count is part of the contract and pins which phase is
+    * returned, and the spec asserts that behavior rather than hiding
+    * it.
+    *
+    * Scale: R rounds × (edge⋈label join at edge cardinality +
+    * (node, label)-keyed count + per-node `max_by` argmax) — every
+    * stage partitions by node and both aggregations map-side combine;
+    * the argmax rides the count agg's output (≤ per-node NDV rows),
+    * never a window sort. The symmetrized edge list materializes once
+    * and every round joins against it; labels stay node-cardinality.
+    * Driver loops over ROUNDS only; lineage truncates periodically
+    * like [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be 1..50, got $rounds")
+    val canon = canonical(edges, srcCol, dstCol)
+    val e = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // every non-isolated node appears as src in the symmetrized list,
+    // so the per-round join needs no outer branch
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var r = 0
+    while (r < rounds) {
+      val counted = e
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+      // (max count, min label) winner as a max_by over the struct
+      // (c, -label): labels are distinct per node after the count agg,
+      // so the comparison key is total and the pick deterministic
+      labels = counted.groupBy("node")
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
+          .as("label"))
+      if ((r + 1) % 3 == 0 && r + 1 < rounds)
+        labels = labels.localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
 }

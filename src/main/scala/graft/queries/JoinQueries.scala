@@ -306,6 +306,18 @@ object JoinQueries {
         k = KcoreK, rounds = KcoreRounds)
     }),
 
+    // Synchronous label propagation (3 fixed rounds) over the same
+    // co-purchase graph: community detection finer than connected
+    // components — touching clusters keep distinct labels instead of
+    // merging into one blob. Deterministic by construction (integer
+    // counts, smallest-label tie-break), so the oracle unrolls the
+    // SAME 3 rounds as chained CTEs and matches bit for bit.
+    "graph_labelprop" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      GraphRank.labelPropagation(coPurchaseEdges(spark, dir), "a", "b",
+        rounds = LpaRounds)
+    }),
+
     // Runtime bloom-filter join pruning: the non-broadcastable-dim
     // scale case (here modeled with an explicit shuffle_hash hint —
     // broadcast would hide the exchange the bloom exists to shrink).
@@ -332,6 +344,7 @@ object JoinQueries {
 
   private val KcoreK = 2
   private val KcoreRounds = 4
+  private val LpaRounds = 3
 
   /** Part co-purchase edges: id-ordered part pairs sharing >= 2 orders.
     * The order-key equi-join runs at lineitem cardinality; the group-by
@@ -470,6 +483,7 @@ object JoinQueries {
     "graph_pagerank" -> pagerankSql,
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
+    "graph_labelprop" -> labelpropSql,
 
     "er_fuzzy_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -584,5 +598,31 @@ object JoinQueries {
        |  SELECT a AS n FROM e$KcoreRounds UNION ALL SELECT b FROM e$KcoreRounds
        |)
        |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
+  // Twin of GraphRank.labelPropagation: the same R synchronous rounds
+  // unrolled as chained CTEs — per round, count each node's neighbor
+  // labels and keep the (max count, min label) winner. Integer counts
+  // + a total tie-break make every round bit-deterministic.
+  private lazy val labelpropSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s""", l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT s.dst AS node, l.label, count(*) AS c,
+         |      row_number() OVER (
+         |        PARTITION BY s.dst
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM sym s JOIN l${i - 1} l ON s.src = l.node
+         |    GROUP BY s.dst, l.label
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    s"""WITH $coPurchaseCte, sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pp
+       |  UNION ALL SELECT b, a FROM pp
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM sym
+       |)$rounds
+       |SELECT node, label FROM l$LpaRounds""".stripMargin
   }
 }

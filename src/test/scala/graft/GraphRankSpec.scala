@@ -99,6 +99,64 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: disjoint cliques converge to distinct min-id labels") {
+    import spark.implicits._
+    // two disjoint triangles: round 1 hands each node a neighbor's id,
+    // round 2 settles both cliques on their min member id
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = GraphRank.labelPropagation(e, "a", "b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: finer than components — touching cliques keep distinct labels") {
+    import spark.implicits._
+    // two K4s bridged by one edge (4-5): connected components would
+    // return ONE blob; LPA keeps a label per clique (the bridge is
+    // outvoted 3-to-1 inside each clique)
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val e = (k4a ++ k4b ++ Seq((4L, 5L))).toDF("a", "b")
+    val got = GraphRank.labelPropagation(e, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filterKeys(_ <= 4L).values.toSet.size === 1)
+    assert(got.filterKeys(_ >= 5L).values.toSet.size === 1)
+    assert(got(1L) !== got(8L), s"cliques must keep distinct labels: $got")
+  }
+
+  test("labelPropagation: synchronous oscillation on a star is phase-deterministic") {
+    import spark.implicits._
+    // star 0-{1..5} is bipartite: center and leaves swap label sets
+    // each round. The fixed round count pins the phase — that's the
+    // documented contract, not a bug to paper over.
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val r2 = GraphRank.labelPropagation(star, "a", "b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r3 = GraphRank.labelPropagation(star, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // even phase: center holds the min leaf's prior label path (0),
+    // leaves hold the center's (1); odd phase flips
+    assert(r2 === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    assert(r3 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    // and re-running the same round count reproduces bit for bit
+    val r2b = GraphRank.labelPropagation(star, "a", "b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2b === r2)
+  }
+
+  test("labelPropagation: canonicalizes orientation/dups/self-loops like the rest of the family") {
+    import spark.implicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val a = GraphRank.labelPropagation(messy, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphRank.labelPropagation(clean, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("guards: iteration bounds and empty graph rejected") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("a", "b")
