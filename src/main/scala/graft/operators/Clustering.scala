@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale, integer-exact k-means over an embedding column — the
+  * clustering stage of a semantic-curation pipeline (SemDeDup-style
+  * cluster-then-dedup, topic bucketing, per-cluster sampling quotas).
+  *
+  * Complementary to [[Similarity.lloyd]]: that routine trains a
+  * codebook on a DRIVER-collected bounded sample (fine for IVF/PQ,
+  * where only the codebook must be deterministic); this one assigns
+  * EVERY corpus vector distributively, and its full assignment table
+  * is the operator's output, so the whole iteration has to be
+  * cross-engine deterministic.
+  *
+  * Determinism: coordinates are quantized once to fixed point
+  * (`floor(x * 10000)` in double — float→double widening is exact and
+  * both engines' IEEE multiply/floor agree bit for bit), after which
+  * every step is BIGINT arithmetic: squared-L2 distances are integer
+  * sums, the argmin tie-breaks on the smaller cluster id, and centroid
+  * updates are truncating integer division (`div` here, `//` in the
+  * DuckDB oracle — both truncate toward zero). k seeds are the k
+  * lowest-id vectors (published data-dependent inits like kmeans++
+  * need a seeded RNG; an id-ordered seed keeps the contract
+  * engine-free). The oracle unrolls the SAME R rounds as chained
+  * MATERIALIZED CTEs and matches bit for bit.
+  *
+  * Scale shape: assignment is a ZERO-SHUFFLE map — the k·dim centroid
+  * table rides the closure as literal arrays (k ≤ 64 enforced), so
+  * each round's only exchange is the centroid-update aggregation,
+  * whose map-side combine collapses every partition to ≤ k vector
+  * sums ([[LongVecSum]] — elementwise, no per-dimension explode). The
+  * k-row update collects to the driver (the bounded-centroid-pull
+  * pattern of [[Similarity]]); the corpus itself is re-scanned per
+  * round rather than materialized — at 100 TB a narrow parquet
+  * re-scan (id + embedding after column pruning) beats storing a
+  * quantized corpus copy.
+  */
+object Clustering {
+
+  /** Fixed-point scale for embedding coordinates: floor(x·1e4). */
+  val QuantScale = 10000L
+
+  /** Elementwise BIGINT vector sum — the map-side-combinable centroid
+    * accumulator. Integer addition commutes, so partial-merge order
+    * cannot perturb the result.
+    */
+  class LongVecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    private def add(b: Array[Long], a: Seq[Long]): Array[Long] =
+      if (b.isEmpty) a.toArray
+      else {
+        var i = 0
+        while (i < b.length) { b(i) += a(i); i += 1 }
+        b
+      }
+    override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = add(b, a)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = add(x, y)
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** floor(x·QuantScale) as BIGINT, computed in double. */
+  def quantize(emb: Column): Column =
+    transform(emb.cast("array<double>"), x => floor(x * QuantScale.toDouble).cast("long"))
+
+  /** R rounds of (assign, update), then a final assignment against the
+    * converged centroids. Returns one row per input vector:
+    * (idCol, cluster BIGINT, qdist BIGINT) where qdist is the exact
+    * quantized squared L2 distance to the winning centroid.
+    */
+  def kmeansFixedPoint(points: DataFrame, idCol: String, embCol: String,
+                       k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be 2..64 (centroids ride the plan as literals), got $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
+    val q = points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q"))
+
+    // winner = lexicographic min over (dist_j, j): exact integer
+    // distances, total tie-break — all inside whole-stage codegen.
+    // Keeps _km_q so the centroid update aggregates directly off the
+    // assignment (no n-row re-join per round).
+    def assign(cents: Array[Array[Long]]): DataFrame = {
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        val lits = array(c.map(lit(_)): _*)
+        struct(
+          aggregate(zip_with(col("_km_q"), lits, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, d) => acc + d).as("qdist"),
+          lit(j.toLong).as("cluster"))
+      }
+      q.select(col("_km_id"), col("_km_q"), array_min(array(scored: _*)).as("_w"))
+        .select(col("_km_id"), col("_km_q"), col("_w.cluster").as("cluster"),
+          col("_w.qdist").as("qdist"))
+    }
+
+    val seeds = q.orderBy("_km_id").limit(k).collect()
+    require(seeds.length == k, s"need at least $k vectors to seed, got ${seeds.length}")
+    var cents: Array[Array[Long]] =
+      seeds.map(_.getSeq[Long](1).toArray)
+
+    val vecSum = udaf(new LongVecSum)
+    var r = 0
+    while (r < rounds) {
+      val upd = assign(cents)
+        .groupBy("cluster")
+        .agg(vecSum(col("_km_q")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("cluster"), expr("transform(s, x -> x div cnt)").as("c"))
+        .collect()
+      // empty clusters keep their previous centroid (mirrored in the
+      // oracle's LEFT JOIN + coalesce)
+      val next = cents.map(_.clone())
+      upd.foreach { row =>
+        next(row.getLong(0).toInt) = row.getSeq[Long](1).toArray
+      }
+      cents = next
+      r += 1
+    }
+    assign(cents).select(col("_km_id").as(idCol), col("cluster"), col("qdist"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{Clustering, Similarity}
 
 /** Similarity-search extension queries over `embeddings`
   * (array<float>, 64-dim). Brute-force cosine top-k is the
@@ -16,6 +16,8 @@ object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val K = 5
+  val KmeansK = 8
+  val KmeansRounds = 3
   /** 1-in-200 of the corpus are queries — keeps the brute-force
     * all-pairs work bounded at bench scale.
     */
@@ -194,6 +196,18 @@ object VectorQueries {
             >= 0.999).as("cos_ok"))
     }),
 
+    // Corpus-scale integer-exact k-means (k=8, 3 Lloyd rounds + final
+    // assignment): the clustering stage of SemDeDup-style curation.
+    // Fixed-point coordinates make every round BIGINT-deterministic,
+    // so the oracle unrolls the same rounds as chained CTEs and the
+    // full per-vector assignment matches bit for bit. Assignment is a
+    // zero-shuffle map (centroids ride the plan as literals); each
+    // round's only exchange is the map-side-combined centroid-sum agg.
+    "cluster_kmeans" -> ((spark, dir) => {
+      Clustering.kmeansFixedPoint(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds)
+    }),
+
     // Feature standardization: per-dimension z-score stats over the
     // corpus, then each vector's standardized L2 norm. The stats frame
     // is dimension-sized (64 rows) → broadcast back; both aggregations
@@ -210,6 +224,52 @@ object VectorQueries {
         .agg(round(sqrt(sum(pow((col("v") - col("m")) / col("sd"), 2))), 4).as("znorm"))
     })
   )
+
+  /** Generated twin of [[Clustering.kmeansFixedPoint]]: quantize →
+    * id-ordered seed → R unrolled (assign, update) rounds → final
+    * assignment, every CTE MATERIALIZED (level i reads level i−1 more
+    * than once — plain CTEs would re-inline the whole chain per
+    * reference). `//` and `div` both truncate toward zero, so the
+    * centroid updates agree even on negative coordinate sums. Yields
+    * CTEs `q`, `c0..cR`, `a1..a{R+1}`; callers SELECT from the chain.
+    */
+  private[queries] def kmeansCtes(k: Int, rounds: Int): String = {
+    val quant =
+      "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000) AS BIGINT))"
+    def assign(i: Int): String =
+      s""", a$i AS MATERIALIZED (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (
+         |      SELECT q.vec_id, c.cid,
+         |        CAST(list_sum(list_transform(list_zip(q.q, c.c),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+         |      FROM q CROSS JOIN c${i - 1} c
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def update(i: Int): String =
+      s""", c$i AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(u.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cid, list(comp ORDER BY pos) AS c FROM (
+         |      SELECT cid, pos, CAST(sum(val) // count(*) AS BIGINT) AS comp
+         |      FROM (
+         |        SELECT a.cid, unnest(q.q) AS val, unnest(range(len(q.q))) AS pos
+         |        FROM a$i a JOIN q ON a.vec_id = q.vec_id
+         |      ) GROUP BY cid, pos
+         |    ) GROUP BY cid
+         |  ) u ON p.cid = u.cid
+         |)""".stripMargin
+    val body = (1 to rounds).map(i => assign(i) + update(i)).mkString + assign(rounds + 1)
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, $quant AS q FROM embeddings
+       |), c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+       |  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT $k)
+       |)$body""".stripMargin
+  }
 
   /** DuckDB twin of Similarity.lshSignature: the ±1 hyperplane weights
     * are evaluated HERE with java Math.sin (the same function Spark's
@@ -357,6 +417,10 @@ object VectorQueries {
          |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
          |FROM s a JOIN s b ON a.vec_id < b.vec_id
          |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin,
+
+    "cluster_kmeans" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansRounds)}
+         |SELECT vec_id, cid AS cluster, dist AS qdist FROM a${KmeansRounds + 1}""".stripMargin,
 
     "vec_standardize" ->
       """WITH e AS (

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkSpec {
+
+  private def mkPoints(vecs: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding")
+  }
+
+  /** Naive driver-side twin of kmeansFixedPoint: same quantization,
+    * same id-ordered seed, same integer argmin/update — an independent
+    * single-threaded reimplementation the distributed operator must
+    * match exactly on any input.
+    */
+  private def naiveKmeans(vecs: Seq[(Long, Seq[Float])], k: Int,
+                          rounds: Int): Map[Long, (Long, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 10000d).toLong).toArray
+    }.sortBy(_._1)
+    var cents: Array[Array[Long]] = q.take(k).map(_._2.clone()).toArray
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(): Map[Long, (Long, Long)] = q.map { case (id, v) =>
+      val scored = cents.zipWithIndex.map { case (c, j) => (sq(v, c), j.toLong) }
+      val w = scored.min
+      id -> (w._2, w._1)
+    }.toMap
+    (1 to rounds).foreach { _ =>
+      val a = assign()
+      val next = cents.map(_.clone())
+      a.groupBy(_._2._1).foreach { case (cid, members) =>
+        val ids = members.keys.toSeq
+        val dim = q.head._2.length
+        val s = new Array[Long](dim)
+        ids.foreach { id =>
+          val v = q.find(_._1 == id).get._2
+          var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+        }
+        next(cid.toInt) = s.map(x => x / ids.size) // Java / truncates toward zero, same as div
+      }
+      cents = next
+    }
+    assign()
+  }
+
+  test("matches a naive single-threaded reimplementation on random input") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 60L).map { id =>
+      id -> Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val got = Clustering.kmeansFixedPoint(mkPoints(vecs), "vec_id", "embedding",
+      k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === naiveKmeans(vecs, k = 4, rounds = 3))
+  }
+
+  test("every vector is assigned exactly once; qdist is the true argmin distance") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { id =>
+      id -> Seq.fill(4)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val out = Clustering.kmeansFixedPoint(mkPoints(vecs), "vec_id", "embedding",
+      k = 3, rounds = 2)
+    assert(out.count() === 40L)
+    assert(out.select("vec_id").distinct().count() === 40L)
+    assert(out.where(col("cluster") < 0 || col("cluster") >= 3).count() === 0L)
+  }
+
+  test("a cluster that loses all points keeps its previous centroid (no crash, no NaN)") {
+    // seeds are ids 0 and 1; id 1's seed sits far away with no mass
+    // around it, so after round 1 every point (including id 1) joins
+    // cluster 0 and cluster 1 goes empty — the retained centroid must
+    // keep the iteration total and the final assignment single-cluster.
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq(0f, 0f), 1L -> Seq(10f, 10f)) ++
+        (2L until 12L).map(i => i -> Seq(0.01f * i, -0.01f * i): (Long, Seq[Float]))
+    val got = Clustering.kmeansFixedPoint(mkPoints(vecs), "vec_id", "embedding",
+      k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === naiveKmeans(vecs, k = 2, rounds = 3))
+    // the far seed still wins its own point back (it IS the retained centroid)
+    assert(got(1L)._1 === 1L)
+    assert(got.count(_._2._1 == 0L) === 11)
+  }
+
+  test("deterministic across reruns") {
+    val rnd = new scala.util.Random(99)
+    val vecs = (0L until 30L).map { id =>
+      id -> Seq.fill(6)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val df = mkPoints(vecs)
+    val a = Clustering.kmeansFixedPoint(df, "vec_id", "embedding", 3, 2)
+      .collect().map(_.toSeq).toSet
+    val b = Clustering.kmeansFixedPoint(df, "vec_id", "embedding", 3, 2)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
