@@ -121,4 +121,48 @@ object Clustering {
     }
     assign(cents).select(col("_km_id").as(idCol), col("cluster"), col("qdist"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * cluster the corpus with [[kmeansFixedPoint]], find cosine-≥-τ
+    * pairs WITHIN each cluster only, close them into dup groups with
+    * [[Dedup.connectedComponents]], and keep the lowest id per group.
+    *
+    * The whole point of the clustering stage is the scale shape: the
+    * quadratic pair join is an equi-join on the cluster id, so the
+    * all-pairs work is Σ(cluster size²) instead of n² — with k sized
+    * so clusters fit comfortably per task (the paper runs k in the
+    * tens of thousands at corpus scale; raise k, not τ, when clusters
+    * grow). Pairs never cross clusters, so components stay
+    * cluster-local by construction — same contract as the paper.
+    *
+    * Determinism: the cluster assignment is integer-exact, and the
+    * pair predicate thresholds the ROUNDED cosine (4 dp, strict
+    * left-to-right double dot on both engines) — the
+    * `dedup_embedding_cosine` convention.
+    *
+    * Returns one verdict row per vector:
+    * (idCol, cluster, canon, keep) — `canon` the dup-group
+    * representative (own id when unpaired), `keep` = id == canon.
+    */
+  def semanticDedup(points: DataFrame, idCol: String, embCol: String,
+                    k: Int, rounds: Int, tau: Double): DataFrame = {
+    val asn = kmeansFixedPoint(points, idCol, embCol, k, rounds)
+      .select(col(idCol).as("_sd_id"), col("cluster"))
+    val withE = asn.join(
+      points.select(col(idCol).as("_sd_id"),
+        col(embCol).cast("array<double>").as("_sd_e")),
+      "_sd_id")
+    val lhs = withE.select(col("cluster"), col("_sd_id").as("id_a"), col("_sd_e").as("ea"))
+    val rhs = withE.select(col("cluster"), col("_sd_id").as("id_b"), col("_sd_e").as("eb"))
+    val pairs = lhs.join(rhs, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(Similarity.cosine(col("ea"), col("eb")), 4) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    withE.select(col("_sd_id"), col("cluster"))
+      .join(cc.select(col("node").as("_sd_id"), col("lbl")), Seq("_sd_id"), "left")
+      .select(col("_sd_id").as(idCol), col("cluster"),
+        coalesce(col("lbl"), col("_sd_id")).as("canon"),
+        (coalesce(col("lbl"), col("_sd_id")) === col("_sd_id")).as("keep"))
+  }
 }

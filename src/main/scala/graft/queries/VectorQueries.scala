@@ -18,6 +18,7 @@ object VectorQueries {
   val K = 5
   val KmeansK = 8
   val KmeansRounds = 3
+  val SemDedupTau = 0.40
   /** 1-in-200 of the corpus are queries — keeps the brute-force
     * all-pairs work bounded at bench scale.
     */
@@ -206,6 +207,18 @@ object VectorQueries {
     "cluster_kmeans" -> ((spark, dir) => {
       Clustering.kmeansFixedPoint(Tables.embeddings(spark, dir),
         "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds)
+    }),
+
+    // SemDeDup: cluster-then-dedup semantic near-dup removal — the
+    // quadratic cosine join is confined to k-means clusters
+    // (Σ size² not n²), dup groups close via connected components,
+    // lowest id per group survives. The oracle reruns the exact
+    // kmeans CTE chain, the same rounded-cosine pair predicate, and a
+    // recursive-CTE closure — per-vector verdicts match bit for bit.
+    "dedup_semantic" -> ((spark, dir) => {
+      Clustering.semanticDedup(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds,
+        tau = SemDedupTau)
     }),
 
     // Feature standardization: per-dimension z-score stats over the
@@ -421,6 +434,32 @@ object VectorQueries {
     "cluster_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansRounds)}
          |SELECT vec_id, cid AS cluster, dist AS qdist FROM a${KmeansRounds + 1}""".stripMargin,
+
+    // Twin of Clustering.semanticDedup: the kmeans chain, the same
+    // within-cluster rounded-cosine pair predicate, and a recursive
+    // transitive closure labeled by min id (the mm_phash_clusters
+    // closure pattern — WITH RECURSIVE governs the whole clause).
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE ${kmeansCtes(KmeansK, KmeansRounds)}, w AS MATERIALIZED (
+         |  SELECT a.vec_id AS id, a.cid AS cluster, e.embedding AS e
+         |  FROM a${KmeansRounds + 1} a JOIN embeddings e ON a.vec_id = e.vec_id
+         |), pr AS MATERIALIZED (
+         |  SELECT x.id AS id_a, y.id AS id_b
+         |  FROM w x JOIN w y ON x.cluster = y.cluster AND x.id < y.id
+         |  WHERE round(${Similarity.cosineSql("x.e", "y.e")}, 4) >= $SemDedupTau
+         |), sym AS (
+         |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), lbl AS (
+         |  SELECT a AS id, min(b) AS component FROM reach GROUP BY 1
+         |)
+         |SELECT w.id AS vec_id, w.cluster,
+         |  coalesce(lbl.component, w.id) AS canon,
+         |  coalesce(lbl.component, w.id) = w.id AS keep
+         |FROM w LEFT JOIN lbl ON w.id = lbl.id""".stripMargin,
 
     "vec_standardize" ->
       """WITH e AS (

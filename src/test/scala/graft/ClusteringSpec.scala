@@ -89,6 +89,49 @@ class ClusteringSpec extends SparkSpec {
     assert(got.count(_._2._1 == 0L) === 11)
   }
 
+  test("semanticDedup: planted near-dups collapse transitively; lowest id survives") {
+    // two tight groups plus isolated points: {0,1,2} chain by small
+    // perturbation (0~1, 1~2 and 0~2 all above tau), {5,6} a pair,
+    // the rest spread out below tau of everything
+    val base = Seq(1f, 0.5f, -0.25f, 0.8f)
+    def jitter(eps: Float) = base.zipWithIndex.map { case (x, i) => x + eps * (i + 1) }
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> jitter(0f), 1L -> jitter(0.001f), 2L -> jitter(0.002f),
+      5L -> Seq(-1f, 0.7f, 0.3f, -0.9f), 6L -> Seq(-1.01f, 0.71f, 0.29f, -0.91f),
+      7L -> Seq(0.9f, -0.9f, 0.9f, -0.9f), 8L -> Seq(-0.2f, -0.9f, 0.1f, 0.95f)
+    )
+    val got = Clustering.semanticDedup(mkPoints(vecs), "vec_id", "embedding",
+      k = 2, rounds = 2, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(0L) === (0L, true))
+    assert(got(1L) === (0L, false))
+    assert(got(2L) === (0L, false))
+    assert(got(5L)._1 === 5L)
+    assert(got(6L) === (5L, false))
+    // unpaired vectors are their own canon and kept
+    assert(got(7L) === (7L, true))
+    assert(got(8L) === (8L, true))
+    // exactly one survivor per dup group
+    assert(got.values.count(_._2) === 4)
+  }
+
+  test("semanticDedup: every vector gets exactly one verdict; canon stays in-cluster") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map { id =>
+      id -> Seq.fill(6)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val out = Clustering.semanticDedup(mkPoints(vecs), "vec_id", "embedding",
+      k = 3, rounds = 2, tau = 0.8).collect()
+    assert(out.length === 50)
+    assert(out.map(_.getLong(0)).distinct.length === 50)
+    // canon is a member of the same cluster (pairs never cross clusters)
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(cluster(r.getLong(2)) === r.getLong(1),
+        s"canon ${r.getLong(2)} of ${r.getLong(0)} escaped cluster ${r.getLong(1)}")
+    }
+  }
+
   test("deterministic across reruns") {
     val rnd = new scala.util.Random(99)
     val vecs = (0L until 30L).map { id =>
