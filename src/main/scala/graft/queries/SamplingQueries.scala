@@ -19,6 +19,7 @@ object SamplingQueries {
   private val SplitWeights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
   private val StrataPerMille = Map("click" -> 100, "purchase" -> 500, "view" -> 200)
   private val DefaultPerMille = 50
+  private val DsirBuckets = 512
 
   val queries: Map[String, Q] = Map(
     // Train/val/test split: membership is a pure function of the row
@@ -45,6 +46,17 @@ object SamplingQueries {
         .join(canon, Seq("k"))
         .select(col("doc_id"), col("canonical_id"),
           Sampling.splitLabel(col("canonical_id"), SplitWeights).as("split"))
+    }),
+
+    // DSIR importance weights (target = English docs): hashed-bucket
+    // bag-of-words log-likelihood ratio, quantized to fixed point PER
+    // BUCKET so each doc's score is an order-free BIGINT sum. The only
+    // cross-engine float step is 512 bucket-level log2 calls over
+    // identical exact integer counts.
+    "sample_dsir_weights" -> ((spark, dir) => {
+      graft.operators.Dsir.importanceWeights(
+        Tables.documents(spark, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = DsirBuckets)
     }),
 
     // Per-stratum deterministic Bernoulli sample with differing
@@ -524,6 +536,46 @@ object SamplingQueries {
          |      event_id ASC) AS rn
          |  FROM events
          |) WHERE rn <= 20""".stripMargin,
+    // Twin of Dsir.importanceWeights: same FNV-1a HUGEINT fold into
+    // 512 buckets (the sketch_cms_estimate kernel rebuild), same
+    // add-one smoothing over the full bucket domain, same per-bucket
+    // floor(log2·1e4) quantization off identical integer counts.
+    "sample_dsir_weights" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, t, u AS w FROM (
+         |    SELECT doc_id, lang = 'en' AS t,
+         |      unnest(string_split(text, ' ')) AS u FROM documents
+         |  ) WHERE u <> ''
+         |), wb AS (
+         |  SELECT doc_id, t,
+         |    CAST(list_reduce(
+         |      list_prepend(14695981039346656037::HUGEINT,
+         |        [unicode(c)::HUGEINT for c in string_split(w, '')]),
+         |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+         |                  % 18446744073709551616::HUGEINT) % $DsirBuckets
+         |      AS BIGINT) AS b
+         |  FROM w
+         |), agg AS (
+         |  SELECT b, count(*) AS cr0,
+         |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct0
+         |  FROM wb GROUP BY 1
+         |), tbl AS (
+         |  SELECT d.b, coalesce(a.cr0, 0) + 1 AS cr, coalesce(a.ct0, 0) + 1 AS ct
+         |  FROM (SELECT unnest(range($DsirBuckets)) AS b) d
+         |  LEFT JOIN agg a ON d.b = a.b
+         |), tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM tbl
+         |), q AS (
+         |  SELECT b, CAST(floor(log2(
+         |      (ct * (SELECT nr FROM tot))::DOUBLE
+         |      / (cr * (SELECT nt FROM tot))) * 10000) AS BIGINT) AS qlog
+         |  FROM tbl
+         |)
+         |SELECT wb.doc_id, wb.t AS is_target,
+         |  CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(q.qlog) AS BIGINT) AS score_fp,
+         |  CAST(sum(q.qlog) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_fp
+         |FROM wb JOIN q USING (b) GROUP BY 1, 2""".stripMargin,
+
     "sample_stratified" -> stratifiedSql,
     "pack_sequences" -> packSequencesSql,
     "pack_length_buckets" ->
