@@ -155,6 +155,32 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars"))
     }),
 
+    // Gopher-style quality filter cascade with per-rule attrition
+    // audit (the table C4/Gopher publish next to the corpus): each doc
+    // is attributed to the FIRST rule that drops it, so the funnel is
+    // additive. All five predicates are integral cross-multiplications
+    // (never ratio floats), so both engines agree exactly; the only
+    // unpartitioned window runs over the 6-row funnel frame.
+    "quality_filter_funnel" -> ((spark, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val uniq = size(array_distinct(toks)).cast("long")
+      val sumlen = aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, v) => acc + v).cast("long")
+      val stopc = size(filter(toks,
+        t => t.isin(Seq("the", "a").map(s => s: Any): _*))).cast("long")
+      val maxc = array_max(transform(array_distinct(toks),
+        d => size(filter(toks, e => e === d)))).cast("long")
+      graft.operators.FilterFunnel.audit(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        Seq(
+          "too_short" -> (n >= 20L),
+          "word_len_outlier" -> !(sumlen * 10L < n * 42L || sumlen * 10L > n * 50L),
+          "dominant_token" -> !(maxc * 10L > n * 2L),
+          "low_diversity" -> (uniq * 100L >= n * 40L),
+          "no_stopwords" -> (stopc > 0L)))
+    }),
+
     // Quality scoring: length / uniqueness / stopword signals.
     "text_quality" -> ((spark, dir) => {
       val toks = TextFns.tokens(col("text"))
@@ -826,6 +852,44 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
         |  length(text) AS n_chars
         |FROM documents""".stripMargin,
+
+    "quality_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), sig AS (
+        |  SELECT len(toks) AS n,
+        |    len(list_distinct(toks)) AS uniq,
+        |    list_sum(list_transform(toks, t -> length(t))) AS sumlen,
+        |    len(list_filter(toks, t -> t IN ('the', 'a'))) AS stopc,
+        |    list_max(list_transform(list_distinct(toks),
+        |      d -> len(list_filter(toks, e -> e = d)))) AS maxc
+        |  FROM t
+        |), staged AS (
+        |  SELECT CASE
+        |    WHEN NOT (n >= 20) THEN 1
+        |    WHEN NOT NOT (sumlen * 10 < n * 42 OR sumlen * 10 > n * 50) THEN 2
+        |    WHEN NOT NOT (maxc * 10 > n * 2) THEN 3
+        |    WHEN NOT (uniq * 100 >= n * 40) THEN 4
+        |    WHEN NOT (stopc > 0) THEN 5
+        |    ELSE 6 END AS stage
+        |  FROM sig
+        |), counts AS (
+        |  SELECT stage, count(*) AS n FROM staged GROUP BY 1
+        |), names(stage, rule) AS (
+        |  VALUES (1, 'too_short'), (2, 'word_len_outlier'),
+        |         (3, 'dominant_token'), (4, 'low_diversity'),
+        |         (5, 'no_stopwords'), (6, 'pass')
+        |)
+        |SELECT CAST(names.stage AS BIGINT) AS stage, names.rule,
+        |  CAST(CASE WHEN names.stage = 6 THEN 0
+        |            ELSE coalesce(counts.n, 0) END AS BIGINT) AS n_dropped,
+        |  CAST(sum(coalesce(counts.n, 0)) OVER ()
+        |    - sum(CASE WHEN names.stage = 6 THEN 0
+        |               ELSE coalesce(counts.n, 0) END)
+        |        OVER (ORDER BY names.stage
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_remaining
+        |FROM names LEFT JOIN counts ON names.stage = counts.stage""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
