@@ -295,6 +295,57 @@ object AggWindowQueries {
             .as("est_in_tolerance"))
     }),
 
+    // Mergeable KLL quantile sketch — the hll_union shape for
+    // quantiles, which percentile_approx can't do (no storable
+    // partial): weekly per-type sketches union into a corpus sketch.
+    // The deterministic compactor carries its own worst-case rank
+    // bound, so the harness is self-certifying: each estimate's EXACT
+    // rank (recomputed corpus-side) must land within err+1 of the
+    // target rank under any partial-merge order; the sketch's total
+    // mass n must equal the exact count (oracle cross-checks it).
+    "sketch_quantiles" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.operators.QuantileSketch
+      import graft.operators.QuantileSketch.Kll
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"), col("value"))
+      val kllAgg = udaf(new QuantileSketch.KllAgg(256))
+      val kllUnion = udaf(new QuantileSketch.KllUnionAgg(256),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Kll]())
+      val weekly = ev.groupBy("event_type", "wk")
+        .agg(kllAgg(col("value")).as("sk"))
+      // product-typed aggregator input rides as its flattened fields
+      // (the TopKAgg convention)
+      val rolled = weekly.groupBy("event_type")
+        .agg(kllUnion(col("sk.k"), col("sk.n"), col("sk.err"),
+          col("sk.levels")).as("sk"), count(lit(1)).as("n_partials"))
+      // estimate extraction runs at ROLLUP cardinality (one row per
+      // event_type), never the corpus
+      val phis = Seq(0.25, 0.5, 0.75, 0.95)
+      val est = rolled.as[(String, Kll, Long)].map { case (et, sk, np) =>
+        (et, np, sk.n, sk.err,
+          QuantileSketch.query(sk, phis(0)), QuantileSketch.query(sk, phis(1)),
+          QuantileSketch.query(sk, phis(2)), QuantileSketch.query(sk, phis(3)))
+      }.toDF("event_type", "n_partials", "n", "err", "e25", "e50", "e75", "e95")
+      val exact = ev.join(broadcast(est), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("value") <= col("e25"), 1L).otherwise(0L)).as("r25"),
+          sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("e75"), 1L).otherwise(0L)).as("r75"),
+          sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).as("r95"))
+      def rankOk(r: String, phi: Double) =
+        (abs(col(r) - ceil(lit(phi) * col("n_exact"))) <= col("err") + 1L)
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_partials"), col("n_exact"),
+          (col("n") === col("n_exact")).as("mass_exact"),
+          rankOk("r25", 0.25).as("r25_ok"), rankOk("r50", 0.5).as("r50_ok"),
+          rankOk("r75", 0.75).as("r75_ok"), rankOk("r95", 0.95).as("r95_ok"),
+          (col("e25") <= col("e50") && col("e50") <= col("e75") &&
+            col("e75") <= col("e95")).as("monotone"))
+    }),
+
     // Statistical aggregates (corr/covar/stddev) — the stat-function
     // family the reference lacks. Regressors are small-magnitude
     // (days, not epochs) so 4-decimal rounding sits far above fp
@@ -733,6 +784,15 @@ object AggWindowQueries {
         |  count(DISTINCT user_id) AS exact_users,
         |  count(DISTINCT date_trunc('week', ts)) AS n_partials,
         |  true AS est_in_tolerance
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_quantiles" ->
+      """SELECT event_type,
+        |  count(DISTINCT date_trunc('week', ts)) AS n_partials,
+        |  count(*) AS n_exact,
+        |  true AS mass_exact,
+        |  true AS r25_ok, true AS r50_ok, true AS r75_ok, true AS r95_ok,
+        |  true AS monotone
         |FROM events GROUP BY 1""".stripMargin,
 
     "agg_percentile" ->
