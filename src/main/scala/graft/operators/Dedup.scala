@@ -347,4 +347,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+ col("jaccard")): _*)
   }
+
+  /** Cross-doc duplicated-span PROFILE (the RefinedWeb dup-fraction
+    * family): per doc, how many of its sliding n-gram positions are
+    * duplicated in ≥ minDocFreq distinct documents, the ‰ share, and
+    * the longest consecutive duplicated run — the decision metric a
+    * span-dedup threshold reads, where [[segmentDedup]] /
+    * [[boilerplateFilter]] transform.
+    *
+    * Scale: the gram doc-frequency table is corpus-sized, so the
+    * membership join is a hash-partitioned equi-join on the gram key
+    * (never a broadcast); the longest-run window (gaps-and-islands on
+    * gram position) partitions by doc. Grams ride as native-kernel
+    * hash keys (the codegen'd HashedShingles expression — ONE
+    * tokenization pass per doc; the declarative
+    * split-per-element_at form re-splits the text at every gram
+    * position, quadratic in doc length) — the oracle joins the
+    * shingle STRINGS, so the hash match doubles as a collision check.
+    */
+  def dupSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+                     nGram: Int, minDocFreq: Int = 2): DataFrame = {
+    require(nGram >= 2 && minDocFreq >= 2,
+      s"need nGram >= 2 and minDocFreq >= 2, got $nGram/$minDocFreq")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("_dp_id"),
+      posexplode(graft.expressions.GraftFunctions.hashedShingles(col(textCol), nGram))
+        .as(Seq("pos", "g")))
+    val dupSet = grams.groupBy("g")
+      .agg(count_distinct(col("_dp_id")).as("df"))
+      .where(col("df") >= minDocFreq).select(col("g"), lit(true).as("dup"))
+    val flagged = grams.join(dupSet, Seq("g"), "left")
+      .select(col("_dp_id"), col("pos"),
+        coalesce(col("dup"), lit(false)).as("d"))
+    val perDoc = flagged.groupBy("_dp_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("d"), 1L).otherwise(0L)).as("n_dup"))
+    val wr = Window.partitionBy("_dp_id").orderBy("pos")
+    val runs = flagged.where(col("d"))
+      .withColumn("grp", col("pos") - row_number().over(wr))
+      .groupBy(col("_dp_id"), col("grp")).agg(count(lit(1)).as("runlen"))
+      .groupBy("_dp_id").agg(max(col("runlen")).as("longest_dup_run"))
+    perDoc.join(runs, Seq("_dp_id"), "left")
+      .select(col("_dp_id").as(idCol), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000 div n_grams").as("dup_permille"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
+  }
 }

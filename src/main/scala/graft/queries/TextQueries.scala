@@ -449,6 +449,21 @@ object TextQueries {
       Dedup.segmentDedup(Tables.documents(spark, dir), "doc_id", "text", segTokens = 5)
     }),
 
+    // Cross-doc duplicated-span PROFILE (the RefinedWeb dup-fraction
+    // metric): per doc, what share of its sliding 5-gram positions is
+    // duplicated elsewhere in the corpus, and the longest consecutive
+    // duplicated run — the decision signal a dedup threshold reads,
+    // complementing dedup_segments (which transforms). Grams join on
+    // xxhash64 keys; the oracle joins the strings, so the hash match
+    // doubles as a collision check (text_contamination pattern). The
+    // gram doc-frequency table is corpus-sized — never broadcast; the
+    // hash-partitioned equi-join on the gram key is the honest 100 TB
+    // plan. Longest run is gaps-and-islands: windows partition by doc.
+    "text_dup_span_profile" -> ((spark, dir) => {
+      Dedup.dupSpanProfile(Tables.documents(spark, dir), "doc_id", "text",
+        nGram = 5, minDocFreq = 2)
+    }),
+
     // Corpus-frequency boilerplate removal (CCNet/RefinedWeb): drop
     // EVERY occurrence of a 3-token segment that repeats in >= 5
     // distinct documents, and reassemble the cleaned text. Distinct
@@ -890,6 +905,41 @@ object TextQueries {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_remaining
         |FROM names LEFT JOIN counts ON names.stage = counts.stage""".stripMargin,
+
+    "text_dup_span_profile" -> {
+      val sh = TextFns.shinglesSql("toks", 5)
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, $sh AS sh FROM t
+         |), g AS (
+         |  SELECT doc_id, unnest(sh) AS g, unnest(range(len(sh))) AS pos FROM s
+         |), dup AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+         |  ) WHERE df >= 2
+         |), f AS (
+         |  SELECT g.doc_id, g.pos, dup.g IS NOT NULL AS d
+         |  FROM g LEFT JOIN dup ON g.g = dup.g
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN d THEN 1 ELSE 0 END) AS n_dup
+         |  FROM f GROUP BY 1
+         |), runs AS (
+         |  SELECT doc_id, max(runlen) AS longest FROM (
+         |    SELECT doc_id, grp, count(*) AS runlen FROM (
+         |      SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM f WHERE d
+         |    ) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)
+         |SELECT per.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_dup AS BIGINT) AS n_dup,
+         |  CAST(n_dup * 1000 // n_grams AS BIGINT) AS dup_permille,
+         |  CAST(coalesce(runs.longest, 0) AS BIGINT) AS longest_dup_run
+         |FROM per LEFT JOIN runs ON per.doc_id = runs.doc_id""".stripMargin
+    },
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

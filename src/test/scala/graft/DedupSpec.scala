@@ -182,6 +182,41 @@ class DedupSpec extends SparkSpec {
     assert(nTok.isEmpty, "fully-kept docs must reassemble to the original token count")
   }
 
+  test("dupSpanProfile: planted shared span is measured exactly; unique docs read zero") {
+    import spark.implicits._
+    // docs 1 and 2 share the 8-token span "p q r s t u v w" (at
+    // different offsets), padded with doc-unique filler; doc 3 is
+    // fully unique. With 3-grams the shared span contributes exactly
+    // 8-3+1 = 6 duplicated gram positions per doc, consecutively.
+    val span = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"a1 b1 c1 $span d1 e1 f1"),
+      (2L, s"a2 $span b2 c2 d2 e2 f2"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 xa xb xc xd xe")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanProfile(docs, "doc_id", "text", nGram = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 14 tokens → 12 3-gram positions per doc
+    assert(got(1L) === (12L, 6L, 500L, 6L))
+    assert(got(2L) === (12L, 6L, 500L, 6L))
+    assert(got(3L) === (12L, 0L, 0L, 0L))
+  }
+
+  test("dupSpanProfile: two disjoint shared spans yield two runs; longest is the max") {
+    import spark.implicits._
+    // docs 1/2 share "s1 s2 s3 s4" (2 dup 3-gram positions) and
+    // "t1 t2 t3 t4 t5" (3 dup positions), separated by unique filler
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 u1 u2 u3 t1 t2 t3 t4 t5"),
+      (2L, "t1 t2 t3 t4 t5 v1 v2 v3 s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanProfile(docs, "doc_id", "text", nGram = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got(1L) === (5L, 3L))
+    assert(got(2L) === (5L, 3L))
+  }
+
   test("native simhash64 matches the 64-vote declarative rebuild on every fixture doc") {
     // Differential harness (formerly the registered dedup_simhash
     // query; moved here so the BENCH query measures the production
