@@ -74,28 +74,38 @@ object Clustering {
     * (idCol, cluster BIGINT, qdist BIGINT) where qdist is the exact
     * quantized squared L2 distance to the winning centroid.
     */
+  /** Exact quantized squared-L2 distance to one centroid literal. */
+  private def sqDist(qCol: Column, c: Array[Long]): Column =
+    aggregate(zip_with(qCol, array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Zero-shuffle argmin assignment against driver-held labeled
+    * centroids: winner = lexicographic min over (dist, label) — exact
+    * integer distances, total tie-break, all inside whole-stage
+    * codegen. Input must carry (idC, qC); output appends
+    * (cluster, qdist).
+    */
+  private def argminAssign(q: DataFrame, idC: String, qC: String,
+                           cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val scored = cents.map { case (label, c) =>
+      struct(sqDist(col(qC), c).as("qdist"), lit(label).as("cluster"))
+    }
+    q.select(col(idC), col(qC), array_min(array(scored: _*)).as("_w"))
+      .select(col(idC), col(qC), col("_w.cluster").as("cluster"),
+        col("_w.qdist").as("qdist"))
+  }
+
   def kmeansFixedPoint(points: DataFrame, idCol: String, embCol: String,
                        k: Int, rounds: Int): DataFrame = {
     require(k >= 2 && k <= 64, s"k must be 2..64 (centroids ride the plan as literals), got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
     val q = points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q"))
 
-    // winner = lexicographic min over (dist_j, j): exact integer
-    // distances, total tie-break — all inside whole-stage codegen.
     // Keeps _km_q so the centroid update aggregates directly off the
     // assignment (no n-row re-join per round).
-    def assign(cents: Array[Array[Long]]): DataFrame = {
-      val scored = cents.zipWithIndex.map { case (c, j) =>
-        val lits = array(c.map(lit(_)): _*)
-        struct(
-          aggregate(zip_with(col("_km_q"), lits, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, d) => acc + d).as("qdist"),
-          lit(j.toLong).as("cluster"))
-      }
-      q.select(col("_km_id"), col("_km_q"), array_min(array(scored: _*)).as("_w"))
-        .select(col("_km_id"), col("_km_q"), col("_w.cluster").as("cluster"),
-          col("_w.qdist").as("qdist"))
-    }
+    def assign(cents: Array[Array[Long]]): DataFrame =
+      argminAssign(q, "_km_id", "_km_q",
+        cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq)
 
     val seeds = q.orderBy("_km_id").limit(k).collect()
     require(seeds.length == k, s"need at least $k vectors to seed, got ${seeds.length}")
@@ -120,6 +130,54 @@ object Clustering {
       r += 1
     }
     assign(cents).select(col("_km_id").as(idCol), col("cluster"), col("qdist"))
+  }
+
+  /** Greedy k-center selection (Gonzalez 1985 farthest-first
+    * traversal) — diversity-driven coreset/data-pruning: pick the k
+    * corpus vectors that 2-approximate the minimal covering radius,
+    * then assign every vector to its nearest pick. The selection a
+    * "maximally diverse subset" curation stage wants, complementing
+    * [[kmeansFixedPoint]] (which balances mass, not coverage).
+    *
+    * Deterministic: the seed is the lowest id, each round adds the
+    * point with the MAX min-distance to the chosen set (ties → lowest
+    * id), and distances are the same quantized BIGINT squared-L2 as
+    * k-means — so the DuckDB oracle unrolls the same k−1 farthest-
+    * first rounds as chained CTEs and the full assignment matches bit
+    * for bit.
+    *
+    * Scale shape: each round is ONE zero-shuffle map (min-distance to
+    * the ≤ k driver-held center literals) plus ONE scalar max-struct
+    * aggregation (map-side combined to one row per partition; the new
+    * center's vector rides inside the struct, so there is no second
+    * lookup job). k rounds total; the final assignment is the same
+    * zero-shuffle argmin as k-means. Labels are the CENTER vector ids.
+    */
+  def kCenterSelect(points: DataFrame, idCol: String, embCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be 2..64 (centers ride the plan as literals), got $k")
+    val q = points.select(col(idCol).as("_kc_id"), quantize(col(embCol)).as("_kc_q"))
+    val seedRow = q.orderBy("_kc_id").limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterSelect on an empty input")
+    var cents: Vector[(Long, Array[Long])] =
+      Vector((seedRow(0).getLong(0), seedRow(0).getSeq[Long](1).toArray))
+    var r = 1
+    while (r < k) {
+      // round 1 has a single center — least() needs ≥ 2 args
+      val dists = cents.map { case (_, c) => sqDist(col("_kc_q"), c) }
+      val md = if (dists.size == 1) dists.head else least(dists: _*)
+      // farthest-first pick: max over (minDist, -id, vector) — the
+      // vector never participates in the comparison (ids are unique)
+      // but rides along so one aggregation yields the next center.
+      val top = q
+        .select(struct(md.as("md"), (-col("_kc_id")).as("nid"),
+          col("_kc_q").as("v")).as("s"))
+        .agg(max(col("s"))).head().getStruct(0)
+      cents :+= ((-top.getLong(1), top.getSeq[Long](2).toArray))
+      r += 1
+    }
+    argminAssign(q, "_kc_id", "_kc_q", cents)
+      .select(col("_kc_id").as(idCol), col("cluster").as("center"), col("qdist"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):

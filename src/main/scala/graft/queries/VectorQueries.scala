@@ -209,6 +209,17 @@ object VectorQueries {
         "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds)
     }),
 
+    // Greedy k-center coreset selection (farthest-first traversal):
+    // the diversity-maximizing pick for data pruning — complements
+    // kmeans (mass balance) with coverage. Integer distances + lowest-
+    // id ties make all k rounds deterministic; the oracle unrolls the
+    // same farthest-first chain and the full nearest-center assignment
+    // matches bit for bit.
+    "select_kcenter" -> ((spark, dir) => {
+      Clustering.kCenterSelect(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = KmeansK)
+    }),
+
     // SemDeDup: cluster-then-dedup semantic near-dup removal — the
     // quadratic cosine join is confined to k-means clusters
     // (Σ size² not n²), dup groups close via connected components,
@@ -434,6 +445,44 @@ object VectorQueries {
     "cluster_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansRounds)}
          |SELECT vec_id, cid AS cluster, dist AS qdist FROM a${KmeansRounds + 1}""".stripMargin,
+
+    // Twin of Clustering.kCenterSelect: quantize → lowest-id seed →
+    // k−1 farthest-first rounds (max min-distance, lowest-id ties) →
+    // nearest-center assignment, every CTE MATERIALIZED.
+    "select_kcenter" -> {
+      def dist(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+      val quant =
+        "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000) AS BIGINT))"
+      val rounds = (2 to KmeansK).map { i =>
+        s""", c$i AS MATERIALIZED (
+           |  SELECT q.vec_id AS cid, q.q AS c
+           |  FROM m${i - 1} m JOIN q ON m.vec_id = q.vec_id
+           |  ORDER BY m.md DESC, q.vec_id ASC LIMIT 1
+           |), m$i AS MATERIALIZED (
+           |  SELECT m.vec_id, least(m.md, ${dist("q.q", s"c$i.c")}) AS md
+           |  FROM m${i - 1} m JOIN q ON m.vec_id = q.vec_id, c$i
+           |)""".stripMargin
+      }.mkString
+      val cents = (1 to KmeansK).map(i => s"SELECT cid, c FROM c$i")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, $quant AS q FROM embeddings
+         |), c1 AS MATERIALIZED (
+         |  SELECT vec_id AS cid, q AS c FROM q ORDER BY vec_id LIMIT 1
+         |), m1 AS MATERIALIZED (
+         |  SELECT q.vec_id, ${dist("q.q", "c1.c")} AS md FROM q, c1
+         |)$rounds, cents AS MATERIALIZED ($cents)
+         |SELECT vec_id, cid AS center, dist AS qdist FROM (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (
+         |    SELECT q.vec_id, cents.cid, ${dist("q.q", "cents.c")} AS dist
+         |    FROM q CROSS JOIN cents
+         |  )
+         |) WHERE rn = 1""".stripMargin
+    },
 
     // Twin of Clustering.semanticDedup: the kmeans chain, the same
     // within-cluster rounded-cosine pair predicate, and a recursive

@@ -89,6 +89,56 @@ class ClusteringSpec extends SparkSpec {
     assert(got.count(_._2._1 == 0L) === 11)
   }
 
+  /** Naive single-threaded farthest-first twin of kCenterSelect. */
+  private def naiveKCenter(vecs: Seq[(Long, Seq[Float])], k: Int): Map[Long, (Long, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 10000d).toLong).toArray
+    }.sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents = Vector(q.head)
+    while (cents.size < k) {
+      // max min-distance, ties to the LOWEST id
+      val next = q.map { case (id, v) =>
+        (cents.map(c => sq(v, c._2)).min, id)
+      }.reduceLeft { (a, b) =>
+        if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a
+      }
+      cents :+= q.find(_._1 == next._2).get
+    }
+    q.map { case (id, v) =>
+      val w = cents.map(c => (sq(v, c._2), c._1)).min
+      id -> (w._2, w._1)
+    }.toMap
+  }
+
+  test("kCenterSelect matches the naive farthest-first twin on random input") {
+    val rnd = new scala.util.Random(21)
+    val vecs = (0L until 70L).map { id =>
+      id -> Seq.fill(6)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val got = Clustering.kCenterSelect(mkPoints(vecs), "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === naiveKCenter(vecs, k = 5))
+  }
+
+  test("kCenterSelect: centers self-assign at distance 0; far outlier is always picked") {
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 20L).map(i => i -> Seq(0.001f * i, 0f): (Long, Seq[Float])) :+
+        (99L -> Seq(50f, 50f): (Long, Seq[Float]))
+    val got = Clustering.kCenterSelect(mkPoints(vecs), "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the outlier must be selected (it is the farthest point from seed 0)
+    assert(got(99L) === (99L, 0L))
+    // seed 0 self-assigns
+    assert(got(0L) === (0L, 0L))
+    // every point assigns to one of exactly 3 centers
+    assert(got.values.map(_._1).toSet.size === 3)
+  }
+
   test("semanticDedup: planted near-dups collapse transitively; lowest id survives") {
     // two tight groups plus isolated points: {0,1,2} chain by small
     // perturbation (0~1, 1~2 and 0~2 all above tau), {5,6} a pair,
