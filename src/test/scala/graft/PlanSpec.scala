@@ -275,6 +275,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kmeans / k-center assignment is a zero-shuffle map — centroids ride as literals") {
+    val km = plan(graft.queries.VectorQueries.queries("cluster_kmeans")(spark, sfDir))
+    // the RETURNED final assignment: scan → project, no exchange, no join
+    assert(!km.contains("Exchange"), km.take(800))
+    assert(!km.contains("Join"), km.take(800))
+    val kc = plan(graft.queries.VectorQueries.queries("select_kcenter")(spark, sfDir))
+    assert(!kc.contains("Exchange"), kc.take(800))
+    assert(!kc.contains("Join"), kc.take(800))
+  }
+
+  test("semantic dedup pair generation is a cluster-id equi-join — no cartesian") {
+    val df = graft.queries.VectorQueries.queries("dedup_semantic")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("dup-span profile: native gram kernel, doc-partitioned islands window") {
+    val df = graft.queries.TextQueries.queries("text_dup_span_profile")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    // the native HashedShingles kernel (one tokenization pass), not the
+    // lambda form that re-splits text per element_at
+    assert(p.contains("hashed_shingles"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
