@@ -77,17 +77,40 @@ object Bench {
       case (n, (oks, _)) if oks.nonEmpty => n -> oks.min
     }.sortBy(_._1)
     val failed = measured.collect { case (n, (oks, _)) if oks.isEmpty => n }.sorted
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    // A TARGETED run (BENCH_ONLY) merges over the existing full record
+    // instead of clobbering it — the on-disk file stays the
+    // full-inventory map with the targeted queries refreshed. Full
+    // runs still rewrite from scratch.
+    val merged: Seq[(String, Double)] =
+      if (only.isEmpty || !java.nio.file.Files.exists(java.nio.file.Paths.get(outFile))) results
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val old = JsonMethods.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(outFile)))
+        val oldQs = (old \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }
+          case _ => Nil
+        }
+        val fresh = results.toMap
+        (oldQs.filterNot { case (k, _) => fresh.contains(k) } ++ results)
+          .sortBy(_._1)
+      } catch { case _: Throwable => results }
+    val qs = merged.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = merged.map(_._2).sum
     val fullJson =
       f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}"""
     // The full line first (complete per-query map for the log)…
-    println(fullJson)
+    val runTotal = results.map(_._2).sum
+    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$runTotal%.3f}""")
     // …then persisted to a file: at 130+ queries the line outgrows
     // log-tail captures, so the machine-readable copy lives on disk.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
     // …and the LAST stdout line is a compact, self-contained JSON that
@@ -99,7 +122,7 @@ object Bench {
     // failure would otherwise blow the compact line past the tail
     // capture in exactly the scenario where it matters most.
     val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$total%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
     spark.stop()
   }
 }

@@ -95,27 +95,29 @@ object Clustering {
         col("_w.qdist").as("qdist"))
   }
 
-  def kmeansFixedPoint(points: DataFrame, idCol: String, embCol: String,
-                       k: Int, rounds: Int): DataFrame = {
+  /** The Lloyd loop alone: returns the trained centroids, label →
+    * quantized vector. Train ONCE on a corpus snapshot, then assign
+    * any later increment with [[assignToCentroids]] — the daily-
+    * curation shape (clusters stay comparable across increments
+    * because the codebook is frozen).
+    */
+  def kmeansCentroids(points: DataFrame, idCol: String, embCol: String,
+                      k: Int, rounds: Int): Seq[(Long, Array[Long])] = {
     require(k >= 2 && k <= 64, s"k must be 2..64 (centroids ride the plan as literals), got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
     val q = points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q"))
 
-    // Keeps _km_q so the centroid update aggregates directly off the
-    // assignment (no n-row re-join per round).
-    def assign(cents: Array[Array[Long]]): DataFrame =
-      argminAssign(q, "_km_id", "_km_q",
-        cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq)
-
     val seeds = q.orderBy("_km_id").limit(k).collect()
     require(seeds.length == k, s"need at least $k vectors to seed, got ${seeds.length}")
-    var cents: Array[Array[Long]] =
-      seeds.map(_.getSeq[Long](1).toArray)
+    var cents: Array[Array[Long]] = seeds.map(_.getSeq[Long](1).toArray)
 
     val vecSum = udaf(new LongVecSum)
     var r = 0
     while (r < rounds) {
-      val upd = assign(cents)
+      // assignment keeps _km_q so the centroid update aggregates
+      // directly off it (no n-row re-join per round)
+      val upd = argminAssign(q, "_km_id", "_km_q",
+          cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq)
         .groupBy("cluster")
         .agg(vecSum(col("_km_q")).as("s"), count(lit(1)).as("cnt"))
         .select(col("cluster"), expr("transform(s, x -> x div cnt)").as("c"))
@@ -129,8 +131,25 @@ object Clustering {
       cents = next
       r += 1
     }
-    assign(cents).select(col("_km_id").as(idCol), col("cluster"), col("qdist"))
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq
   }
+
+  /** Zero-shuffle assignment of arbitrary points to FIXED labeled
+    * centroids (from [[kmeansCentroids]] or any frozen codebook).
+    */
+  def assignToCentroids(points: DataFrame, idCol: String, embCol: String,
+                        cents: Seq[(Long, Array[Long])]): DataFrame = {
+    require(cents.nonEmpty && cents.size <= 64,
+      s"need 1..64 centroids, got ${cents.size}")
+    val q = points.select(col(idCol).as("_ka_id"), quantize(col(embCol)).as("_ka_q"))
+    argminAssign(q, "_ka_id", "_ka_q", cents)
+      .select(col("_ka_id").as(idCol), col("cluster"), col("qdist"))
+  }
+
+  def kmeansFixedPoint(points: DataFrame, idCol: String, embCol: String,
+                       k: Int, rounds: Int): DataFrame =
+    assignToCentroids(points, idCol, embCol,
+      kmeansCentroids(points, idCol, embCol, k, rounds))
 
   /** Greedy k-center selection (Gonzalez 1985 farthest-first
     * traversal) — diversity-driven coreset/data-pruning: pick the k

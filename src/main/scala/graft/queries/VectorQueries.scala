@@ -209,6 +209,21 @@ object VectorQueries {
         "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds)
     }),
 
+    // Frozen-codebook incremental assignment: train k-means ONCE on a
+    // corpus snapshot (here the even-id half), then assign EVERY
+    // vector — including the "new" odd-id increment — against the
+    // frozen centroids. Clusters stay comparable across daily
+    // increments because the codebook never moves; assignment of an
+    // increment is the same zero-shuffle literal-centroid map.
+    "cluster_assign_incremental" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = Clustering.kmeansCentroids(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        k = KmeansK, rounds = KmeansRounds)
+      Clustering.assignToCentroids(emb, "vec_id", "embedding", cents)
+        .withColumn("is_new", col("vec_id") % 2 =!= 0)
+    }),
+
     // Greedy k-center coreset selection (farthest-first traversal):
     // the diversity-maximizing pick for data pruning — complements
     // kmeans (mass balance) with coverage. Integer distances + lowest-
@@ -256,11 +271,19 @@ object VectorQueries {
     * reference). `//` and `div` both truncate toward zero, so the
     * centroid updates agree even on negative coordinate sums. Yields
     * CTEs `q`, `c0..cR`, `a1..a{R+1}`; callers SELECT from the chain.
+    * With `trainWhere` set, TRAINING (seed, per-round assignments,
+    * updates) runs over the filtered subset `qt` while the final
+    * assignment a{R+1} covers the full `q` — the frozen-codebook
+    * incremental path.
     */
-  private[queries] def kmeansCtes(k: Int, rounds: Int): String = {
+  private[queries] def kmeansCtes(k: Int, rounds: Int,
+                                  trainWhere: Option[String] = None): String = {
+    val trainSrc = if (trainWhere.isDefined) "qt" else "q"
     val quant =
       "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000) AS BIGINT))"
-    def assign(i: Int): String =
+    def assign(i: Int): String = {
+      val src = if (i <= rounds) trainSrc else "q"
+      val from = if (src == "q") "q" else s"$src q"
       s""", a$i AS MATERIALIZED (
          |  SELECT vec_id, cid, dist FROM (
          |    SELECT vec_id, cid, dist,
@@ -269,10 +292,11 @@ object VectorQueries {
          |      SELECT q.vec_id, c.cid,
          |        CAST(list_sum(list_transform(list_zip(q.q, c.c),
          |          p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
-         |      FROM q CROSS JOIN c${i - 1} c
+         |      FROM $from CROSS JOIN c${i - 1} c
          |    )
          |  ) WHERE rn = 1
          |)""".stripMargin
+    }
     def update(i: Int): String =
       s""", c$i AS MATERIALIZED (
          |  SELECT p.cid, coalesce(u.c, p.c) AS c
@@ -287,11 +311,15 @@ object VectorQueries {
          |  ) u ON p.cid = u.cid
          |)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + update(i)).mkString + assign(rounds + 1)
+    val qtCte = trainWhere.map(w =>
+      s""", qt AS MATERIALIZED (
+         |  SELECT vec_id, q FROM q WHERE $w
+         |)""".stripMargin).getOrElse("")
     s"""q AS MATERIALIZED (
        |  SELECT vec_id, $quant AS q FROM embeddings
-       |), c0 AS MATERIALIZED (
+       |)$qtCte, c0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
-       |  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT $k)
+       |  FROM (SELECT vec_id, q FROM $trainSrc ORDER BY vec_id LIMIT $k)
        |)$body""".stripMargin
   }
 
@@ -445,6 +473,14 @@ object VectorQueries {
     "cluster_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansRounds)}
          |SELECT vec_id, cid AS cluster, dist AS qdist FROM a${KmeansRounds + 1}""".stripMargin,
+
+    // Twin of the frozen-codebook path: training CTEs over qt (the
+    // even-id half), final assignment over the full corpus.
+    "cluster_assign_incremental" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansRounds, Some("vec_id % 2 = 0"))}
+         |SELECT vec_id, cid AS cluster, dist AS qdist,
+         |  vec_id % 2 <> 0 AS is_new
+         |FROM a${KmeansRounds + 1}""".stripMargin,
 
     // Twin of Clustering.kCenterSelect: quantize → lowest-id seed →
     // k−1 farthest-first rounds (max min-distance, lowest-id ties) →

@@ -182,6 +182,31 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("frozen codebook: kmeansFixedPoint == centroids + assignToCentroids; increments don't move centroids") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L).map { id =>
+      id -> Seq.fill(4)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val df = mkPoints(vecs)
+    val composed = Clustering.assignToCentroids(df, "vec_id", "embedding",
+      Clustering.kmeansCentroids(df, "vec_id", "embedding", 3, 2))
+      .collect().map(_.toSeq).toSet
+    val direct = Clustering.kmeansFixedPoint(df, "vec_id", "embedding", 3, 2)
+      .collect().map(_.toSeq).toSet
+    assert(composed === direct)
+    // a far-out increment assigns to SOME frozen centroid with a large
+    // qdist instead of dragging a centroid toward itself
+    val cents = Clustering.kmeansCentroids(df, "vec_id", "embedding", 3, 2)
+    val inc = mkPoints(vecs ++ Seq(999L -> Seq(30f, 30f, 30f, 30f)))
+    val got = Clustering.assignToCentroids(inc, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(999L)._2 > 1000000L, s"outlier qdist suspiciously small: ${got(999L)}")
+    // old points' assignments are untouched by the increment
+    val old = Clustering.assignToCentroids(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    vecs.foreach { case (id, _) => assert(got(id) === old(id)) }
+  }
+
   test("deterministic across reruns") {
     val rnd = new scala.util.Random(99)
     val vecs = (0L until 30L).map { id =>
