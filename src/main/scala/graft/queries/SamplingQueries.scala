@@ -20,6 +20,7 @@ object SamplingQueries {
   private val StrataPerMille = Map("click" -> 100, "purchase" -> 500, "view" -> 200)
   private val DefaultPerMille = 50
   private val DsirBuckets = 512
+  private val TokenBudget = 10000L
 
   val queries: Map[String, Q] = Map(
     // Train/val/test split: membership is a pure function of the row
@@ -57,6 +58,23 @@ object SamplingQueries {
       graft.operators.Dsir.importanceWeights(
         Tables.documents(spark, dir), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = DsirBuckets)
+    }),
+
+    // Quality-ranked selection to a token budget: keep the best docs
+    // (type-token-ratio score, id tie-break) until the budget is
+    // spent. Implemented as a score-bucket threshold so the only
+    // unpartitioned windows are the score-cardinality running sum and
+    // the single boundary score's docs — never the corpus; the oracle
+    // runs the naive global cumsum and must match exactly.
+    "sample_token_budget" -> ((spark, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(spark, dir)
+        .select(col("doc_id"), size(toks).as("n0"),
+          size(array_distinct(toks)).as("u0"))
+        .select(col("doc_id"), col("n0").cast("long").as("n_tok"),
+          expr("CAST(u0 AS BIGINT) * 1000 div n0").as("score"))
+      graft.operators.BudgetSelect.selectToTokenBudget(
+        scored, "doc_id", "n_tok", "score", budget = TokenBudget)
     }),
 
     // Per-stratum deterministic Bernoulli sample with differing
@@ -575,6 +593,22 @@ object SamplingQueries {
          |  CAST(sum(q.qlog) AS BIGINT) AS score_fp,
          |  CAST(sum(q.qlog) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_fp
          |FROM wb JOIN q USING (b) GROUP BY 1, 2""".stripMargin,
+
+    // Naive global-cumsum twin of BudgetSelect.selectToTokenBudget.
+    "sample_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS score
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tok, score,
+         |    sum(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |)
+         |SELECT doc_id, n_tok, score, cum <= $TokenBudget AS selected FROM c""".stripMargin,
 
     "sample_stratified" -> stratifiedSql,
     "pack_sequences" -> packSequencesSql,
