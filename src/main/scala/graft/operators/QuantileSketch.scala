@@ -20,10 +20,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * unbiasedness but gains run-determinism, and the sketch carries its
   * OWN worst-case rank-error bound — `err` grows by the compaction
   * weight 2^l each time a level compacts, so every query is
-  * self-certifying: true_rank(query(φ)) ∈ φ·n ± (err + 1) under ANY
-  * partial-merge order. The registered query asserts exactly that
-  * bound against exact ranks (the a8/recall invariant-harness pattern
-  * for values no two engines would reproduce bit-identically).
+  * self-certifying under ANY partial-merge order: the returned value
+  * is a stored data value, and its rank INTERVAL
+  * [count(< v) + 1, count(≤ v)] sits within err + 1 of the target
+  * rank φ·n. The interval form matters on tied data — a single-rank
+  * check would misread a tie run's whole mass as sketch error. The
+  * registered query asserts exactly that bound against exact ranks
+  * (the a8/recall invariant-harness pattern for values no two engines
+  * would reproduce bit-identically).
   */
 object QuantileSketch {
 

@@ -328,20 +328,31 @@ object AggWindowQueries {
           QuantileSketch.query(sk, phis(0)), QuantileSketch.query(sk, phis(1)),
           QuantileSketch.query(sk, phis(2)), QuantileSketch.query(sk, phis(3)))
       }.toDF("event_type", "n_partials", "n", "err", "e25", "e50", "e75", "e95")
+      // est is a stored value: with ties its rank is the INTERVAL
+      // [count(<est)+1, count(<=est)] — the bound asserts the target
+      // sits within err+1 of that interval (a single-rank check would
+      // misread a tie run's whole mass as sketch error)
       val exact = ev.join(broadcast(est), Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_exact"),
           sum(when(col("value") <= col("e25"), 1L).otherwise(0L)).as("r25"),
           sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("r50"),
           sum(when(col("value") <= col("e75"), 1L).otherwise(0L)).as("r75"),
-          sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).as("r95"))
-      def rankOk(r: String, phi: Double) =
-        (abs(col(r) - ceil(lit(phi) * col("n_exact"))) <= col("err") + 1L)
+          sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).as("r95"),
+          sum(when(col("value") < col("e25"), 1L).otherwise(0L)).as("s25"),
+          sum(when(col("value") < col("e50"), 1L).otherwise(0L)).as("s50"),
+          sum(when(col("value") < col("e75"), 1L).otherwise(0L)).as("s75"),
+          sum(when(col("value") < col("e95"), 1L).otherwise(0L)).as("s95"))
+      def rankOk(r: String, s: String, phi: Double) = {
+        val target = ceil(lit(phi) * col("n_exact"))
+        target >= col(s) + 1L - (col("err") + 1L) &&
+          target <= col(r) + col("err") + 1L
+      }
       est.join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_partials"), col("n_exact"),
           (col("n") === col("n_exact")).as("mass_exact"),
-          rankOk("r25", 0.25).as("r25_ok"), rankOk("r50", 0.5).as("r50_ok"),
-          rankOk("r75", 0.75).as("r75_ok"), rankOk("r95", 0.95).as("r95_ok"),
+          rankOk("r25", "s25", 0.25).as("r25_ok"), rankOk("r50", "s50", 0.5).as("r50_ok"),
+          rankOk("r75", "s75", 0.75).as("r75_ok"), rankOk("r95", "s95", 0.95).as("r95_ok"),
           (col("e25") <= col("e50") && col("e50") <= col("e75") &&
             col("e75") <= col("e95")).as("monotone"))
     }),

@@ -146,4 +146,83 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(got === expected(id), s"row id $id")
     }
   }
+
+  test("kmeans matches the driver-side reference over random sizes, dims, k, and rounds") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(60)
+      val dim = 2 + rnd.nextInt(8)
+      val k = 2 + rnd.nextInt(4)
+      val rounds = 1 + rnd.nextInt(3)
+      val vecs = (0L until n.toLong).map { id =>
+        id -> Seq.fill(dim)((rnd.nextFloat() - 0.5f) * 4f)
+      }
+      // independent driver-side reference: same quantization/seed/update rules
+      val q = vecs.map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 10000d).toLong).toArray
+      }.sortBy(_._1)
+      var cents = q.take(k).map(_._2.clone()).toArray
+      def sq(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+      }
+      def assignAll(): Map[Long, (Long, Long)] = q.map { case (id, v) =>
+        id -> cents.zipWithIndex.map { case (c, j) => (sq(v, c), j.toLong) }.min.swap
+      }.toMap
+      (1 to rounds).foreach { _ =>
+        val a = q.map { case (id, v) =>
+          id -> cents.zipWithIndex.map { case (c, j) => (sq(v, c), j) }.min._2
+        }
+        val next = cents.map(_.clone())
+        a.groupBy(_._2).foreach { case (cid, members) =>
+          val s = new Array[Long](dim)
+          members.foreach { case (id, _) =>
+            val v = q.find(_._1 == id).get._2
+            var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+          }
+          next(cid) = s.map(_ / members.size)
+        }
+        cents = next
+      }
+      val expected = assignAll()
+      val got = graft.operators.Clustering
+        .kmeansFixedPoint(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", k, rounds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expected, s"trial $trial n=$n dim=$dim k=$k rounds=$rounds")
+    }
+  }
+
+  test("KLL bound holds over random distributions, capacities, and partition splits") {
+    val rnd = new Random(43)
+    import graft.operators.QuantileSketch
+    for (trial <- 1 to 4) {
+      val n = 2000 + rnd.nextInt(8000)
+      val k = Seq(32, 64, 128)(rnd.nextInt(3))
+      // mix of heavy ties, uniform noise, and outliers
+      val xs = Seq.fill(n)(rnd.nextInt(4) match {
+        case 0 => 42.0
+        case 1 => rnd.nextDouble() * 1e6
+        case 2 => -rnd.nextDouble()
+        case _ => rnd.nextGaussian() * 100
+      })
+      // random partition split, merged in shuffled order
+      val parts = rnd.shuffle(xs.grouped(1 + rnd.nextInt(700)).toList)
+        .map(_.foldLeft(QuantileSketch.empty(k))(QuantileSketch.insert))
+      val sk = parts.reduceLeft(QuantileSketch.merge)
+      assert(sk.n === n.toLong, s"trial $trial mass")
+      for (phi <- Seq(0.05, 0.5, 0.95)) {
+        val est = QuantileSketch.query(sk, phi)
+        // est is a stored data value, so with ties its rank is the
+        // INTERVAL [count(<est)+1, count(<=est)] — the bound holds if
+        // the target sits within err+1 of that interval (a single-rank
+        // check misreads a tie run's whole mass as error)
+        val lo = xs.count(_ < est).toLong + 1
+        val hi = xs.count(_ <= est).toLong
+        val target = math.ceil(phi * n).toLong
+        assert(target >= lo - sk.err - 1 && target <= hi + sk.err + 1,
+          s"trial $trial phi=$phi interval=[$lo,$hi] target=$target err=${sk.err}")
+      }
+    }
+  }
 }
