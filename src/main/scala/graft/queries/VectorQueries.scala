@@ -224,6 +224,43 @@ object VectorQueries {
         .withColumn("is_new", col("vec_id") % 2 =!= 0)
     }),
 
+    // Embedding-space drift between snapshots: train the codebook on
+    // the OLD snapshot (even ids), assign both snapshots against the
+    // frozen centroids, and PSI the two cluster histograms — the
+    // distribution-shift monitor an embedding pipeline runs per
+    // increment (drift_psi's recipe lifted from a scalar bucket to
+    // learned cluster space). Histograms are exact integers over the
+    // full k-cluster domain (empty clusters kept, add-one smoothed);
+    // PSI is a k-term double sum rounded at 4 dp (the drift_psi
+    // convention). Everything past the assignment pass is k-row work.
+    "drift_cluster_shift" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = Clustering.kmeansCentroids(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        k = KmeansK, rounds = KmeansRounds)
+      val hist = Clustering.assignToCentroids(emb, "vec_id", "embedding", cents)
+        .groupBy("cluster")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+      import spark.implicits._
+      val domain = cents.map(_._1).toDF("cluster")
+      val full = domain.join(hist, Seq("cluster"), "left")
+        .na.fill(0L, Seq("n_old", "n_new"))
+      val tot = full.agg(sum(col("n_old")).as("t_o"), sum(col("n_new")).as("t_n"))
+      val kD = KmeansK.toDouble
+      val terms = full.crossJoin(tot)
+        .withColumn("p", (col("n_old") + 1) / (col("t_o") + kD))
+        .withColumn("q", (col("n_new") + 1) / (col("t_n") + kD))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      terms
+        .select(col("cluster"), col("n_old"), col("n_new"),
+          round(col("term"), 4).as("psi_term"),
+          round(sum(col("term")).over(w), 4).as("psi_total"))
+        .withColumn("drifted", col("psi_total") > 0.25)
+    }),
+
     // Greedy k-center coreset selection (farthest-first traversal):
     // the diversity-maximizing pick for data pruning — complements
     // kmeans (mass balance) with coverage. Integer distances + lowest-
@@ -473,6 +510,36 @@ object VectorQueries {
     "cluster_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansRounds)}
          |SELECT vec_id, cid AS cluster, dist AS qdist FROM a${KmeansRounds + 1}""".stripMargin,
+
+    // Twin of drift_cluster_shift: same trained-on-old chain, exact
+    // k-domain histograms (range(k) left join), the same smoothed
+    // k-term PSI sum.
+    "drift_cluster_shift" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansRounds, Some("vec_id % 2 = 0"))}, h AS (
+         |  SELECT cid AS cluster,
+         |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+         |    sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_new
+         |  FROM a${KmeansRounds + 1} GROUP BY 1
+         |), full_h AS (
+         |  SELECT CAST(d.b AS BIGINT) AS cluster,
+         |    coalesce(h.n_old, 0) AS n_old, coalesce(h.n_new, 0) AS n_new
+         |  FROM (SELECT unnest(range($KmeansK)) AS b) d
+         |  LEFT JOIN h ON d.b = h.cluster
+         |), t AS (
+         |  SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM full_h
+         |), terms AS (
+         |  SELECT cluster, n_old, n_new,
+         |    ((n_old + 1) / (t_o + $KmeansK.0) - (n_new + 1) / (t_n + $KmeansK.0)) *
+         |      ln(((n_old + 1) / (t_o + $KmeansK.0)) /
+         |         ((n_new + 1) / (t_n + $KmeansK.0))) AS term
+         |  FROM full_h, t
+         |)
+         |SELECT cluster, CAST(n_old AS BIGINT) AS n_old,
+         |  CAST(n_new AS BIGINT) AS n_new,
+         |  round(term, 4) AS psi_term,
+         |  round(sum(term) OVER (), 4) AS psi_total,
+         |  round(sum(term) OVER (), 4) > 0.25 AS drifted
+         |FROM terms""".stripMargin,
 
     // Twin of the frozen-codebook path: training CTEs over qt (the
     // even-id half), final assignment over the full corpus.

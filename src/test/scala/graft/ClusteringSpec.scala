@@ -207,6 +207,38 @@ class ClusteringSpec extends SparkSpec {
     vecs.foreach { case (id, _) => assert(got(id) === old(id)) }
   }
 
+  test("cluster-histogram PSI flags a planted snapshot shift and stays flat without one") {
+    import org.apache.spark.sql.functions._
+    // mirror of the drift_cluster_shift recipe on a planted fixture:
+    // old (even ids) lives in two regions; new (odd ids) abandons one
+    val regionA = Seq(1f, 1f); val regionB = Seq(-1f, -1f)
+    def mk(pairs: Seq[(Long, Seq[Float])]) = mkPoints(pairs)
+    val olds = (0L until 40L by 2).map(i =>
+      i -> (if (i % 4 == 0) regionA else regionB))
+    val newsShift = (1L until 40L by 2).map(i => i -> regionA) // all A
+    val all = mk(olds ++ newsShift)
+    val cents = Clustering.kmeansCentroids(
+      all.where(col("vec_id") % 2 === 0), "vec_id", "embedding", 2, 2)
+    val hist = Clustering.assignToCentroids(all, "vec_id", "embedding", cents)
+      .groupBy("cluster")
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // old split ~50/50 across the two clusters; new is 100/0
+    val (pA, pB) = (hist.values.map(_._1).toSeq.sorted, hist.values.map(_._2).toSeq.sorted)
+    assert(pA === Seq(10L, 10L), s"old histogram $hist")
+    assert(pB === Seq(0L, 20L), s"new histogram $hist")
+    def psi(h: Map[Long, (Long, Long)]): Double = {
+      val tO = h.values.map(_._1).sum + 2.0
+      val tN = h.values.map(_._2).sum + 2.0
+      h.values.map { case (o, n) =>
+        val p = (o + 1) / tO; val q = (n + 1) / tN
+        (p - q) * math.log(p / q)
+      }.sum
+    }
+    assert(psi(hist) > 0.25, s"planted shift must exceed the drift threshold: ${psi(hist)}")
+  }
+
   test("deterministic across reruns") {
     val rnd = new scala.util.Random(99)
     val vecs = (0L until 30L).map { id =>
