@@ -76,6 +76,60 @@ object GraphRank {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * set, so ranks measure proximity to the seeds through the link
+    * structure — the "weight sources by similarity to a trusted seed
+    * corpus" selection signal (the link-analysis counterpart of DSIR's
+    * content-side importance weighting).
+    *
+    * Same fixed-point BIGINT contract as [[pageRank]]: seeds split the
+    * 15% teleport mass integrally (`(15·Scale div 100) div |S|`), the
+    * damped update is `base_if_seed + (85·Σcontrib) div 100`, every
+    * step integral — the DuckDB oracle unrolls the same rounds as
+    * chained CTEs and matches bit for bit. Nodes with no in-path from
+    * a seed hold only initial mass decaying geometrically (0.85 per
+    * round, integer-truncated) — rank order separates them from the
+    * seed-fed region after a few rounds. Iteration/shuffle shape
+    * identical to [[pageRank]].
+    *
+    * @param isSeed evaluated against the node id column
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), isSeed(col("node")).as("seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes.where(col("seed")).count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed node")
+    val base = (15L * Scale / 100L) / nSeeds
+    val r0 = Scale / math.max(nodes.count(), 1L)
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    var iter = 0
+    while (iter < iters) {
+      val contribs = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      if ((iter + 1) % 4 == 0 && iter + 1 < iters)
+        ranks = ranks.localCheckpoint(true)
+      iter += 1
+    }
+    ranks
+  }
+
   /** Canonical undirected edge list: self-loops dropped, both input
     * orientations collapsed onto `a < b`, duplicates removed. */
   private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -281,6 +281,23 @@ object JoinQueries {
       GraphRank.pageRank(edges, "a", "b", iters = 5)
     }),
 
+    // Personalized PageRank over the same supplier–customer graph:
+    // teleport mass lands only on the seed suppliers (node % 10 = 0),
+    // so ranks measure proximity to the trusted seed set — the
+    // link-analysis counterpart of DSIR's content-side weighting.
+    // Fixed-point BIGINT throughout; the oracle unrolls the SAME 5
+    // rounds with the seed-gated base term and matches bit for bit.
+    "graph_ppr" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
+      val edges = sc.unionByName(sc.select(col("b").as("a"), col("a").as("b")))
+      GraphRank.personalizedPageRank(edges, "a", "b",
+        n => n % 10 === 0, iters = 5)
+    }),
+
     // Exact per-node triangle counts over the part co-purchase graph
     // (parts appearing together in >= 2 distinct orders — the >= 2
     // support threshold keeps the graph sparse where raw co-occurrence
@@ -481,6 +498,7 @@ object JoinQueries {
         |FROM clicks FULL OUTER JOIN buys ON clicks.user_id = buys.user_id""".stripMargin,
 
     "graph_pagerank" -> pagerankSql,
+    "graph_ppr" -> pprSql,
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
     "graph_labelprop" -> labelpropSql,
@@ -535,6 +553,53 @@ object JoinQueries {
       s""", r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    CAST((15 * ($scale // (SELECT n FROM np))) // 100
+         |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // deg.deg) AS s
+         |    FROM e JOIN deg ON e.src = deg.src
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1
+         |  ) c ON nodes.node = c.node
+         |)""".stripMargin
+    }.mkString
+    head + rounds + s"\nSELECT node, rank FROM r$iters"
+  }
+
+  // Generated twin of GraphRank.personalizedPageRank: the pagerank
+  // chain with the base term gated to the seed set and split
+  // integrally across it — ((15·Scale)//100)//|S|, mirroring the
+  // Scala composition order exactly.
+  private lazy val pprSql: String = {
+    val iters = 5
+    val scale = graft.operators.GraphRank.Scale
+    val head =
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sc
+         |  UNION ALL SELECT b, a FROM sc
+         |), deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM e GROUP BY 1
+         |), nodes AS MATERIALIZED (
+         |  SELECT node, node % 10 = 0 AS seed FROM (
+         |    SELECT DISTINCT node FROM (
+         |      SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+         |    )
+         |  )
+         |), np AS MATERIALIZED (SELECT count(*) AS n FROM nodes
+         |), sp AS MATERIALIZED (SELECT count(*) AS ns FROM nodes WHERE seed
+         |), r0 AS (
+         |  SELECT node,
+         |    CAST($scale // (SELECT n FROM np) AS BIGINT) AS rank
+         |  FROM nodes
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""", r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    CAST(CASE WHEN nodes.seed
+         |           THEN ((15 * $scale) // 100) // (SELECT ns FROM sp)
+         |           ELSE 0 END
          |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes LEFT JOIN (
          |    SELECT e.dst AS node, sum(r.rank // deg.deg) AS s

@@ -167,4 +167,37 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.pageRank(e.where(lit(false)), "a", "b", iters = 3)
     }
   }
+
+  test("personalized PageRank: mass concentrates near the seed; detached cluster decays to 0") {
+    import spark.implicits._
+    // seed star {0 ↔ 1..4} plus a detached pair {100 ↔ 101}: the pair
+    // gets no teleport mass, so its rank follows the exact integer
+    // recurrence x' = (85·x) div 100 from x0 = Scale/7 — geometric
+    // decay toward 0, computable exactly driver-side; the seed hub
+    // outranks its leaves.
+    val star = (1L to 4L).map(i => (0L, i))
+    val edges = (star ++ Seq((100L, 101L))).toDF("a", "b")
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val iters = 12
+    val got = GraphRank.personalizedPageRank(sym, "a", "b",
+      n => n === 0L, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) > got(1L), s"seed hub must outrank leaves: $got")
+    assert(got(1L) > 0L)
+    var detached = GraphRank.Scale / 7L
+    (1 to iters).foreach(_ => detached = (85L * detached) / 100L)
+    assert(got(100L) === detached && got(101L) === detached,
+      s"detached pair must follow the exact 0.85-decay recurrence ($detached): $got")
+    assert(got(100L) < got(1L), s"no-teleport nodes must rank below seed-fed leaves: $got")
+    // leaves are symmetric: identical ranks
+    assert(Seq(got(1L), got(2L), got(3L), got(4L)).distinct.size === 1)
+  }
+
+  test("personalized PageRank: requires a non-empty seed set") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      GraphRank.personalizedPageRank(e, "a", "b", _ => lit(false), iters = 3)
+    }
+  }
 }
