@@ -61,4 +61,24 @@ object GraftSession {
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
       math.max(2, Runtime.getRuntime.availableProcessors()))
+
+  /** Lineage truncation for iterative operators (PageRank rounds,
+    * component pointer-jumping, k-core peeling, …).
+    *
+    * `localCheckpoint` stores blocks on EXECUTOR-LOCAL storage: fast,
+    * zero-config, but under executor loss or dynamic allocation the
+    * job fails unrecoverably instead of recomputing. On a long cluster
+    * run, set a checkpoint dir (`sc.setCheckpointDir(...)`) and every
+    * operator here upgrades to a RELIABLE checkpoint automatically —
+    * same truncation semantics, blocks in fault-tolerant storage.
+    * Results are identical either way; only failure behavior changes.
+    */
+  def truncate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** `df.truncateLineage()` sugar for [[truncate]]. */
+  implicit class LineageOps(private val df: org.apache.spark.sql.DataFrame) extends AnyVal {
+    def truncateLineage(): org.apache.spark.sql.DataFrame = truncate(df)
+  }
 }

@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.GraftSession.LineageOps
 import graft.operators.GeoOps
 import graft.queries.Fixtures
 
@@ -46,7 +47,7 @@ object EventTotalsJob {
         min(struct(col("ts"), col("event_id"))).as("first_evt"))
       // compact (|users|×|types|×|weeks|) and read by both branches —
       // materialize once rather than re-running scan+tag+agg twice
-      .localCheckpoint(true)
+      .truncateLineage()
 
     // Conditional aggregation replaces the per-class count pipelines.
     val weekly = pre

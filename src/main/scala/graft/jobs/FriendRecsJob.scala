@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.GraftSession.LineageOps
 import graft.operators.{GeoBlocking, GeoOps}
 import graft.queries.Fixtures
 
@@ -88,7 +89,7 @@ object FriendRecsJob {
       // materialize once instead of re-running scan+tag+agg per
       // reference. localCheckpoint over persist: no cache-registry
       // entry for callers to leak.
-      .localCheckpoint(true)
+      .truncateLineage()
 
     val lastCoords = perUser
       .select(col("user_id"), col("b.lat"), col("b.lon"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.GraftSession.LineageOps
 import graft.functions.TextFns
 
 /** Document deduplication operators for large-scale training-data
@@ -179,7 +180,7 @@ object Dedup {
       .unionByName(directed.select(col("a"), col("a").as("b")))
       .unionByName(directed.select(col("b").as("a"), col("b")))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     var labels = sym.select(col("a").as("node"), col("a").as("lbl")).distinct()
     // Labels only ever decrease, so the label sum strictly decreases
     // until the fixpoint: sum equality IS the convergence test — one
@@ -213,7 +214,7 @@ object Dedup {
       val next = propagated
         .groupBy("node")
         .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .truncateLineage()
       // sum() over zero rows is null — an empty edge set is already
       // converged (no nodes, no labels)
       val sumRow = next.agg(sum(col("lbl"))).head()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.GraftSession.LineageOps
 
 /** Integer-arithmetic PageRank — link-quality weighting for corpus
   * curation (rank citation/hyperlink graphs to prioritize or weight
@@ -23,13 +24,13 @@ import org.apache.spark.sql.functions._
   * nodes keep the base term only (their mass is not redistributed —
   * the variant is mirrored exactly in the oracle).
   *
-  * Deployment caveat (applies to every operator here): lineage is
-  * truncated with `localCheckpoint` — executor-local blocks, NOT a
-  * reliable checkpoint. Under executor loss or dynamic allocation the
-  * job fails unrecoverably instead of recomputing; on long cluster
-  * runs set a checkpoint dir and swap in `checkpoint()` (or persist
-  * to MEMORY_AND_DISK and accept recompute) — the iteration structure
-  * is unchanged either way.
+  * Deployment note (applies to every operator here): lineage is
+  * truncated via [[graft.core.GraftSession.truncate]] — executor-local
+  * blocks by default (fast, zero-config), upgrading AUTOMATICALLY to a
+  * reliable `checkpoint()` whenever the context has a checkpoint dir
+  * set. On long cluster runs with executor loss or dynamic allocation,
+  * set `sc.setCheckpointDir(...)`; results are identical either way
+  * (GraphRankSpec pins that equivalence).
   */
 object GraphRank {
 
@@ -45,11 +46,11 @@ object GraphRank {
     // every round's src-join then moves only the (node-cardinality)
     // rank table, and the final node-join reuses the agg's own
     // node-partitioning — the edge table never re-shuffles.
-    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val eDeg = e.join(deg, "src").repartition(col("src")).truncateLineage()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
     val r0 = Scale / n
@@ -70,7 +71,7 @@ object GraphRank {
       // cheaply, while an eager materialization every round costs more
       // than it saves. Deep iteration counts still truncate lineage.
       if ((iter + 1) % 4 == 0 && iter + 1 < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.truncateLineage()
       iter += 1
     }
     ranks
@@ -101,12 +102,12 @@ object GraphRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val eDeg = e.join(deg, "src").repartition(col("src")).truncateLineage()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .select(col("node"), isSeed(col("node")).as("seed"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val nSeeds = nodes.where(col("seed")).count()
     require(nSeeds > 0, "personalizedPageRank needs at least one seed node")
     val base = (15L * Scale / 100L) / nSeeds
@@ -124,7 +125,7 @@ object GraphRank {
           (when(col("seed"), lit(base)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
       if ((iter + 1) % 4 == 0 && iter + 1 < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.truncateLineage()
       iter += 1
     }
     ranks
@@ -162,7 +163,7 @@ object GraphRank {
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // canon feeds the degree agg AND the orientation join — pin it
     // once so the dedup shuffle isn't recomputed per consumer.
-    val canon = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    val canon = canonical(edges, srcCol, dstCol).truncateLineage()
     val deg = canon.select(col("a").as("n"))
       .unionByName(canon.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -178,7 +179,7 @@ object GraphRank {
           .otherwise(col("a")).as("v"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
           .otherwise(col("da")).as("dv"))
-      .localCheckpoint(true)
+      .truncateLineage()
     // Wedges from each pivot u: unordered out-neighbor pairs, emitted
     // in (degree, id) order so the closing edge is oriented x → y.
     val o1 = orient.select(col("u"), col("v").as("x"), col("dv").as("dx"))
@@ -216,7 +217,7 @@ object GraphRank {
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 50,
       s"need k >= 1, 1 <= rounds <= 50; got k=$k rounds=$rounds")
-    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    var cur = canonical(edges, srcCol, dstCol).truncateLineage()
     var r = 0
     while (r < rounds) {
       val deg = cur.select(col("a").as("n"))
@@ -227,7 +228,7 @@ object GraphRank {
         .join(keep.select(col("n").as("a")), Seq("a"), "leftsemi")
         .join(keep.select(col("n").as("b")), Seq("b"), "leftsemi")
         .select(col("a"), col("b"))
-      if ((r + 1) % 3 == 0 && r + 1 < rounds) cur = cur.localCheckpoint(true)
+      if ((r + 1) % 3 == 0 && r + 1 < rounds) cur = cur.truncateLineage()
       r += 1
     }
     cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
@@ -272,7 +273,7 @@ object GraphRank {
     val e = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .truncateLineage()
     // every non-isolated node appears as src in the symmetrized list,
     // so the per-round join needs no outer branch
     var labels = e.select(col("src").as("node")).distinct()
@@ -290,7 +291,7 @@ object GraphRank {
         .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
           .as("label"))
       if ((r + 1) % 3 == 0 && r + 1 < rounds)
-        labels = labels.localCheckpoint(true)
+        labels = labels.truncateLineage()
       r += 1
     }
     labels

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.GraftSession.LineageOps
 
 /** Lakehouse-style table-maintenance operators the reference's daily
   * datamart rewrite (SURVEY §2.1 S6: errorifexists→overwrite) implies
@@ -103,7 +104,7 @@ object Lakehouse {
     // which moves away on publish
     val report = audit(spark.read.parquet(staging.toString))
       .select(col("check_name"), col("violations"), col("total"), col("passed"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val clean = report.where(!col("passed")).isEmpty
     if (clean) {
       fs.delete(retired, true)

@@ -193,6 +193,28 @@ class GraphRankSpec extends SparkSpec {
     assert(Seq(got(1L), got(2L), got(3L), got(4L)).distinct.size === 1)
   }
 
+  test("reliable-checkpoint mode produces identical ranks and writes checkpoint files") {
+    import spark.implicits._
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val edges = ring.unionByName(ring.select(col("b").as("a"), col("a").as("b")))
+    val localMode = GraphRank.pageRank(edges, "a", "b", iters = 6)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = GraphRank.pageRank(edges, "a", "b", iters = 6)
+        .collect().map(_.toSeq).toSet
+      assert(reliable === localMode)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally {
+      // clear so other suites keep the zero-config local path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("personalized PageRank: requires a non-empty seed set") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
