@@ -145,6 +145,20 @@ object TextQueries {
             .as("bounds_ok"))
     }),
 
+    // Distributed corpus-EXACT BPE merge training (the Sennrich
+    // algorithm at tokenizer-training scale): unlike text_bpe_tokens'
+    // bounded top-K sample fit, merges here are chosen from pair
+    // counts over the FULL distinct-word table — one vocab-sized hash
+    // aggregation + a single-row argmax pull per round, the word
+    // table rewritten by a literal replace projection. Every step is
+    // integer counting + deterministic string surgery, so the DuckDB
+    // oracle unrolls the SAME 4 rounds as chained materialized CTEs
+    // and matches bit for bit (the graph_pagerank/kmeans pattern).
+    "text_bpe_train" -> ((spark, dir) => {
+      graft.functions.Bpe.distributedFit(
+        Tables.documents(spark, dir), col("text"), nMerges = 4)
+    }),
+
     // Token counting: whitespace + regex tokenizations.
     "text_token_count" -> ((spark, dir) => {
       Tables.documents(spark, dir)
@@ -737,6 +751,14 @@ object TextQueries {
          |LEFT JOIN br ON d.doc_id = br.doc_id""".stripMargin
     },
 
+    // Bit-exact chained-CTE twin of the distributed BPE fit: same 4
+    // unrolled rounds, same delimited word form, same left-to-right
+    // replace() merge, same (count desc, pair asc) argmax. Every CTE
+    // a later level references more than once is MATERIALIZED (the
+    // graph_kcore lesson: DuckDB inlines plain CTEs and R rounds
+    // become ~3^R re-evaluations of the base).
+    "text_bpe_train" -> bpeTrainSql(4),
+
     // Invariant harness: the companions are DuckDB-exact; the bounds
     // boolean states the per-document BPE contract as a constant.
     "text_bpe_tokens" ->
@@ -1088,4 +1110,47 @@ object TextQueries {
     "text_bm25_topk" ->
       graft.operators.Retrieval.bm25OracleSql(Bm25Queries, k = 5)
   )
+
+  /** Chained-CTE oracle for [[graft.functions.Bpe.distributedFit]]:
+    * words → delimited char form → R unrolled rounds of (pair count,
+    * argmax, replace-merge). s/b CTEs are MATERIALIZED — each is
+    * referenced by the next round AND the final union, and DuckDB
+    * re-evaluates inlined CTEs per reference.
+    */
+  private def bpeTrainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' AND NOT contains(w, chr(1)) GROUP BY w),
+      |s0 AS MATERIALIZED (
+      |  SELECT c, chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g') AS s
+      |  FROM words)""".stripMargin
+    for (i <- 1 to rounds) {
+      val prev = s"s${i - 1}"
+      sb ++= s""",
+        |p$i AS (
+        |  SELECT p, sum(c) AS pc FROM (
+        |    SELECT c, chr(1) || l[i] || chr(1) || l[i+1] || chr(1) AS p FROM (
+        |      SELECT c, l, unnest(range(1, len(l))) AS i FROM (
+        |        SELECT c, list_filter(string_split(s, chr(1)), x -> x <> '') AS l
+        |        FROM $prev)))
+        |  GROUP BY p),
+        |b$i AS MATERIALIZED (SELECT p, pc FROM p$i ORDER BY pc DESC, p LIMIT 1)""".stripMargin
+      if (i < rounds) sb ++= s""",
+        |s$i AS MATERIALIZED (
+        |  SELECT c, replace(s, (SELECT p FROM b$i),
+        |    chr(1) || replace((SELECT p FROM b$i), chr(1), '') || chr(1)) AS s
+        |  FROM $prev)""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(i => s"SELECT $i AS mr, p, pc FROM b$i").mkString(" UNION ALL ")
+    sb ++= s"""
+      |SELECT CAST(mr AS INT) AS merge_rank,
+      |  replace(trim(p, chr(1)), chr(1), ' ') AS pair,
+      |  replace(p, chr(1), '') AS merged,
+      |  CAST(pc AS BIGINT) AS pair_count
+      |FROM ($unions)""".stripMargin
+    sb.toString
+  }
 }

@@ -16,6 +16,21 @@ class BpeSpec extends SparkSpec {
     assert(m1.take(2) === Vector(("e", "s"), ("es", "t")))
   }
 
+  test("distributed fit equals the driver-side fit on the corpus word counts") {
+    val docs = Tables.documents(spark, sfDir)
+    // Same word-count input the distributed fit aggregates internally.
+    val wc = docs.select(explode(TextFns.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expected = Bpe.fit(wc, 4)
+    val got = Bpe.distributedFit(docs, col("text"), nMerges = 4)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.length === 4)
+    assert(got.toVector === expected.map { case (a, b) => (a + " " + b, a + b) })
+  }
+
   test("priority apply equals the sequential reference apply on every fixture doc") {
     val docs = Tables.documents(spark, sfDir)
     val merges = Bpe.fitFromCorpus(docs, col("text"))
