@@ -133,6 +133,59 @@ object GraphRank {
 
   /** Canonical undirected edge list: self-loops dropped, both input
     * orientations collapsed onto `a < b`, duplicates removed. */
+  /** Deterministic hash-driven random walks (the DeepWalk/node2vec
+    * sampling primitive without RNG state): one walk starts at every
+    * node with id ≡ 0 (mod `seedMod`); at step t the walk at node v
+    * moves to neighbor number H(v,t) mod deg(v) of v's id-ordered
+    * adjacency list, where H(v,t) = ((v mod P)·1103515245 + t·12345)
+    * mod P with P = 2^31−1. Seed-free integer arithmetic only, so
+    * walks are reproducible across engines and runs — the DuckDB
+    * oracle unrolls the SAME `steps` rounds as chained CTEs and
+    * matches bit for bit.
+    *
+    * Scale shape: the ranked adjacency (dst rank + degree per src)
+    * materializes ONCE, partitioned by src; every step is a single
+    * walk-front⋈adjacency equi-join on src — the front stays at seed
+    * cardinality, never corpus-sized, and the driver loops over
+    * STEPS only. The symmetrized edge list guarantees deg ≥ 1 for
+    * every visited node, so walks never dead-end.
+    *
+    * Returns (walk_id, step, node): the step-0 seed row plus one row
+    * per step per walk.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  seedMod: Int, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 50, s"steps must be 1..50, got $steps")
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    val P = 2147483647L
+    val canon = canonical(edges, srcCol, dstCol)
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val adj = sym.select(col("src"), col("dst"),
+        row_number().over(bySrc.orderBy(col("dst"))).as("rn"),
+        count(lit(1)).over(bySrc).as("deg"))
+      .repartition(col("src"))
+      .truncateLineage()
+    var walks = adj.select(col("src").as("node")).distinct()
+      .where(col("node") % seedMod === 0)
+      .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
+    var front = walks
+    var t = 1
+    while (t <= steps) {
+      val stepped = front.select(col("walk_id"), col("node").as("src"))
+        .join(adj, "src")
+        .where(col("rn") ===
+          ((col("src") % P) * 1103515245L + t.toLong * 12345L) % P % col("deg") + 1)
+        .select(col("walk_id"), lit(t).as("step"), col("dst").as("node"))
+      walks = walks.unionByName(stepped)
+      front = stepped
+      t += 1
+    }
+    walks
+  }
+
   private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val s = col(srcCol); val d = col(dstCol)
     edges.where(s =!= d)

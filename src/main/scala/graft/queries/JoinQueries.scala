@@ -323,6 +323,17 @@ object JoinQueries {
         k = KcoreK, rounds = KcoreRounds)
     }),
 
+    // Deterministic hash-driven random walks (4 steps, seeds ≡ 0 mod
+    // 5) over the co-purchase graph — the DeepWalk/node2vec corpus
+    // sampler as a batch operator. H(v,t) picks the neighbor index,
+    // so walks are pure integer arithmetic and the oracle unrolls the
+    // SAME 4 steps as chained CTEs, bit for bit.
+    "graph_random_walks" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      GraphRank.randomWalks(coPurchaseEdges(spark, dir), "a", "b",
+        seedMod = RwSeedMod, steps = RwSteps)
+    }),
+
     // Synchronous label propagation (3 fixed rounds) over the same
     // co-purchase graph: community detection finer than connected
     // components — touching clusters keep distinct labels instead of
@@ -362,6 +373,8 @@ object JoinQueries {
   private val KcoreK = 2
   private val KcoreRounds = 4
   private val LpaRounds = 3
+  private val RwSeedMod = 5
+  private val RwSteps = 4
 
   /** Part co-purchase edges: id-ordered part pairs sharing >= 2 orders.
     * The order-key equi-join runs at lineitem cardinality; the group-by
@@ -501,6 +514,7 @@ object JoinQueries {
     "graph_ppr" -> pprSql,
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
+    "graph_random_walks" -> randomWalksSql,
     "graph_labelprop" -> labelpropSql,
 
     "er_fuzzy_pairs" ->
@@ -663,6 +677,37 @@ object JoinQueries {
        |  SELECT a AS n FROM e$KcoreRounds UNION ALL SELECT b FROM e$KcoreRounds
        |)
        |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
+  // Generated twin of GraphRank.randomWalks: the same id-ordered
+  // ranked adjacency, the same seed-free multiplicative hash
+  // H(v,t) = ((v % P)·1103515245 + t·12345) % P picking neighbor
+  // H % deg + 1, unrolled one chained CTE per step. All BIGINT
+  // arithmetic (max intermediate ≈ 2^62), so both engines agree
+  // exactly.
+  private lazy val randomWalksSql: String = {
+    val steps = (1 to RwSteps).map { t =>
+      s""", w$t AS MATERIALIZED (
+         |  SELECT w.walk_id, $t AS step, a.dst AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+         |   AND a.rn = (((w.node % 2147483647) * 1103515245
+         |                + $t * 12345) % 2147483647) % a.deg + 1
+         |)""".stripMargin
+    }.mkString
+    val unions = (0 to RwSteps).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")
+    s"""WITH $coPurchaseCte, sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pp
+       |  UNION ALL SELECT b, a FROM pp
+       |), adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM sym
+       |), w0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS walk_id, 0 AS step, src AS node
+       |  FROM sym WHERE src % $RwSeedMod = 0
+       |)$steps
+       |SELECT walk_id, CAST(step AS INT) AS step, node FROM ($unions)""".stripMargin
   }
 
   // Twin of GraphRank.labelPropagation: the same R synchronous rounds

@@ -157,6 +157,36 @@ class GraphRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("randomWalks: every transition is a graph edge, fronts never dead-end, runs reproduce") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a triangle 10-11-12: mixed degrees incl. deg-1 ends
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val w = GraphRank.randomWalks(e, "a", "b", seedMod = 1, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val seeds = w.filter(_._2 == 0).map(_._3).toSet
+    assert(seeds === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))
+    // each walk has exactly steps+1 rows, consecutive steps 0..4
+    w.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0 to 4), s"walk $id malformed")
+    }
+    // every consecutive (node -> next) pair is an undirected edge
+    val edgeSet = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    w.groupBy(_._1).foreach { case (id, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, u), (_, _, v)) =>
+          assert(edgeSet.contains((u, v)), s"walk $id used non-edge $u->$v")
+        case _ =>
+      }
+    }
+    // deterministic: a second run reproduces bit for bit
+    val w2 = GraphRank.randomWalks(e, "a", "b", seedMod = 1, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w.sorted.toSeq === w2.sorted.toSeq)
+  }
+
   test("guards: iteration bounds and empty graph rejected") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("a", "b")
