@@ -144,6 +144,37 @@ object Sampling {
       .drop("__bw")
   }
 
+  /** Temperature-flattened mixture weights (the T5/PaLM α = 1/2
+    * heuristic): instead of hand-set per-mille weights, each domain's
+    * sampling weight is proportional to c_d^α with α fixed at 1/2 —
+    * large domains are damped, small domains boosted, without any
+    * manual tuning. α = 1/2 is deliberate: IEEE sqrt is correctly
+    * rounded in both engines (general pow is not), so the per-domain
+    * quantization floor(sqrt(c_d)·1e4) is bit-deterministic and
+    * everything downstream is BIGINT division — the
+    * quantize-per-distinct-input pattern (the float risk is D domain
+    * boundary-landings, not n rows).
+    *
+    * Scale: one domain-keyed aggregation; the normalizing sum runs
+    * over a domain-cardinality window frame (≪ data). Returns per
+    * domain: doc/token counts, the quantized weight, flattened vs raw
+    * corpus share (ppm), and the token budget allocation.
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String, tokCol: Column,
+                         budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokCol).cast("long").as("c_tokens"))
+      .withColumn("w_x1e4", floor(sqrt(col("c_tokens")) * 1e4).cast("long"))
+      .withColumn("__wsum", sum(col("w_x1e4")).over(all))
+      .withColumn("__csum", sum(col("c_tokens")).over(all))
+      .withColumn("share_ppm", expr("(w_x1e4 * 1000000) div __wsum"))
+      .withColumn("raw_ppm", expr("(c_tokens * 1000000) div __csum"))
+      .withColumn("target_tokens", expr(s"(${budgetTokens}L * w_x1e4) div __wsum"))
+      .drop("__wsum", "__csum")
+  }
+
   /** Materialize the training corpus a mixture plan describes: every
     * doc appears once per full epoch of its domain, plus once more in
     * the final partial epoch iff its hash bucket falls under the

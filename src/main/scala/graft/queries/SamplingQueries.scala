@@ -367,6 +367,15 @@ object SamplingQueries {
         MixWeights, MixBudgetTokens)
     }),
 
+    // Temperature-flattened (α = 1/2) mixture weights per language:
+    // the automatic alternative to mix_epoch_plan's hand-set weights.
+    // sqrt is IEEE-correctly-rounded in both engines and quantized
+    // once per domain, so the whole result is integer-exact.
+    "mix_temperature_weights" -> ((spark, dir) => {
+      Sampling.temperatureMixture(Tables.documents(spark, dir), "lang",
+        size(TextFns.tokens(col("text"))).cast("long"), MixBudgetTokens)
+    }),
+
     // The corpus that plan describes, materialized: (doc, epoch) rows
     // — deterministic oversampling of up-weighted domains and hash
     // downsampling of the partial epoch, reproduced row-for-row by
@@ -524,6 +533,24 @@ object SamplingQueries {
     "sample_hash_split" -> splitSql,
     "sample_dedup_aware_split" -> dedupAwareSplitSql,
     "mix_epoch_plan" -> mixPlanSql,
+    "mix_temperature_weights" ->
+      """WITH a AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS c_tokens
+        |  FROM documents GROUP BY 1
+        |), q AS (
+        |  SELECT lang, n_docs, c_tokens,
+        |    CAST(floor(sqrt(c_tokens) * 10000) AS BIGINT) AS w_x1e4
+        |  FROM a
+        |)
+        |SELECT lang, n_docs, c_tokens, w_x1e4,
+        |  CAST((w_x1e4 * 1000000) // (SELECT sum(w_x1e4) FROM q) AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((c_tokens * 1000000) // (SELECT sum(c_tokens) FROM q) AS BIGINT)
+        |    AS raw_ppm,
+        |  CAST((50000 * w_x1e4) // (SELECT sum(w_x1e4) FROM q) AS BIGINT)
+        |    AS target_tokens
+        |FROM q""".stripMargin,
     "mix_epoch_expand" -> mixExpandSql,
     "sample_negatives" ->
       s"""WITH n AS (SELECT count(*) AS n FROM documents),

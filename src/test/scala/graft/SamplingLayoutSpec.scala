@@ -53,6 +53,28 @@ class SamplingLayoutSpec extends SparkSpec {
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
   }
 
+  test("temperature mixture flattens shares toward uniform without reordering domains") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // heavily skewed domain sizes: 1 token-ish docs, counts 900/90/10
+    val rows = Seq.fill(900)("big") ++ Seq.fill(90)("mid") ++ Seq.fill(10)("small")
+    val df = rows.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "dom")
+    val m = Sampling.temperatureMixture(df, "dom", lit(1L), budgetTokens = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (cB, sB, rB, tB) = m("big"); val (cS, sS, rS, tS) = m("small")
+    assert(cB === 900L && cS === 10L)
+    // order preserved, but the flattened ratio is ~sqrt of the raw ratio
+    assert(sB > m("mid")._2 && m("mid")._2 > sS)
+    assert(sB.toDouble / sS < rB.toDouble / rS,
+      s"temperature must compress the share ratio: $sB/$sS vs $rB/$rS")
+    assert(math.abs(sB.toDouble / sS - math.sqrt(90.0)) < 1.0)
+    // shares and budget allocations are near-complete (floor slack only)
+    val shares = m.values.map(_._2).sum
+    assert(shares <= 1000000L && shares > 999990L)
+    assert(m.values.map(_._4).sum <= 10000L && tB + tS > 0)
+  }
+
   test("zorderKey interleaves bits (known vectors) and is monotone on axes") {
     val df = spark.range(1).select(
       Layout.zorderKey(lit(0L), lit(0L)).as("z00"),
