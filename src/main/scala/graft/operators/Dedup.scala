@@ -393,4 +393,55 @@ object Dedup {
         expr("n_dup * 1000 div n_grams").as("dup_permille"),
         coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
   }
+
+  /** Cross-doc duplicated-span REMOVAL (the exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every token covered by an n-gram that occurs in >=
+    * `minDocFreq` distinct documents is excised — from EVERY
+    * occurrence — and the surviving tokens reassemble in order. The
+    * transform twin of [[dupSpanProfile]] (which only measures):
+    * profile decides the threshold, removal applies it.
+    *
+    * Scale shape: grams ride the codegen'd HashedShingles kernel (one
+    * tokenization pass); the gram doc-frequency table is corpus-sized
+    * so membership is a hash-partitioned equi-join on the gram key;
+    * coverage expansion is a bounded explode (n rows per dup gram);
+    * the rebuild aggregates per doc (collect + sort bounded by doc
+    * length). The oracle rebuilds from shingle STRINGS, so the hash
+    * match doubles as a collision check.
+    *
+    * Returns (id, n_tokens, n_removed, cleaned_text) for every doc —
+    * untouched docs keep their original token stream verbatim.
+    */
+  def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                     nGram: Int, minDocFreq: Int = 2): DataFrame = {
+    require(nGram >= 2 && minDocFreq >= 2,
+      s"need nGram >= 2 and minDocFreq >= 2, got $nGram/$minDocFreq")
+    val base = docs.select(col(idCol).as("_dr_id"), col(textCol).as("_dr_text"))
+    val grams = base.select(col("_dr_id"),
+      posexplode(graft.expressions.GraftFunctions.hashedShingles(col("_dr_text"), nGram))
+        .as(Seq("pos", "g")))
+    val dupSet = grams.groupBy("g")
+      .agg(count_distinct(col("_dr_id")).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("g"))
+    val covered = grams.join(dupSet, Seq("g"))
+      .select(col("_dr_id"),
+        explode(sequence(col("pos"), col("pos") + (nGram - 1))).as("tpos"))
+      .distinct()
+    val toks = base.select(col("_dr_id"),
+      posexplode(split(col("_dr_text"), " ")).as(Seq("tpos", "tok")))
+    val kept = toks.join(covered, Seq("_dr_id", "tpos"), "left_anti")
+    val counts = toks.groupBy("_dr_id").agg(count(lit(1)).as("n_tokens"))
+    val removed = covered.groupBy("_dr_id").agg(count(lit(1)).as("n_removed"))
+    val rebuilt = kept.groupBy("_dr_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        s => s.getField("tok")), " ").as("cleaned_text"))
+    counts.join(removed, Seq("_dr_id"), "left")
+      .join(rebuilt, Seq("_dr_id"), "left")
+      .select(col("_dr_id").as(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -478,6 +478,15 @@ object TextQueries {
         nGram = 5, minDocFreq = 2)
     }),
 
+    // Exact-substring dedup as a TRANSFORM (Lee et al.): every token
+    // covered by a 5-gram that appears in >= 2 distinct docs is
+    // excised from every occurrence; survivors reassemble in order.
+    // The removal twin of text_dup_span_profile's measurement.
+    "text_dup_span_removal" -> ((spark, dir) => {
+      Dedup.dupSpanRemoval(Tables.documents(spark, dir), "doc_id", "text",
+        nGram = 5, minDocFreq = 2)
+    }),
+
     // Corpus-frequency boilerplate removal (CCNet/RefinedWeb): drop
     // EVERY occurrence of a 3-token segment that repeats in >= 5
     // distinct documents, and reassemble the cleaned text. Distinct
@@ -961,6 +970,43 @@ object TextQueries {
          |  CAST(n_dup * 1000 // n_grams AS BIGINT) AS dup_permille,
          |  CAST(coalesce(runs.longest, 0) AS BIGINT) AS longest_dup_run
          |FROM per LEFT JOIN runs ON per.doc_id = runs.doc_id""".stripMargin
+    },
+
+    // String-gram twin of the hashed-kernel removal: same 5-gram
+    // coverage, same every-occurrence excision, same in-order
+    // reassembly (string_agg ORDER BY position).
+    "text_dup_span_removal" -> {
+      val sh = TextFns.shinglesSql("toks", 5)
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), g AS MATERIALIZED (
+         |  SELECT doc_id, unnest(sh) AS g, unnest(range(len(sh))) AS pos
+         |  FROM (SELECT doc_id, $sh AS sh FROM t)
+         |), dup AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+         |  ) WHERE df >= 2
+         |), cov AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, tpos FROM (
+         |    SELECT g.doc_id, g.pos + unnest(range(0, 5)) AS tpos
+         |    FROM g JOIN dup ON g.g = dup.g)
+         |), tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS tpos
+         |  FROM t
+         |), kept AS (
+         |  SELECT k.doc_id, k.tok, k.tpos FROM tok k
+         |  LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |)
+         |SELECT cnt.doc_id, CAST(cnt.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(rc.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(rb.cleaned_text, '') AS cleaned_text
+         |FROM (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1) cnt
+         |LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1) rc
+         |  ON cnt.doc_id = rc.doc_id
+         |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+         |           FROM kept GROUP BY 1) rb
+         |  ON cnt.doc_id = rb.doc_id""".stripMargin
     },
 
     "text_quality" ->

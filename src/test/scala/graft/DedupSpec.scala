@@ -217,6 +217,30 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === (5L, 3L))
   }
 
+  test("dupSpanRemoval: planted span excised from every occurrence; unique docs untouched") {
+    import spark.implicits._
+    // docs 1/2 share "p q r s t" (5 tokens = one 3-gram span of 3
+    // dup positions covering tokens p..t); doc 3 is unique; doc 4
+    // duplicates doc 1 verbatim so EVERYTHING in both is covered.
+    val span = "p q r s t"
+    val docs = Seq(
+      (1L, s"a1 b1 $span c1 d1"),
+      (2L, s"$span a2 b2 c2 d2"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemoval(docs, "doc_id", "text", nGram = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === (9L, 5L, "a1 b1 c1 d1"))
+    assert(got(2L) === (9L, 5L, "a2 b2 c2 d2"))
+    assert(got(3L) === (9L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+    // verbatim duplicates: every token covered, both docs empty out
+    val dup = Seq((1L, "m n o p q r"), (2L, "m n o p q r")).toDF("doc_id", "text")
+    val g2 = Dedup.dupSpanRemoval(dup, "doc_id", "text", nGram = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(g2(1L) === (6L, "")); assert(g2(2L) === (6L, ""))
+  }
+
   test("native simhash64 matches the 64-vote declarative rebuild on every fixture doc") {
     // Differential harness (formerly the registered dedup_simhash
     // query; moved here so the BENCH query measures the production
