@@ -367,27 +367,40 @@ object TextQueries {
     // low = novel — the per-doc signal next to text_unigram_logprob.
     // Scale: bigram/unigram count tables are vocabulary-sized →
     // broadcast; one doc-keyed aggregation.
-    "text_bigram_lm" -> ((spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      val words = toks.select(col("doc_id"), explode(col("t")).as("w"))
-      val nTotal = words.count() // corpus scalar, known pre-plan
-      val uni = words.groupBy("w").agg(count(lit(1)).as("cu"))
-      val bigrams = toks.select(col("doc_id"),
-        explode(TextFns.shingles(col("t"), 2)).as("bg"))
-      val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
-      bigrams
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .withColumn("w2", split(col("bg"), " ").getItem(1))
-        .join(broadcast(bi), Seq("bg"))
-        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
-        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
-        .withColumn("p_x1e6",
-          expr(s"(7 * cb * 100000) div c1 + (3 * c2 * 100000) div ${nTotal}L"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_trans"),
-          sum(col("p_x1e6")).as("sum_p_x1e6"))
-        .withColumn("mean_p_x1e6", expr("sum_p_x1e6 div n_trans"))
+    "text_bigram_lm" -> ((spark, dir) => bigramLmScores(spark, dir)),
+
+    // CCNet-style LM-score bucketing: split the corpus into exact
+    // low/mid/high predictability tertiles of the bigram-LM score —
+    // the bucket column CCNet samples from (keep the well-modeled
+    // head, drop or down-weight the tail). Cuts are EXACT rank
+    // tertiles computed scale-safely: score-value counts → two-level
+    // distributed prefix sum (Packing.prefixSum — no corpus-wide
+    // single-task window) → the r-th-rank cut values broadcast back.
+    // Bucketing is by VALUE against the cuts, so ties land
+    // deterministically in both engines.
+    "text_ppl_buckets" -> ((spark, dir) => {
+      import graft.core.GraftSession.LineageOps
+      // Materialize the scores once: three consumers (corpus count,
+      // value histogram, final bucket join) would otherwise re-run
+      // the whole LM pipeline each.
+      val sc = bigramLmScores(spark, dir)
+        .select(col("doc_id"), col("mean_p_x1e6").as("score"))
+        .truncateLineage()
+      val n = sc.count() // corpus scalar, known pre-plan
+      val r1 = (n + 2) / 3
+      val r2 = (2 * n + 2) / 3
+      val byVal = sc.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.Packing
+        .prefixSum(byVal, "score", "cnt", "cum_excl", bucketWidth = 1000L)
+        .withColumn("cum", col("cum_excl") + col("cnt"))
+      val cuts = cum.agg(
+        min(when(col("cum") >= r1, col("score"))).as("c1"),
+        min(when(col("cum") >= r2, col("score"))).as("c2"))
+      sc.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("score"),
+          when(col("score") <= col("c1"), "low")
+            .when(col("score") <= col("c2"), "mid")
+            .otherwise("high").as("ppl_bucket"))
     }),
 
     // Eval-decontamination: corpus docs sharing ≥ 2 distinct word
@@ -645,32 +658,37 @@ object TextQueries {
         |SELECT doc_id, round(avg(log2(p)), 4) AS avg_log2p
         |FROM w JOIN p USING (w) GROUP BY 1""".stripMargin,
 
-    "text_bigram_lm" -> {
-      val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
-      s"""WITH w AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-         |), uni AS (
-         |  SELECT w, count(*) AS cu FROM w GROUP BY 1
-         |), n AS (
-         |  SELECT count(*) AS nt FROM w
-         |), bg AS (
-         |  SELECT doc_id, unnest($sh) AS bg FROM documents
-         |), bi AS (
-         |  SELECT bg, count(*) AS cb FROM bg GROUP BY 1
-         |), t AS (
-         |  SELECT bg.doc_id,
-         |    (7 * bi.cb * 100000) // u1.cu
-         |      + (3 * u2.cu * 100000) // (SELECT nt FROM n) AS p
-         |  FROM bg
-         |  JOIN bi USING (bg)
-         |  JOIN uni u1 ON string_split(bg.bg, ' ')[1] = u1.w
-         |  JOIN uni u2 ON string_split(bg.bg, ' ')[2] = u2.w
-         |)
+    "text_bigram_lm" ->
+      s"""WITH $bigramLmCtes
          |SELECT doc_id, count(*) AS n_trans,
          |  CAST(sum(p) AS BIGINT) AS sum_p_x1e6,
          |  CAST(sum(p) // count(*) AS BIGINT) AS mean_p_x1e6
-         |FROM t GROUP BY 1""".stripMargin
-    },
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // Exact rank-tertile cuts over the same LM scores, then bucket by
+    // VALUE — ties land on the <= side in both engines.
+    "text_ppl_buckets" ->
+      s"""WITH $bigramLmCtes, sc AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(p) // count(*) AS BIGINT) AS score
+         |  FROM t GROUP BY 1
+         |), nn AS (
+         |  SELECT count(*) AS n FROM sc
+         |), cum AS (
+         |  SELECT score, sum(count(*)) OVER (ORDER BY score) AS cum
+         |  FROM sc GROUP BY score
+         |), cuts AS (
+         |  SELECT
+         |    min(CASE WHEN cum >= (SELECT (n + 2) // 3 FROM nn)
+         |             THEN score END) AS c1,
+         |    min(CASE WHEN cum >= (SELECT (2 * n + 2) // 3 FROM nn)
+         |             THEN score END) AS c2
+         |  FROM cum
+         |)
+         |SELECT doc_id, score,
+         |  CASE WHEN score <= c1 THEN 'low'
+         |       WHEN score <= c2 THEN 'mid'
+         |       ELSE 'high' END AS ppl_bucket
+         |FROM sc, cuts""".stripMargin,
 
     "text_contamination" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 3)
@@ -1156,6 +1174,62 @@ object TextQueries {
     "text_bm25_topk" ->
       graft.operators.Retrieval.bm25OracleSql(Bm25Queries, k = 5)
   )
+
+  /** Shared DuckDB CTE chain for the interpolated bigram-LM score
+    * (twin of [[bigramLmScores]]): unigram/bigram counts, corpus
+    * total, per-transition fixed-point probability `p`.
+    */
+  private lazy val bigramLmCtes: String = {
+    val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
+    s"""w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), uni AS (
+       |  SELECT w, count(*) AS cu FROM w GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS nt FROM w
+       |), bg AS (
+       |  SELECT doc_id, unnest($sh) AS bg FROM documents
+       |), bi AS (
+       |  SELECT bg, count(*) AS cb FROM bg GROUP BY 1
+       |), t AS MATERIALIZED (
+       |  SELECT bg.doc_id,
+       |    (7 * bi.cb * 100000) // u1.cu
+       |      + (3 * u2.cu * 100000) // (SELECT nt FROM n) AS p
+       |  FROM bg
+       |  JOIN bi USING (bg)
+       |  JOIN uni u1 ON string_split(bg.bg, ' ')[1] = u1.w
+       |  JOIN uni u2 ON string_split(bg.bg, ' ')[2] = u2.w
+       |)""".stripMargin
+  }
+
+  /** Interpolated bigram-LM predictability scores (doc_id, n_trans,
+    * sum_p_x1e6, mean_p_x1e6) — the engine body shared by
+    * text_bigram_lm and text_ppl_buckets. Integer fixed-point
+    * throughout (each term one integral div of exact counts).
+    */
+  private def bigramLmScores(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val words = toks.select(col("doc_id"), explode(col("t")).as("w"))
+    val nTotal = words.count() // corpus scalar, known pre-plan
+    val uni = words.groupBy("w").agg(count(lit(1)).as("cu"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(TextFns.shingles(col("t"), 2)).as("bg"))
+    val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+    bigrams
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(bi), Seq("bg"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
+      .withColumn("p_x1e6",
+        expr(s"(7 * cb * 100000) div c1 + (3 * c2 * 100000) div ${nTotal}L"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("p_x1e6")).as("sum_p_x1e6"))
+      .withColumn("mean_p_x1e6", expr("sum_p_x1e6 div n_trans"))
+  }
 
   /** Chained-CTE oracle for [[graft.functions.Bpe.distributedFit]]:
     * words → delimited char form → R unrolled rounds of (pair count,
