@@ -230,6 +230,32 @@ object TextQueries {
     // nominates candidates (bounded memory, provable superset), an
     // exact count over the broadcast candidate set filters to the true
     // frequent words — output exact, so fully oracle-checked.
+    // Block-partitioned inverted index (the Lucene/retrieval-shard
+    // build): postings are grouped into fixed doc-id-range BLOCKS of
+    // 128, so no aggregation ever collects an unbounded posting list
+    // — a stop-word's postings at 100 TB split across blocks, each
+    // bounded by the block width, and lookups prune blocks by range.
+    // Per-block postings are sorted and delta-encoded (first entry
+    // raw), the index compression posting lists actually ship with;
+    // term-total df rides a term-partitioned window over the
+    // block-cardinality frame.
+    "text_inverted_index" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy(col("term"), expr("doc_id div 128").as("block_id"))
+        .agg(count(lit(1)).as("n_in_block"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .withColumn("df", sum(col("n_in_block")).over(w))
+        .withColumn("deltas", array_join(transform(col("postings"),
+          (x, i) => when(i === 0, x)
+            .otherwise(x - element_at(col("postings"), i)).cast("string")), ","))
+        .select(col("term"), col("block_id"), col("df"),
+          col("n_in_block"), col("deltas"))
+    }),
+
     "text_heavy_hitters" -> ((spark, dir) => {
       val words = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -1026,6 +1052,26 @@ object TextQueries {
          |           FROM kept GROUP BY 1) rb
          |  ON cnt.doc_id = rb.doc_id""".stripMargin
     },
+
+    // Same block partitioning (doc_id // 128), same in-block sorted
+    // delta encoding, df summed over the term's blocks.
+    "text_inverted_index" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''
+        |), b AS (
+        |  SELECT term, doc_id // 128 AS block_id,
+        |    CAST(count(*) AS BIGINT) AS n_in_block,
+        |    list(doc_id ORDER BY doc_id) AS l
+        |  FROM w GROUP BY 1, 2
+        |)
+        |SELECT term, block_id,
+        |  CAST(sum(n_in_block) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |  n_in_block,
+        |  array_to_string(list_transform(range(1, len(l) + 1),
+        |    i -> CASE WHEN i = 1 THEN l[1] ELSE l[i] - l[i-1] END), ',') AS deltas
+        |FROM b""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
