@@ -484,6 +484,39 @@ object AggWindowQueries {
           min(col("prob_x1e4")).as("min_prob_x1e4"))
     }),
 
+    // Interval coalescing (the batch interval-union / gaps-and-islands
+    // operator): each event opens a 300 s activity interval; per user,
+    // overlapping intervals merge into maximal islands and the output
+    // is the per-user coverage profile — the timeline-utilization
+    // analytics sessionizers can't express (a session resets on GAP
+    // from the last event; an island ends only when NOTHING overlaps).
+    // All arithmetic in epoch seconds (BIGINT; never raw timestamps —
+    // the ns-precision gotcha), windows ordered by the total
+    // (s, event_id) key so ties are engine-stable, and every window
+    // partitions by user — no corpus-wide sort.
+    "events_interval_coalesce" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s"))
+        .withColumn("e", col("s") + 300L)
+      val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+      val prevMax = max(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("new_isl",
+          when(col("s") > coalesce(prevMax, lit(Long.MinValue)), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("cs"), max(col("e")).as("ce"),
+          count(lit(1)).as("n_ev"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("ce") - col("cs")).as("covered_s"),
+          max(col("n_ev")).as("max_interval_events"))
+    }),
+
     // Retention cohort matrix: users grouped by first-active week,
     // per-cohort distinct-active counts at each week offset, retention
     // as an exact ppm-free fixed-point ratio. The product-analytics
@@ -883,6 +916,39 @@ object AggWindowQueries {
         |  CAST(min(m.p) AS BIGINT) AS min_prob_x1e4
         |FROM tr JOIN m USING (prev_type, event_type)
         |GROUP BY 1""".stripMargin,
+
+    // Same (s, event_id)-ordered two-level gaps-and-islands: prev-max
+    // end over the preceding frame, island = running sum of the
+    // new-island flag, then per-island spans rolled up per user.
+    "events_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv
+        |), f AS (
+        |  SELECT user_id, event_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS new_isl
+        |  FROM m
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, island, min(s) AS cs, max(e) AS ce,
+        |    count(*) AS n_ev
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(ce - cs) AS BIGINT) AS covered_s,
+        |  CAST(max(n_ev) AS BIGINT) AS max_interval_events
+        |FROM g GROUP BY 1""".stripMargin,
 
     "events_retention_cohorts" ->
       """WITH act AS (

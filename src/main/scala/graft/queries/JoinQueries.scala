@@ -323,6 +323,37 @@ object JoinQueries {
         k = KcoreK, rounds = KcoreRounds)
     }),
 
+    // Market-basket association rules (support/confidence/lift — the
+    // a-priori first round): distinct (order, part) items, id-ordered
+    // within-basket pairs at support >= 2, confidence and lift in
+    // integer fixed-point. Lift is computed as staged integral
+    // divisions ((c_xy·1e6 div c_ant)·N div c_cons) so no
+    // intermediate exceeds ~1e16 even at 1e10 baskets — the oracle
+    // mirrors the same order. Scale: pair work is Σ basket² (baskets
+    // are order-sized, bounded), both count tables are map-side
+    // combinable, and only the top-20 rules leave the cluster.
+    "basket_association_rules" -> ((spark, dir) => {
+      val items = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nBaskets = items.select("ok").distinct().count() // scalar, pre-plan
+      val cx = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("ant"), col("y.pk").as("cons"))
+        .agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 2)
+        .join(cx.select(col("pk").as("ant"), col("c").as("c_ant")), "ant")
+        .join(cx.select(col("pk").as("cons"), col("c").as("c_cons")), "cons")
+        .withColumn("conf_x1e6", expr("(c_xy * 1000000) div c_ant"))
+        .withColumn("lift_x1e6",
+          expr(s"(((c_xy * 1000000) div c_ant) * ${nBaskets}L) div c_cons"))
+        .select(col("ant"), col("cons"), col("c_xy"),
+          col("conf_x1e6"), col("lift_x1e6"))
+        .orderBy(col("lift_x1e6").desc, col("ant"), col("cons"))
+        .limit(20)
+    }),
+
     // Deterministic hash-driven random walks (4 steps, seeds ≡ 0 mod
     // 5) over the co-purchase graph — the DeepWalk/node2vec corpus
     // sampler as a batch operator. H(v,t) picks the neighbor index,
@@ -515,6 +546,26 @@ object JoinQueries {
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
     "graph_random_walks" -> randomWalksSql,
+    // Same staged integral divisions, same (lift desc, ant, cons)
+    // total order on the top-20.
+    "basket_association_rules" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), nb AS (
+        |  SELECT count(DISTINCT ok) AS n FROM items
+        |), cx AS (
+        |  SELECT pk, count(*) AS c FROM items GROUP BY 1
+        |), p AS (
+        |  SELECT x.pk AS ant, y.pk AS cons, count(*) AS c_xy
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT ant, cons, CAST(c_xy AS BIGINT) AS c_xy,
+        |  CAST((c_xy * 1000000) // a.c AS BIGINT) AS conf_x1e6,
+        |  CAST((((c_xy * 1000000) // a.c) * (SELECT n FROM nb)) // b.c
+        |    AS BIGINT) AS lift_x1e6
+        |FROM p JOIN cx a ON p.ant = a.pk JOIN cx b ON p.cons = b.pk
+        |ORDER BY lift_x1e6 DESC, ant, cons LIMIT 20""".stripMargin,
     "graph_labelprop" -> labelpropSql,
 
     "er_fuzzy_pairs" ->
