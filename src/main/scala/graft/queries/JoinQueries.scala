@@ -323,6 +323,46 @@ object JoinQueries {
         k = KcoreK, rounds = KcoreRounds)
     }),
 
+    // Link prediction over the co-purchase graph: score NON-edges by
+    // common-neighbor count, fixed-point Jaccard, and Adamic-Adar
+    // (per-middle weight floor(1e6/log2(deg)) — log2 quantized once
+    // per DISTINCT degree, the DSIR float pattern; middles always
+    // have deg >= 2 so the weight is finite). Wedge enumeration is
+    // Σ deg(v)² over middle vertices — kept sane here by the support
+    // >= 2 edge threshold; at raw-crawl scale cap the middle degree
+    // (hub middles carry ~zero AA weight anyway). Existing edges are
+    // anti-joined out; candidates need >= 1 common neighbor (sparse
+    // support-thresholded graphs top out at cn 1); top-30 under the
+    // total (cn, aa, x, y) order.
+    "graph_link_prediction" -> ((spark, dir) => {
+      val canon = coPurchaseEdges(spark, dir)
+      val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // deg-1 leaves can never be the middle of a wedge (they have a
+      // single neighbor), so their weight is unread — but it must not
+      // EVALUATE as 1/log2(1) under ANSI division
+      val e = sym.join(deg, "src")
+        .select(col("src").as("v"), col("dst").as("n"),
+          when(col("deg") >= 2,
+            floor(lit(1000000.0) / log2(col("deg"))).cast("long"))
+            .otherwise(lit(0L)).as("w"))
+      val cand = e.as("p").join(e.as("q"),
+          col("p.v") === col("q.v") && col("p.n") < col("q.n"))
+        .groupBy(col("p.n").as("x"), col("q.n").as("y"))
+        .agg(count(lit(1)).as("cn"), sum(col("p.w")).as("aa_x1e6"))
+        .where(col("cn") >= 1)
+        .join(canon.select(col("a").as("x"), col("b").as("y")),
+          Seq("x", "y"), "left_anti")
+      cand
+        .join(deg.select(col("src").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("src").as("y"), col("deg").as("dy")), "y")
+        .withColumn("jacc_x1e6", expr("(cn * 1000000) div (dx + dy - cn)"))
+        .select(col("x"), col("y"), col("cn"), col("jacc_x1e6"), col("aa_x1e6"))
+        .orderBy(col("cn").desc, col("aa_x1e6").desc, col("x"), col("y"))
+        .limit(30)
+    }),
+
     // Market-basket association rules (support/confidence/lift — the
     // a-priori first round): distinct (order, part) items, id-ordered
     // within-basket pairs at support >= 2, confidence and lift in
@@ -546,6 +586,40 @@ object JoinQueries {
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
     "graph_random_walks" -> randomWalksSql,
+    // Same wedge enumeration, per-distinct-degree AA quantization,
+    // and (cn, aa, x, y) total order.
+    "graph_link_prediction" ->
+      s"""WITH $coPurchaseCte, sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM pp
+         |  UNION ALL SELECT b, a FROM pp
+         |), deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM sym GROUP BY 1
+         |), e AS MATERIALIZED (
+         |  SELECT s.src AS v, s.dst AS n,
+         |    CASE WHEN d.deg >= 2
+         |         THEN CAST(floor(1000000.0 / log2(d.deg)) AS BIGINT)
+         |         ELSE 0 END AS w
+         |  FROM sym s JOIN deg d ON s.src = d.src
+         |), cand AS (
+         |  SELECT p.n AS x, q.n AS y,
+         |    CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(p.w) AS BIGINT) AS aa_x1e6
+         |  FROM e p JOIN e q ON p.v = q.v AND p.n < q.n
+         |  GROUP BY 1, 2 HAVING count(*) >= 1
+         |), nonedge AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN pp ON c.x = pp.a AND c.y = pp.b
+         |  WHERE pp.a IS NULL
+         |)
+         |SELECT ne.x, ne.y, ne.cn,
+         |  CAST((ne.cn * 1000000) // (dx.deg + dy.deg - ne.cn) AS BIGINT)
+         |    AS jacc_x1e6,
+         |  ne.aa_x1e6
+         |FROM nonedge ne
+         |JOIN deg dx ON ne.x = dx.src
+         |JOIN deg dy ON ne.y = dy.src
+         |ORDER BY cn DESC, aa_x1e6 DESC, x, y LIMIT 30""".stripMargin,
+
     // Same staged integral divisions, same (lift desc, ant, cons)
     // total order on the top-20.
     "basket_association_rules" ->

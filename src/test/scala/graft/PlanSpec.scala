@@ -39,6 +39,22 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Scan parquet") === 1)
   }
 
+  test("round-11 batch plans: equi-join only — walks, link prediction, dup-span removal, index, baskets") {
+    // wedge/adjacency/gram/basket joins must all hash on keys; any
+    // nested-loop here degenerates quadratic at corpus scale
+    for (name <- Seq("graph_random_walks", "graph_link_prediction",
+        "basket_association_rules")) {
+      val p = plan(JoinQueries.queries(name)(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(1200)}")
+    }
+    for (name <- Seq("text_dup_span_removal", "text_inverted_index")) {
+      val p = plan(graft.queries.TextQueries.queries(name)(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(1200)}")
+    }
+  }
+
   test("graph triangle/k-core queries stay equi-join only — no cartesian, no nested loop") {
     // the wedge-closing join and every peel-round semi-join must hash
     // on keys; a nested-loop anywhere here is quadratic death at scale
