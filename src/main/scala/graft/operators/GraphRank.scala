@@ -186,6 +186,50 @@ object GraphRank {
     walks
   }
 
+  /** Multi-source BFS hop distances (bounded to `rounds` hops): the
+    * shortest-path primitive of the graph family — "how far is every
+    * node from the trusted seed set", the hop-count counterpart of
+    * [[personalizedPageRank]]'s continuous proximity. Proper
+    * FRONTIER-DELTA form: each round expands only the nodes
+    * discovered LAST round (frontier ⋈ adjacency → anti-join the
+    * settled set), never the whole reached set — per-round work is
+    * the frontier's edge boundary, the textbook Pregel BFS shape.
+    * Integer hop counts, deterministic by construction; the DuckDB
+    * oracle unrolls the SAME rounds as chained CTEs, bit for bit.
+    *
+    * Returns (node, dist) for nodes within `rounds` hops of a seed;
+    * unreached nodes are absent (their distance is unknown, not ∞).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be 1..50, got $rounds")
+    val canon = canonical(edges, srcCol, dstCol)
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .truncateLineage()
+    var dist = sym.select(col("src").as("node")).distinct()
+      .where(seedPred(col("node")))
+      .select(col("node"), lit(0L).as("dist"))
+    var frontier = dist.select(col("node"))
+    var r = 1
+    while (r <= rounds) {
+      val reached = frontier.join(sym, frontier("node") === sym("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+      dist = dist.unionByName(fresh)
+      frontier = fresh.select(col("node"))
+      if (r % 3 == 0 && r < rounds) {
+        dist = dist.truncateLineage()
+        frontier = frontier.truncateLineage()
+      }
+      r += 1
+    }
+    dist
+  }
+
   private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val s = col(srcCol); val d = col(dstCol)
     edges.where(s =!= d)

@@ -405,6 +405,16 @@ object JoinQueries {
         seedMod = RwSeedMod, steps = RwSteps)
     }),
 
+    // Multi-source BFS hop distances (4 rounds, seeds ≡ 0 mod 10)
+    // over the co-purchase graph: frontier-delta expansion only —
+    // per-round work is the frontier's edge boundary, never the
+    // settled set. The oracle unrolls the SAME rounds, bit for bit.
+    "graph_bfs_distances" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      GraphRank.bfsDistances(coPurchaseEdges(spark, dir), "a", "b",
+        n => n % 10 === 0, rounds = 4)
+    }),
+
     // Synchronous label propagation (3 fixed rounds) over the same
     // co-purchase graph: community detection finer than connected
     // components — touching clusters keep distinct labels instead of
@@ -586,6 +596,7 @@ object JoinQueries {
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
     "graph_random_walks" -> randomWalksSql,
+    "graph_bfs_distances" -> bfsSql,
     // Same wedge enumeration, per-distinct-degree AA quantization,
     // and (cn, aa, x, y) total order.
     "graph_link_prediction" ->
@@ -802,6 +813,29 @@ object JoinQueries {
        |  SELECT a AS n FROM e$KcoreRounds UNION ALL SELECT b FROM e$KcoreRounds
        |)
        |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
+  // Generated twin of GraphRank.bfsDistances: same frontier-delta
+  // rounds — neighbors of last round's frontier, minus everything
+  // already settled, at distance r.
+  private lazy val bfsSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s""", f$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.dst AS node
+         |  FROM f${i - 1} f JOIN sym s ON f.node = s.src
+         |  WHERE s.dst NOT IN (SELECT node FROM d${i - 1})
+         |), d$i AS MATERIALIZED (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL SELECT node, $i FROM f$i
+         |)""".stripMargin
+    }.mkString
+    s"""WITH $coPurchaseCte, sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pp
+       |  UNION ALL SELECT b, a FROM pp
+       |), d0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, 0 AS dist FROM sym WHERE src % 10 = 0
+       |), f0 AS MATERIALIZED (SELECT node FROM d0)$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin
   }
 
   // Generated twin of GraphRank.randomWalks: the same id-ordered

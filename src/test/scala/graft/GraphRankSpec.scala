@@ -187,6 +187,22 @@ class GraphRankSpec extends SparkSpec {
     assert(w.sorted.toSeq === w2.sorted.toSeq)
   }
 
+  test("bfsDistances: exact hops on a path, round bound truncates, min over multiple seeds") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5-6, plus detached pair 100-101; seeds {0, 100}
+    val e = (Seq((100L, 101L)) ++ (0L to 5L).map(i => (i, i + 1))).toDF("a", "b")
+    val d = GraphRank.bfsDistances(e, "a", "b", n => n === 0L || n === 100L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(0L) === 0L && d(1L) === 1L && d(4L) === 4L)
+    assert(!d.contains(5L) && !d.contains(6L), "beyond the round bound must be absent")
+    assert(d(100L) === 0L && d(101L) === 1L)
+    // two seeds on one component: distance is the MIN over seeds
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L)).toDF("a", "b")
+    val dr = GraphRank.bfsDistances(ring, "a", "b", n => n === 0L || n === 3L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dr === Map(0L -> 0L, 3L -> 0L, 1L -> 1L, 4L -> 1L, 2L -> 1L))
+  }
+
   test("guards: iteration bounds and empty graph rejected") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("a", "b")
