@@ -89,6 +89,44 @@ object AggWindowQueries {
     // Per-column profiling (Deequ-style): melt the numeric measures to
     // long format, one agg computes count/NDV/min/max/mean per column —
     // a fixed-size result regardless of table width × row count.
+    // Equi-depth histogram statistics (the ANALYZE-TABLE artifact an
+    // optimizer estimates selectivity from): 8 equal-mass buckets of
+    // events.value with EXACT boundary values. Values quantized once
+    // (one IEEE multiply + floor — deterministic on every engine);
+    // the 7 rank cuts come from Quantiles.exactCutsByRank (two-level
+    // prefix sum — no corpus-wide ordered window); rows then bucket
+    // by VALUE against the broadcast cut row so ties land
+    // deterministically. Equal depth holds up to tie mass.
+    "profile_equidepth" -> ((spark, dir) => {
+      import graft.operators.Quantiles
+      val v = Tables.events(spark, dir)
+        .select(floor(col("value") * 10000).cast("long").as("vq"))
+      val n = v.count() // corpus scalar, known pre-plan
+      val b = 8
+      val ranks = (1 until b).map(k => (k.toLong * n + b - 1) / b)
+      val cuts = Quantiles.exactCutsByRank(v, "vq", ranks)
+      val cutCols = ranks.distinct.sorted.zipWithIndex.map { case (r, i) =>
+        min(when(col("rank") === r, col("cut"))).as(s"c$i")
+      }
+      val one = cuts.agg(cutCols.head, cutCols.tail: _*)
+      val nCuts = ranks.distinct.size
+      val bucket = (0 until nCuts).foldRight(lit(nCuts): org.apache.spark.sql.Column) {
+        case (i, rest) => when(col("vq") <= col(s"c$i"), i).otherwise(rest)
+      }
+      v.crossJoin(broadcast(one))
+        .select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        .join(
+          // hi edge per bucket (last bucket open-ended → NULL)
+          one.select(explode(array((0 until nCuts).map(i =>
+            struct(lit(i).as("bucket"), col(s"c$i").as("hi_x1e4"))) :+
+            struct(lit(nCuts).as("bucket"),
+              lit(null).cast("long").as("hi_x1e4")): _*)).as("s"))
+            .select(col("s.bucket"), col("s.hi_x1e4")),
+          Seq("bucket"), "left")
+        .select(col("bucket"), col("hi_x1e4"), col("n_rows"))
+    }),
+
     "profile_columns" -> ((spark, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       Tables.lineitem(spark, dir)
@@ -723,6 +761,10 @@ object AggWindowQueries {
         |  count(*) AS n, round(sum(value), 4) AS bucket_sum
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Same quantization, same ceil(k·n/8) rank cuts (window cumsum
+    // over the value histogram), same value-vs-cut bucketing.
+    "profile_equidepth" -> equidepthSql,
+
     "profile_columns" ->
       """WITH u AS (
         |  SELECT measure AS "column", v FROM (
@@ -1057,4 +1099,40 @@ object AggWindowQueries {
         |  round(median(value), 4) AS med_value
         |FROM events GROUP BY 1""".stripMargin
   )
+
+  /** Generated twin of profile_equidepth: 7 exact rank cuts at
+    * ceil(k·n/8) via a window cumsum over the value histogram, then
+    * value-vs-cut bucketing with the hi edge attached per bucket.
+    */
+  private lazy val equidepthSql: String = {
+    val b = 8
+    val cutDefs = (0 until b - 1).map { i =>
+      s"""min(CASE WHEN cum >= (SELECT (${i + 1} * n + ${b - 1}) // $b FROM n)
+         |        THEN vq END) AS c$i""".stripMargin
+    }.mkString(",\n")
+    val bucketCase = (0 until b - 1)
+      .map(i => s"WHEN vq <= c$i THEN $i").mkString(" ")
+    val hiCase = (0 until b - 1)
+      .map(i => s"WHEN $i THEN (SELECT c$i FROM cuts)").mkString(" ")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT CAST(floor(value * 10000) AS BIGINT) AS vq FROM events
+       |), n AS (
+       |  SELECT count(*) AS n FROM v
+       |), cum AS (
+       |  SELECT vq, sum(count(*)) OVER (ORDER BY vq) AS cum
+       |  FROM v GROUP BY vq
+       |), cuts AS MATERIALIZED (
+       |  SELECT $cutDefs
+       |  FROM cum
+       |)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  CAST(CASE bucket $hiCase ELSE NULL END AS BIGINT) AS hi_x1e4,
+       |  CAST(n_rows AS BIGINT) AS n_rows
+       |FROM (
+       |  SELECT bucket, count(*) AS n_rows FROM (
+       |    SELECT CASE $bucketCase ELSE ${b - 1} END AS bucket
+       |    FROM v, cuts
+       |  ) GROUP BY bucket
+       |)""".stripMargin
+  }
 }

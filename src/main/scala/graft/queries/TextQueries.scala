@@ -415,13 +415,10 @@ object TextQueries {
       val n = sc.count() // corpus scalar, known pre-plan
       val r1 = (n + 2) / 3
       val r2 = (2 * n + 2) / 3
-      val byVal = sc.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
-      val cum = graft.operators.Packing
-        .prefixSum(byVal, "score", "cnt", "cum_excl", bucketWidth = 1000L)
-        .withColumn("cum", col("cum_excl") + col("cnt"))
-      val cuts = cum.agg(
-        min(when(col("cum") >= r1, col("score"))).as("c1"),
-        min(when(col("cum") >= r2, col("score"))).as("c2"))
+      val cuts = graft.operators.Quantiles
+        .exactCutsByRank(sc, "score", Seq(r1, r2))
+        .agg(min(when(col("rank") === r1, col("cut"))).as("c1"),
+          min(when(col("rank") === r2, col("cut"))).as("c2"))
       sc.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("score"),
           when(col("score") <= col("c1"), "low")

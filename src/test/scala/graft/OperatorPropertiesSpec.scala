@@ -122,6 +122,25 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("exact rank cuts equal the sorted r-th smallest on random tied inputs") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    for (trial <- 1 to 4) {
+      val n = 50 + trial * 40
+      // ~30% tie mass: values drawn from a small range
+      val vals = Seq.fill(n)(rnd.nextInt(30).toLong)
+      val sorted = vals.sorted
+      val ranks = Seq(1L, n / 4L max 1L, n / 2L max 1L, n.toLong).distinct
+      val got = graft.operators.Quantiles
+        .exactCutsByRank(vals.toDF("v"), "v", ranks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ranks.foreach { r =>
+        assert(got(r) === sorted((r - 1).toInt),
+          s"trial $trial rank $r: got ${got(r)} want ${sorted((r - 1).toInt)}")
+      }
+    }
+  }
+
   test("as-of join matches per-row linear scan on random series") {
     import spark.implicits._
     val rnd = new Random(11)
