@@ -555,6 +555,28 @@ object AggWindowQueries {
           max(col("n_ev")).as("max_interval_events"))
     }),
 
+    // Last-touch conversion attribution (the marketing-analytics
+    // staple): each purchase is credited to the user's most recent
+    // PRIOR non-purchase event; purchases with no prior touch credit
+    // 'none'. One user-partitioned window under the total
+    // (s, event_id) order (epoch seconds — never raw timestamps),
+    // then a touch-type-cardinality rollup with fixed-point share.
+    "events_attribution" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("s"))
+      val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touched = ev.withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+      touched.where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .withColumn("share_ppm",
+          expr("n_purchases * 1000000 div sum(n_purchases) OVER ()"))
+    }),
+
     // Retention cohort matrix: users grouped by first-active week,
     // per-cohort distinct-active counts at each week offset, retention
     // as an exact ppm-free fixed-point ratio. The product-analytics
@@ -958,6 +980,29 @@ object AggWindowQueries {
         |  CAST(min(m.p) AS BIGINT) AS min_prob_x1e4
         |FROM tr JOIN m USING (prev_type, event_type)
         |GROUP BY 1""".stripMargin,
+
+    // Same (s, event_id)-ordered preceding-frame last-touch window.
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+        |  FROM events
+        |), t AS (
+        |  SELECT user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev
+        |), conv AS (
+        |  SELECT coalesce(touch, 'none') AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM t WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT touch_type, n_purchases,
+        |  CAST(n_purchases * 1000000 // sum(n_purchases) OVER ()
+        |    AS BIGINT) AS share_ppm
+        |FROM conv""".stripMargin,
 
     // Same (s, event_id)-ordered two-level gaps-and-islands: prev-max
     // end over the preceding frame, island = running sum of the
