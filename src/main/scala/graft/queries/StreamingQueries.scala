@@ -137,6 +137,23 @@ object StreamingQueries {
     // semantics are pinned on a RocksDB-backed stream in StreamingSpec.
     // Output restricted to the key columns so the kept representative
     // is engine-deterministic.
+    // Streaming CDC apply over a REAL file-source change stream:
+    // user_id%100 keys, 'error' events as deletes, last-write-wins by
+    // the total (epoch s, event_id) seq. Complete-mode drain exposes
+    // the final state table — the materialized view a CDC consumer
+    // maintains. State is one row per live key.
+    "stream_cdc_apply" -> ((spark, dir) => {
+      val s = StreamingOps.eventsStream(spark, dir)
+        .select((col("user_id") % 100).as("k"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value").as("payload"),
+          unix_timestamp(col("ts")).as("s"), col("event_id"))
+      StreamingOps.runAvailableNowComplete(
+        StreamingOps.cdcApply(s, col("k"),
+          struct(col("s"), col("event_id")), col("op"), col("payload")),
+        "cdc_apply")
+    }),
+
     "stream_dropdup_watermark" -> ((spark, dir) => {
       val s = StreamingOps.eventsStream(spark, dir)
         .select(col("ts"), col("user_id"), col("event_type"))
@@ -273,6 +290,26 @@ object StreamingQueries {
     // starts at floor(ts/5min)*5min and 5 min before it.
     "stream_dropdup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // Batch twin of the streaming CDC materializer: argmax by the
+    // same total (s, event_id) seq, deletes filtered from the view.
+    "stream_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id % 100 AS k,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value AS payload,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    event_id
+        |  FROM events
+        |), last AS (
+        |  SELECT k, op, payload FROM (
+        |    SELECT k, op, payload,
+        |      row_number() OVER (PARTITION BY k
+        |        ORDER BY s DESC, event_id DESC) AS rn
+        |    FROM c
+        |  ) WHERE rn = 1
+        |)
+        |SELECT k, payload FROM last WHERE op <> 'D'""".stripMargin,
 
     "stream_trending_topk" ->
       """WITH c AS (

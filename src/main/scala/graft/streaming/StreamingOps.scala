@@ -245,6 +245,37 @@ object StreamingOps {
     out.sparkSession.table(name)
   }
 
+  /** [[runAvailableNow]] for AGGREGATION queries: complete-mode drain
+    * — the memory sink holds the final state table after the last
+    * batch, which is exactly what a state materializer (CDC apply)
+    * wants to expose. Same bounded-output caveat: keys/aggregates
+    * only.
+    */
+  def runAvailableNowComplete(out: DataFrame, prefix: String): DataFrame = {
+    val name = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = out.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete").start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+
+  /** Streaming CDC apply — the last-write-wins upsert/delete
+    * materializer that turns a change stream into current table
+    * state: per key, keep the change with the highest `seq` (a
+    * struct makes the order total); rows whose final op is a delete
+    * vanish from the view. One streaming max_by aggregation — state
+    * is one row per live key, the minimum any CDC materializer must
+    * hold — followed by a stateless delete filter. The batch twin
+    * (argmax by the same seq, same filter) is the DuckDB oracle.
+    */
+  def cdcApply(stream: DataFrame, key: Column, seq: Column,
+               op: Column, payload: Column): DataFrame =
+    stream.groupBy(key.as("k"))
+      .agg(max_by(struct(op.as("op"), payload.as("payload")), seq).as("last"))
+      .where(col("last.op") =!= "D")
+      .select(col("k"), col("last.payload").as("payload"))
+
   /** [[sessionize]] on the transformWithState path — identical
     * semantics (sentinel-flushed open sessions, append-only output).
     */

@@ -158,6 +158,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApply: delete wins over earlier upsert; later upsert resurrects; order by seq not arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)] // (k, seq, op, payload)
+    val out = graft.streaming.StreamingOps.cdcApply(
+      mem.toDF().toDF("k", "seq", "op", "payload"),
+      col("k"), col("seq"), col("op"), col("payload"))
+    val q = out.writeStream.format("memory").queryName("cdc_spec")
+      .outputMode("complete").start()
+    try {
+      // k=1 upsert then delete → gone; k=2 delete then upsert → alive;
+      // k=3 out-of-ORDER arrival: seq 5 payload wins though seq 2 arrives later
+      mem.addData((1L, 1L, "U", 10.0), (2L, 1L, "D", 0.0), (3L, 5L, "U", 99.0))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, "D", 0.0), (2L, 2L, "U", 20.0), (3L, 2L, "U", 11.0))
+      q.processAllAvailable()
+      val state = spark.table("cdc_spec")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(state === Map(2L -> 20.0, 3L -> 99.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup by key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
