@@ -144,6 +144,47 @@ object Sampling {
       .drop("__bw")
   }
 
+  /** Frequent-word subsampling (the word2vec/Mikolov downsampler):
+    * each occurrence of word w with corpus frequency f survives with
+    * probability min(1, sqrt(t/f)) where t = `thrPerMille`/1000 of
+    * total tokens — stop-word mass collapses, rare-word occurrences
+    * all survive. Determinism: the keep probability is quantized
+    * ONCE PER DISTINCT FREQUENCY (floor(1e6·sqrt(thr/f)) — IEEE
+    * division and sqrt are correctly rounded, so both engines agree;
+    * the DSIR per-distinct-input pattern), and membership is the
+    * Knuth hash of (doc, position) against that ppm — reproducible
+    * under re-runs and any partitioning, oracle-expressible. Scale:
+    * the frequency table is vocabulary-sized (broadcast); one
+    * corpus pass filters; per-doc rollup is map-side combinable.
+    * [[xxBucket]] is the production membership hash once
+    * doc·position keys outgrow the Knuth multiplier's domain.
+    *
+    * Returns (id, n_tokens, n_kept) per document.
+    */
+  def subsampleFrequentWords(docs: DataFrame, idCol: String, textCol: String,
+                             thrPerMille: Int = 1): DataFrame = {
+    require(thrPerMille >= 1, s"thrPerMille must be >= 1, got $thrPerMille")
+    val toks = docs.select(col(idCol).as("_ss_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("tpos", "w")))
+      .where(length(col("w")) > 0)
+    val nTotal = toks.count() // corpus scalar, known pre-plan
+    val thr = math.max(1L, nTotal * thrPerMille / 1000L)
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("keep_ppm",
+        when(col("f") <= thr, lit(1000000L))
+          .otherwise(floor(lit(1000000.0) * sqrt(lit(thr.toDouble) / col("f")))
+            .cast("long")))
+    // (doc, position) folded into [0, 2^31) BEFORE the Knuth multiply
+    // so the product can't overflow ANSI BIGINT at any corpus size
+    val key = pmod(col("_ss_id") * 1009L + col("tpos"), lit(2147483647L))
+    toks.join(broadcast(freq), Seq("w"))
+      .withColumn("kept", modBucket(key, 1000000) < col("keep_ppm"))
+      .groupBy("_ss_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("_ss_id").as(idCol), col("n_tokens"), col("n_kept"))
+  }
+
   /** Temperature-flattened mixture weights (the T5/PaLM α = 1/2
     * heuristic): instead of hand-set per-mille weights, each domain's
     * sampling weight is proportional to c_d^α with α fixed at 1/2 —

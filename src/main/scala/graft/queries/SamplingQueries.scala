@@ -367,6 +367,15 @@ object SamplingQueries {
         MixWeights, MixBudgetTokens)
     }),
 
+    // word2vec-style frequent-word subsampling: per-occurrence keep
+    // with p = min(1, sqrt(t/f)), t = 0.1% of corpus tokens; keep
+    // probability quantized once per distinct frequency, membership
+    // by the Knuth (doc, position) hash — fully oracle-expressible.
+    "sample_word_subsample" -> ((spark, dir) => {
+      Sampling.subsampleFrequentWords(
+        Tables.documents(spark, dir), "doc_id", "text", thrPerMille = 1)
+    }),
+
     // Temperature-flattened (α = 1/2) mixture weights per language:
     // the automatic alternative to mix_epoch_plan's hand-set weights.
     // sqrt is IEEE-correctly-rounded in both engines and quantized
@@ -533,6 +542,35 @@ object SamplingQueries {
     "sample_hash_split" -> splitSql,
     "sample_dedup_aware_split" -> dedupAwareSplitSql,
     "mix_epoch_plan" -> mixPlanSql,
+    // Same per-distinct-frequency ppm quantization, same folded
+    // (doc·1009+pos) % 2^31-1 Knuth membership.
+    "sample_word_subsample" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS tpos, l[i] AS w
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |              FROM documents))
+        |  WHERE l[i] <> ''
+        |), n AS (
+        |  SELECT count(*) AS n FROM t
+        |), thr AS (
+        |  SELECT greatest(1, n // 1000) AS thr FROM n
+        |), f AS (
+        |  SELECT w,
+        |    CASE WHEN count(*) <= (SELECT thr FROM thr) THEN 1000000
+        |         ELSE CAST(floor(1000000.0 *
+        |           sqrt(CAST((SELECT thr FROM thr) AS DOUBLE) / count(*)))
+        |           AS BIGINT)
+        |    END AS keep_ppm
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN
+        |      (((t.doc_id * 1009 + t.tpos) % 2147483647) * 2654435761)
+        |        % 1000000 < f.keep_ppm
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM t JOIN f USING (w)
+        |GROUP BY 1""".stripMargin,
     "mix_temperature_weights" ->
       """WITH a AS (
         |  SELECT lang, count(*) AS n_docs,
