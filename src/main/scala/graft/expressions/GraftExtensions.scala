@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(cs.size == 2, "sorted_intersect_count(a, b)")
       SortedIntersectCount(cs.head, cs(1))
     })
+    inject(ext, "varint_encode", classOf[VarintEncode], { cs =>
+      require(cs.size == 1, "varint_encode(array<bigint>)")
+      VarintEncode(cs.head)
+    })
+    inject(ext, "varint_decode", classOf[VarintDecode], { cs =>
+      require(cs.size == 1, "varint_decode(binary)")
+      VarintDecode(cs.head)
+    })
   }
 }
 
@@ -112,4 +120,10 @@ object GraftFunctions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
+
+  def varintEncode(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("varint_encode", c)
+
+  def varintDecode(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("varint_decode", c)
 }

@@ -241,19 +241,29 @@ object TextQueries {
     // block-cardinality frame.
     "text_inverted_index" -> ((spark, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
-        .where(length(col("term")) > 0)
-        .groupBy(col("term"), expr("doc_id div 128").as("block_id"))
-        .agg(count(lit(1)).as("n_in_block"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+      postingBlocks(spark, dir)
         .withColumn("df", sum(col("n_in_block")).over(w))
-        .withColumn("deltas", array_join(transform(col("postings"),
-          (x, i) => when(i === 0, x)
-            .otherwise(x - element_at(col("postings"), i)).cast("string")), ","))
+        .withColumn("deltas", array_join(transform(col("deltas_arr"),
+          x => x.cast("string")), ","))
         .select(col("term"), col("block_id"), col("df"),
           col("n_in_block"), col("deltas"))
+    }),
+
+    // The posting blocks through the native LEB128 varint codec (the
+    // byte encoding Lucene ships): encode runs as a codegen'd kernel
+    // over the delta array, n_bytes is the exact Σ(1+⌊bits/7⌋) the
+    // oracle rebuilds with an integer CASE ladder, and the roundtrip
+    // contract (decode ∘ encode = postings) is asserted per block
+    // inside the query. The compressed-index write path, gate-checked
+    // at real byte granularity.
+    "text_posting_codec" -> ((spark, dir) => {
+      import graft.expressions.GraftFunctions
+      postingBlocks(spark, dir)
+        .withColumn("enc", GraftFunctions.varintEncode(col("deltas_arr")))
+        .select(col("term"), col("block_id"), col("n_in_block"),
+          length(col("enc")).cast("long").as("n_bytes"),
+          (GraftFunctions.varintDecode(col("enc")) === col("deltas_arr"))
+            .as("roundtrip_ok"))
     }),
 
     "text_heavy_hitters" -> ((spark, dir) => {
@@ -1070,6 +1080,40 @@ object TextQueries {
         |    i -> CASE WHEN i = 1 THEN l[1] ELSE l[i] - l[i-1] END), ',') AS deltas
         |FROM b""".stripMargin,
 
+    // Exact LEB128 byte accounting: bytes(v) = 1 + ⌊bits(v)/7⌋ as an
+    // integer CASE ladder over the same delta arrays; the roundtrip
+    // boolean is the invariant-harness contract (decode ∘ encode
+    // asserted in-engine, per block).
+    "text_posting_codec" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''
+        |), b AS (
+        |  SELECT term, doc_id // 128 AS block_id,
+        |    CAST(count(*) AS BIGINT) AS n_in_block,
+        |    list(doc_id ORDER BY doc_id) AS l
+        |  FROM w GROUP BY 1, 2
+        |), d AS (
+        |  SELECT term, block_id, n_in_block,
+        |    list_transform(range(1, len(l) + 1),
+        |      i -> CASE WHEN i = 1 THEN l[1] ELSE l[i] - l[i-1] END) AS dl
+        |  FROM b
+        |)
+        |SELECT term, block_id, n_in_block,
+        |  CAST(list_sum(list_transform(dl, v -> CASE
+        |    WHEN v < 128 THEN 1
+        |    WHEN v < 16384 THEN 2
+        |    WHEN v < 2097152 THEN 3
+        |    WHEN v < 268435456 THEN 4
+        |    WHEN v < 34359738368 THEN 5
+        |    WHEN v < 4398046511104 THEN 6
+        |    WHEN v < 562949953421312 THEN 7
+        |    WHEN v < 72057594037927936 THEN 8
+        |    ELSE 9 END)) AS BIGINT) AS n_bytes,
+        |  true AS roundtrip_ok
+        |FROM d""".stripMargin,
+
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
@@ -1217,6 +1261,25 @@ object TextQueries {
     "text_bm25_topk" ->
       graft.operators.Retrieval.bm25OracleSql(Bm25Queries, k = 5)
   )
+
+  /** Block-partitioned posting lists shared by text_inverted_index
+    * and text_posting_codec: (term, block_id, n_in_block, postings,
+    * deltas_arr) with fixed doc-id-range blocks of 128 bounding every
+    * collect, in-block sorted postings, and the delta array (first
+    * entry raw).
+    */
+  private def postingBlocks(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term"), expr("doc_id div 128").as("block_id"))
+      .agg(count(lit(1)).as("n_in_block"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .withColumn("deltas_arr", transform(col("postings"),
+        (x, i) => when(i === 0, x)
+          .otherwise(x - element_at(col("postings"), i))))
 
   /** Shared DuckDB CTE chain for the interpolated bigram-LM score
     * (twin of [[bigramLmScores]]): unigram/bigram counts, corpus

@@ -112,6 +112,33 @@ class ExpressionSpec extends SparkSpec {
     assert(withNullElem.head().isNullAt(0))
   }
 
+  test("varint codec: known LEB128 vectors, random roundtrip through codegen, negative rejected") {
+    import spark.implicits._
+    // known vectors (the LEB128 spec examples)
+    val enc = graft.expressions.VarintCodec.encode(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(0L, 127L, 128L, 300L, 16384L)))
+    assert(enc.map(_ & 0xff).toSeq === Seq(
+      0x00, 0x7f, 0x80, 0x01, 0xac, 0x02, 0x80, 0x80, 0x01))
+    // byteLen matches the oracle's CASE ladder at the boundaries
+    for ((v, n) <- Seq(0L -> 1, 127L -> 1, 128L -> 2, 16383L -> 2, 16384L -> 3,
+        ((1L << 56) - 1) -> 8, (1L << 56) -> 9, Long.MaxValue -> 9))
+      assert(graft.expressions.VarintCodec.byteLen(v) === n, s"byteLen($v)")
+    // roundtrip through the SQL expressions (whole-stage codegen path)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong().abs % (1L << 40)))
+    val df = rows.toDF("arr")
+      .select(col("arr"),
+        GraftFunctions.varintDecode(GraftFunctions.varintEncode(col("arr"))).as("rt"))
+    assert(df.where(not(col("arr") === col("rt"))).isEmpty)
+    // negatives refuse to encode rather than mis-encode
+    intercept[Exception] {
+      Seq(Seq(-1L)).toDF("arr")
+        .select(GraftFunctions.varintEncode(col("arr"))).collect()
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     val docs = Tables.documents(spark, sfDir).limit(100)
       .select(col("doc_id"),
