@@ -89,6 +89,39 @@ object AggWindowQueries {
     // Per-column profiling (Deequ-style): melt the numeric measures to
     // long format, one agg computes count/NDV/min/max/mean per column —
     // a fixed-size result regardless of table width × row count.
+    // Per-group winsorized mean (robust stats): clamp each group's
+    // values to its own EXACT p05/p95 rank cuts, then integer means —
+    // the outlier-resistant aggregate a metrics pipeline publishes
+    // next to the raw mean. Values quantized once (IEEE multiply +
+    // floor); cuts via group-PARTITIONED cumsum windows over the
+    // per-group value histogram (each partition is one group's
+    // distinct values — never a global sort); group-cardinality cut
+    // table joins back broadcast.
+    "agg_winsorized" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 10000).cast("long").as("vq"))
+      val hist = v.groupBy("g", "vq").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("g").orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+      // integer rank test: cum >= ceil(a/20)  ⇔  20·cum >= a
+      val cuts = cum.groupBy("g").agg(
+        min(when(col("cum") * 20 >= col("n"), col("vq"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("vq"))).as("hi"))
+      v.join(broadcast(cuts), Seq("g"))
+        .groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo")).as("lo_x1e4"), min(col("hi")).as("hi_x1e4"),
+          sum(col("vq")).as("__sraw"),
+          sum(greatest(col("lo"), least(col("hi"), col("vq")))).as("__wsum"))
+        .withColumn("mean_x1e4", expr("__sraw div n"))
+        .withColumn("wmean_x1e4", expr("__wsum div n"))
+        .drop("__sraw", "__wsum")
+    }),
+
     // Equi-depth histogram statistics (the ANALYZE-TABLE artifact an
     // optimizer estimates selectivity from): 8 equal-mass buckets of
     // events.value with EXACT boundary values. Values quantized once
@@ -782,6 +815,33 @@ object AggWindowQueries {
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS bucket_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Same group-partitioned histogram cumsum, same 20·cum >= a
+    // integer rank test, same clamp-then-integer-mean.
+    "agg_winsorized" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vq
+        |  FROM events
+        |), cum AS (
+        |  SELECT g, vq,
+        |    sum(count(*)) OVER (PARTITION BY g ORDER BY vq) AS cum,
+        |    sum(count(*)) OVER (PARTITION BY g) AS n
+        |  FROM v GROUP BY g, vq
+        |), cuts AS (
+        |  SELECT g,
+        |    min(CASE WHEN cum * 20 >= n THEN vq END) AS lo,
+        |    min(CASE WHEN cum * 20 >= n * 19 THEN vq END) AS hi
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT v.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(lo) AS BIGINT) AS lo_x1e4,
+        |  CAST(min(hi) AS BIGINT) AS hi_x1e4,
+        |  CAST(sum(vq) // count(*) AS BIGINT) AS mean_x1e4,
+        |  CAST(sum(greatest(lo, least(hi, vq))) // count(*) AS BIGINT)
+        |    AS wmean_x1e4
+        |FROM v JOIN cuts ON v.g = cuts.g
+        |GROUP BY 1""".stripMargin,
 
     // Same quantization, same ceil(k·n/8) rank cuts (window cumsum
     // over the value histogram), same value-vs-cut bucketing.
