@@ -413,6 +413,41 @@ object Similarity {
         col("vec_id").as("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Two-stage retrieval (the production serving shape): IVF-PQ ADC
+    * produces a coarse candidate pool of k·`coarseMult` per query,
+    * then the pool — and ONLY the pool — is re-scored with exact
+    * float cosine and cut to k. At 100 TB the corpus is touched once
+    * through the compressed index; exact vectors are fetched for
+    * pool·|queries| rows only (an id equi-join against the vector
+    * store). Because the rerank order is the SAME rounded-cosine +
+    * id order the brute-force ground truth uses, every true top-k
+    * member that survives to the pool is KEPT — per-query recall
+    * dominates plain ADC ranking provably, which the
+    * `rerank_dominates` contract asserts.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      coarseMult: Int = 4): DataFrame = {
+    require(coarseMult >= 1, s"coarseMult must be >= 1, got $coarseMult")
+    val pool = ivfPqTopK(corpus, queries, k * coarseMult)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pool
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm")),
+        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
   /** Recall/shape harness for an approximate top-k against the exact
     * brute-force result — the form that makes a recall-lossy index
     * oracle-checkable: the oracle asserts the INVARIANT (mean recall

@@ -106,6 +106,29 @@ object VectorQueries {
         minAvgRecall = 0.1)
     }),
 
+    // Two-stage retrieval: IVF-PQ coarse pool (4k candidates) → exact
+    // cosine rerank → top-k. The rerank_dominates boolean is a
+    // THEOREM, not a tuned floor: rerank orders the pool by the same
+    // rounded-cosine + id order as the ground truth, so every true
+    // neighbor in the pool is kept — per-query hits can only match or
+    // beat the plain ADC cut.
+    "ann_ivfpq_rerank" -> ((spark, dir) => {
+      val corpus = Tables.embeddings(spark, dir)
+      val q = queriesDf(spark, dir)
+      val brute = Similarity.bruteForceTopK(corpus, q, K)
+      val adc = Similarity.ivfPqTopK(corpus, q, K)
+      val rr = Similarity.ivfPqRerankTopK(corpus, q, K)
+      def hits(a: DataFrame, out: String) =
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(a.select(col("query_id"), col("neighbor_id"))
+              .withColumn("h", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id").agg(sum(coalesce(col("h"), lit(0L))).as(out))
+      val dom = hits(rr, "h_rr").join(hits(adc, "h_adc"), Seq("query_id"))
+        .agg(bool_and(col("h_rr") >= col("h_adc")).as("rerank_dominates"))
+      Similarity.recallHarness(rr, brute, minAvgRecall = 0.1).crossJoin(dom)
+    }),
+
     // Cross-modal: do embedding near-dups agree with text near-dups?
     // Joins the similarity and text-dedup families over the shared id
     // space; emits both signals per candidate pair. Pair generation is
@@ -449,6 +472,11 @@ object VectorQueries {
     "ann_ivf_bucketed" -> recallHarnessOracle,
     "ann_pq_topk" -> recallHarnessOracle,
     "ann_ivfpq_topk" -> recallHarnessOracle,
+
+    "ann_ivfpq_rerank" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  true AS recall_ok, true AS ranks_ok, true AS rerank_dominates
+         |FROM embeddings WHERE vec_id % $QueryMod = 0""".stripMargin,
 
     "xmodal_dup_agreement" -> {
       val sh = graft.functions.TextFns.shinglesSql("string_split(text, ' ')", 2)
