@@ -588,6 +588,29 @@ object AggWindowQueries {
           max(col("n_ev")).as("max_interval_events"))
     }),
 
+    // Per-user EWMA (α = 1/2) — the sequential smoothing recurrence
+    // windows can't express: s ← (s + v) div 2 folded over the user's
+    // events in the total (s, event_id) order, ENTIRELY in integer
+    // fixed-point so the fold is bit-deterministic on both engines
+    // (a float EWMA would drift per step). The recurrence is
+    // inherently order-dependent, so it runs as a per-user local fold
+    // (collect bounded by the user's event count) — the only honest
+    // distributed shape for per-key sequential state outside
+    // streaming (where mapGroupsWithState holds it incrementally).
+    "ts_ewma" -> ((spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s"),
+          floor(col("value") * 10000).cast("long").as("vq"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("s"), col("event_id"), col("vq")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          expr("aggregate(transform(seq, x -> x.vq), CAST(0 AS BIGINT)," +
+            " (acc, v) -> (acc + v) div 2)").as("ewma_x1e4"))
+    }),
+
     // Last-touch conversion attribution (the marketing-analytics
     // staple): each purchase is credited to the user's most recent
     // PRIOR non-purchase event; purchases with no prior touch credit
@@ -1040,6 +1063,18 @@ object AggWindowQueries {
         |  CAST(min(m.p) AS BIGINT) AS min_prob_x1e4
         |FROM tr JOIN m USING (prev_type, event_type)
         |GROUP BY 1""".stripMargin,
+
+    // Same (s, event_id)-ordered fold: list_reduce with a prepended 0
+    // initial accumulator equals Spark's aggregate(…, 0, …).
+    "ts_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list(CAST(floor(value * 10000) AS BIGINT)
+        |        ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
+        |                 event_id)),
+        |    (acc, v) -> (acc + v) // 2) AS BIGINT) AS ewma_x1e4
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Same (s, event_id)-ordered preceding-frame last-touch window.
     "events_attribution" ->
