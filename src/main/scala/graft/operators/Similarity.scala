@@ -428,14 +428,24 @@ object Similarity {
   def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                       coarseMult: Int = 4): DataFrame = {
     require(coarseMult >= 1, s"coarseMult must be >= 1, got $coarseMult")
-    val pool = ivfPqTopK(corpus, queries, k * coarseMult)
-      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(ivfPqTopK(corpus, queries, k * coarseMult), corpus, queries, k)
+  }
+
+  /** Exact full-vector rerank of a candidate pool (query_id,
+    * neighbor_id): fetch exact vectors for pool rows only (one id
+    * equi-join against the vector store), score with the SAME
+    * rounded-cosine + id order the brute-force ground truth uses,
+    * cut to k. Shared by every two-stage retrieval shape (IVF-PQ,
+    * Matryoshka prefix).
+    */
+  def exactRerank(pool: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    pool
+    pool.select(col("query_id"), col("neighbor_id"))
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm")),
         Seq("neighbor_id"))
@@ -446,6 +456,21 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Matryoshka-style prefix-dimension retrieval (MRL serving): the
+    * coarse pass scores only the FIRST `prefixDim` coordinates — half
+    * the storage bandwidth and FLOPs when embeddings are trained
+    * nested — then [[exactRerank]] fixes the cut with full vectors.
+    * Recall-lossy in stage 1 → recall-harness gated.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDim: Int, coarseMult: Int = 4): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    def pref(df: DataFrame) =
+      df.withColumn("embedding", slice(col("embedding"), 1, prefixDim))
+    exactRerank(bruteForceTopK(pref(corpus), pref(queries), k * coarseMult),
+      corpus, queries, k)
   }
 
   /** Recall/shape harness for an approximate top-k against the exact

@@ -405,6 +405,46 @@ object JoinQueries {
         seedMod = RwSeedMod, steps = RwSteps)
     }),
 
+    // Modularity audit of the label-propagation partition — the
+    // quality score community detection is judged by (Newman Q).
+    // Per community: intra-edge count, degree sum, and the Q
+    // contribution in STAGED fixed-point ppm — a = (1e6·D_c) div
+    // (2m) ≤ 1e6, deg term = a² div 1e6 — so no intermediate
+    // exceeds ~1e12 at ANY graph size (the naive 4m·L − D² form
+    // overflows BIGINT past ~3e9-degree communities). One edge pass
+    // + one node pass over the converged labels.
+    "graph_modularity" -> ((spark, dir) => {
+      import graft.operators.GraphRank
+      import graft.core.GraftSession.LineageOps
+      // canon feeds the label rounds, the intra pass, AND the degree
+      // pass; labels feed two joins — materialize both once
+      val canon = coPurchaseEdges(spark, dir).truncateLineage()
+      val labels = GraphRank.labelPropagation(canon, "a", "b", rounds = LpaRounds)
+        .truncateLineage()
+      val m = canon.count() // graph scalar, known pre-plan
+      val withA = canon
+        .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+      val intra = withA.where(col("la") === col("lb"))
+        .groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val degs = canon.select(col("a").as("node"))
+        .unionByName(canon.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val comm = labels.join(degs, "node")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      comm.join(intra, Seq("label"), "left")
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("deg_sum"))
+        .withColumn("intra_ppm", expr(s"(intra_edges * 1000000) div ${m}L"))
+        .withColumn("__a", expr(s"(deg_sum * 1000000) div ${2 * m}L"))
+        .withColumn("contrib_ppm",
+          expr("intra_ppm - (__a * __a) div 1000000"))
+        .drop("__a")
+    }),
+
     // Multi-source BFS hop distances (4 rounds, seeds ≡ 0 mod 10)
     // over the co-purchase graph: frontier-delta expansion only —
     // per-round work is the frontier's edge boundary, never the
@@ -597,6 +637,7 @@ object JoinQueries {
     "graph_kcore" -> kcoreSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_bfs_distances" -> bfsSql,
+    "graph_modularity" -> modularitySql,
     // Same wedge enumeration, per-distinct-degree AA quantization,
     // and (cn, aa, x, y) total order.
     "graph_link_prediction" ->
@@ -814,6 +855,45 @@ object JoinQueries {
        |)
        |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
   }
+
+  // Modularity over the SAME converged labelprop partition: the
+  // label CTE chain nests the labelpropSql query verbatim, then one
+  // edge pass (intra counts) + one node pass (degree sums) + the
+  // same staged ppm arithmetic.
+  private lazy val modularitySql: String =
+    s"""WITH lab AS MATERIALIZED (
+       |  SELECT node, label FROM ($labelpropSql)
+       |), pp2 AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), m AS (
+       |  SELECT count(*) AS m FROM pp2
+       |), intra AS (
+       |  SELECT la.label, count(*) AS intra_edges
+       |  FROM pp2
+       |  JOIN lab la ON pp2.a = la.node
+       |  JOIN lab lb ON pp2.b = lb.node
+       |  WHERE la.label = lb.label GROUP BY 1
+       |), degs AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM pp2 UNION ALL SELECT b FROM pp2
+       |  ) GROUP BY 1
+       |), comm AS (
+       |  SELECT label, count(*) AS n_nodes, sum(deg) AS deg_sum
+       |  FROM lab JOIN degs USING (node) GROUP BY 1
+       |)
+       |SELECT label, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+       |  CAST(deg_sum AS BIGINT) AS deg_sum,
+       |  CAST((coalesce(intra_edges, 0) * 1000000) // (SELECT m FROM m)
+       |    AS BIGINT) AS intra_ppm,
+       |  CAST((coalesce(intra_edges, 0) * 1000000) // (SELECT m FROM m)
+       |    - (((deg_sum * 1000000) // (SELECT 2 * m FROM m))
+       |       * ((deg_sum * 1000000) // (SELECT 2 * m FROM m))) // 1000000
+       |    AS BIGINT) AS contrib_ppm
+       |FROM comm LEFT JOIN intra USING (label)""".stripMargin
 
   // Generated twin of GraphRank.bfsDistances: same frontier-delta
   // rounds — neighbors of last round's frontier, minus everything

@@ -129,6 +129,19 @@ object VectorQueries {
       Similarity.recallHarness(rr, brute, minAvgRecall = 0.1).crossJoin(dom)
     }),
 
+    // Matryoshka prefix-dim retrieval: coarse cosine on the first 32
+    // of 64 coordinates (half the bandwidth/FLOPs), exact full-vector
+    // rerank of the 4k pool. Recall-harness gated like every lossy
+    // first stage.
+    "ann_matryoshka_topk" -> ((spark, dir) => {
+      val corpus = Tables.embeddings(spark, dir)
+      val q = queriesDf(spark, dir)
+      Similarity.recallHarness(
+        Similarity.matryoshkaTopK(corpus, q, K, prefixDim = 32),
+        Similarity.bruteForceTopK(corpus, q, K),
+        minAvgRecall = 0.3)
+    }),
+
     // Cross-modal: do embedding near-dups agree with text near-dups?
     // Joins the similarity and text-dedup families over the shared id
     // space; emits both signals per candidate pair. Pair generation is
@@ -477,6 +490,8 @@ object VectorQueries {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  true AS recall_ok, true AS ranks_ok, true AS rerank_dominates
          |FROM embeddings WHERE vec_id % $QueryMod = 0""".stripMargin,
+
+    "ann_matryoshka_topk" -> recallHarnessOracle,
 
     "xmodal_dup_agreement" -> {
       val sh = graft.functions.TextFns.shinglesSql("string_split(text, ' ')", 2)
