@@ -129,6 +129,39 @@ object VectorQueries {
       Similarity.recallHarness(rr, brute, minAvgRecall = 0.1).crossJoin(dom)
     }),
 
+    // Late-interaction (ColBERT-style) MaxSim retrieval: multi-vector
+    // docs (4 token vectors per doc, carved from vec_id), score =
+    // Σ over query tokens of the best-matching corpus token cosine.
+    // Per-token cosines quantized floor(1e6·cos) so the MaxSim sum is
+    // an order-free BIGINT — no float-summation drift between
+    // engines. Scale shape: query tokens broadcast (an eval/query
+    // set is bounded), one corpus-token pass, two map-side-combinable
+    // aggs (per-qtoken max → per-pair sum), top-3 per query under a
+    // total order.
+    "ann_maxsim_topk" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks2 = Tables.embeddings(spark, dir)
+        .select(expr("vec_id div 4").as("d"), pmod(col("vec_id"), lit(4L)).as("t"),
+          col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+      val q = broadcast(toks2.where(col("d") % 100 === 0)
+        .select(col("d").as("qd"), col("t").as("qt"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val w = Window.partitionBy(col("qd"))
+        .orderBy(col("score_x1e6").desc, col("cd").asc)
+      toks2.select(col("d").as("cd"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+        .join(q, col("cd") =!= col("qd"))
+        .withColumn("cos_x1e6",
+          floor(lit(1000000.0) * Similarity.dot(col("q_emb"), col("c_emb")) /
+            (col("q_nrm") * col("c_nrm"))).cast("long"))
+        .groupBy("qd", "cd", "qt").agg(max(col("cos_x1e6")).as("mx"))
+        .groupBy("qd", "cd").agg(sum(col("mx")).as("score_x1e6"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("qd").as("query_doc"), col("rank").cast("long").as("rank"),
+          col("cd").as("neighbor_doc"), col("score_x1e6"))
+    }),
+
     // Matryoshka prefix-dim retrieval: coarse cosine on the first 32
     // of 64 coordinates (half the bandwidth/FLOPs), exact full-vector
     // rerank of the 4k pool. Recall-harness gated like every lossy
@@ -492,6 +525,32 @@ object VectorQueries {
          |FROM embeddings WHERE vec_id % $QueryMod = 0""".stripMargin,
 
     "ann_matryoshka_topk" -> recallHarnessOracle,
+
+    // Same token carving, same floor(1e6·cos) quantization, same
+    // max-then-sum grouping and total-ordered top-3.
+    "ann_maxsim_topk" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT vec_id // 4 AS d, vec_id % 4 AS t, embedding
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT d AS qd, t AS qt, embedding AS q_emb FROM t
+         |  WHERE d % 100 = 0
+         |), s AS (
+         |  SELECT q.qd, c.d AS cd, q.qt,
+         |    max(CAST(floor(1000000.0 *
+         |      ${Similarity.cosineSql("q.q_emb", "c.embedding")}) AS BIGINT)) AS mx
+         |  FROM t c JOIN q ON c.d <> q.qd
+         |  GROUP BY 1, 2, 3
+         |), p AS (
+         |  SELECT qd, cd, CAST(sum(mx) AS BIGINT) AS score_x1e6
+         |  FROM s GROUP BY 1, 2
+         |)
+         |SELECT qd AS query_doc, rank, cd AS neighbor_doc, score_x1e6 FROM (
+         |  SELECT qd, cd, score_x1e6,
+         |    row_number() OVER (
+         |      PARTITION BY qd ORDER BY score_x1e6 DESC, cd ASC) AS rank
+         |  FROM p
+         |) WHERE rank <= 3""".stripMargin,
 
     "xmodal_dup_agreement" -> {
       val sh = graft.functions.TextFns.shinglesSql("string_split(text, ' ')", 2)
