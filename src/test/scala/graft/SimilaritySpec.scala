@@ -15,6 +15,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("exactRerank over a full-corpus pool reproduces brute force; matryoshka at full dim ditto") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+    // pool = every (query, candidate) pair (minus self) — rerank must
+    // reduce to the exact scorer
+    val pool = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id")))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val rr = Similarity.exactRerank(pool, corpus, queries, 5)
+    assert(rr.exceptAll(brute).isEmpty && brute.exceptAll(rr).isEmpty)
+    // prefix = the full dimension and a corpus-covering pool: the
+    // coarse stage IS brute force, so the composition is too
+    val n = corpus.count().toInt
+    val mk = Similarity.matryoshkaTopK(corpus, queries, 5,
+      prefixDim = 64, coarseMult = n)
+    assert(mk.exceptAll(brute).isEmpty && brute.exceptAll(mk).isEmpty)
+  }
+
   test("cosine is 1 for identical vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
