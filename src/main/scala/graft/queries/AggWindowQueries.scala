@@ -89,6 +89,39 @@ object AggWindowQueries {
     // Per-column profiling (Deequ-style): melt the numeric measures to
     // long format, one agg computes count/NDV/min/max/mean per column —
     // a fixed-size result regardless of table width × row count.
+    // Median/MAD anomaly detection (the robust z-score): per group,
+    // EXACT median and median-absolute-deviation via two passes of
+    // the group-partitioned histogram-cumsum rank test (2·cum >= n ⇔
+    // cum >= ceil(n/2)), then flag values with |v − med| > 10·MAD.
+    // Robust where mean/stddev launder the outliers into the
+    // threshold itself. All integer fixed-point; group-cardinality
+    // med/mad tables broadcast back.
+    "events_anomaly_mad" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def groupMedian(df: DataFrame, valCol: String, out: String) = {
+        val wc = Window.partitionBy("g").orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        df.groupBy("g", valCol).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+          .groupBy("g")
+          .agg(min(when(col("cum") * 2 >= col("n"), col(valCol))).as(out))
+      }
+      val v = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 10000).cast("long").as("vq"))
+      val med = groupMedian(v, "vq", "med")
+      val dev = v.join(broadcast(med), Seq("g"))
+        .withColumn("dv", abs(col("vq") - col("med")))
+      val mad = groupMedian(dev.select(col("g"), col("dv")), "dv", "mad")
+      dev.join(broadcast(mad), Seq("g"))
+        .groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med_x1e4"), min(col("mad")).as("mad_x1e4"),
+          sum(when(col("dv") > col("mad") * 10, 1L).otherwise(0L))
+            .as("n_anomalies"))
+    }),
+
     // Per-group winsorized mean (robust stats): clamp each group's
     // values to its own EXACT p05/p95 rank cuts, then integer means —
     // the outlier-resistant aggregate a metrics pipeline publishes
@@ -838,6 +871,39 @@ object AggWindowQueries {
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS bucket_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Same two-pass group-partitioned histogram median (2·cum >= n),
+    // same 10·MAD flag.
+    "events_anomaly_mad" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vq
+        |  FROM events
+        |), med AS (
+        |  SELECT g, min(CASE WHEN cum * 2 >= n THEN vq END) AS med FROM (
+        |    SELECT g, vq,
+        |      sum(count(*)) OVER (PARTITION BY g ORDER BY vq) AS cum,
+        |      sum(count(*)) OVER (PARTITION BY g) AS n
+        |    FROM v GROUP BY g, vq
+        |  ) GROUP BY 1
+        |), dev AS MATERIALIZED (
+        |  SELECT v.g, vq, med, abs(vq - med) AS dv
+        |  FROM v JOIN med ON v.g = med.g
+        |), mad AS (
+        |  SELECT g, min(CASE WHEN cum * 2 >= n THEN dv END) AS mad FROM (
+        |    SELECT g, dv,
+        |      sum(count(*)) OVER (PARTITION BY g ORDER BY dv) AS cum,
+        |      sum(count(*)) OVER (PARTITION BY g) AS n
+        |    FROM dev GROUP BY g, dv
+        |  ) GROUP BY 1
+        |)
+        |SELECT dev.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(med) AS BIGINT) AS med_x1e4,
+        |  CAST(min(mad.mad) AS BIGINT) AS mad_x1e4,
+        |  CAST(sum(CASE WHEN dv > mad.mad * 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |GROUP BY 1""".stripMargin,
 
     // Same group-partitioned histogram cumsum, same 20·cum >= a
     // integer rank test, same clamp-then-integer-mean.
