@@ -288,6 +288,49 @@ object Lakehouse {
     * renames cannot be made jointly atomic on a plain filesystem; the
     * data itself is never lost).
     */
+  /** Partition-spec EVOLUTION: rewrite a partitioned table under a
+    * new partition column set (e.g. year=/month= → month= only, or
+    * adding a bucket column as query patterns change) without readers
+    * ever seeing a half-migrated table. The full table rewrites into
+    * a hidden staging dir under the NEW spec, then swaps in with the
+    * rename-aside protocol [[compact]] uses: live → __old, staging →
+    * live, __old dropped — a crash between renames is healed on the
+    * next call (restore from __old). Rows are bit-identical before
+    * and after (spec-pinned); only the directory layout — and thus
+    * which predicates prune — changes. Scale: one full-table
+    * read+write (the floor for any respec) shuffled by the new
+    * partition columns so each output partition is written by its
+    * own tasks. Returns the number of leaf partitions under the new
+    * spec.
+    */
+  def evolvePartitionSpec(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newPartitionCols: Seq[String]): Long = {
+    require(newPartitionCols.nonEmpty, "new partition spec must be non-empty")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(crashBackup) &&
+        !fs.rename(crashBackup, path))
+      throw new java.io.IOException(s"evolve: cannot restore $crashBackup")
+    val staging = new org.apache.hadoop.fs.Path(dir + "__respec")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    df.repartition(newPartitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(newPartitionCols: _*)
+      .mode("overwrite").parquet(staging.toString)
+    if (fs.exists(crashBackup)) fs.delete(crashBackup, true)
+    if (!fs.rename(path, crashBackup))
+      throw new java.io.IOException(s"evolve: cannot set aside $path")
+    if (!fs.rename(staging, path)) {
+      fs.rename(crashBackup, path) // restore; staging left for inspection
+      throw new java.io.IOException(s"evolve: cannot publish $staging")
+    }
+    fs.delete(crashBackup, true)
+    spark.read.parquet(dir)
+      .select(newPartitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().count()
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetBytes: Long,
               recluster: Option[(org.apache.spark.sql.DataFrame, Int) =>

@@ -86,6 +86,36 @@ class LakehouseSpec extends SparkSpec {
       (4L, "insert", "d", 40)))
   }
 
+  test("evolvePartitionSpec: rows bit-identical, new layout prunes, crash-safe restore") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    val df = (1 to 200).map(i => (i.toLong, s"y${i % 3}", s"m${i % 4}", i * 1.5))
+      .toDF("id", "yr", "mn", "v")
+    df.write.partitionBy("yr", "mn").parquet(dir)
+    def snap() = spark.read.parquet(dir).select("id", "yr", "mn", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    val before = snap()
+    val nParts = Lakehouse.evolvePartitionSpec(spark, dir, Seq("mn"))
+    assert(nParts === 4)
+    // same rows, new single-level layout
+    assert(before === snap())
+    val leaves = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(leaves.forall(_.startsWith("mn=")) && leaves.length === 4, leaves.toSeq)
+    // the new column now prunes at PLANNING time (PartitionFilters)
+    val plan = { val q = spark.read.parquet(dir).where(col("mn") === "m1")
+      q.collect(); q.queryExecution.executedPlan.toString }
+    assert(plan.contains("PartitionFilters") && plan.contains("mn#"),
+      plan.take(600))
+    // crash simulation: live dir gone, __old present → next call heals
+    val p = new java.io.File(dir)
+    val old = new java.io.File(dir + "__old")
+    assert(p.renameTo(old))
+    val n2 = Lakehouse.evolvePartitionSpec(spark, dir, Seq("yr"))
+    assert(n2 === 3)
+    assert(spark.read.parquet(dir).count() === 200)
+  }
+
   test("changeDataFeed treats null→value and value→null as updates") {
     import spark.implicits._
     val old = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "s")
