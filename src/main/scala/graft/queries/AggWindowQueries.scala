@@ -89,6 +89,47 @@ object AggWindowQueries {
     // Per-column profiling (Deequ-style): melt the numeric measures to
     // long format, one agg computes count/NDV/min/max/mean per column —
     // a fixed-size result regardless of table width × row count.
+    // In-session funnel conversion: sessionize by 1800 s inactivity
+    // gap (gaps-and-islands under the total (s, event_id) order),
+    // then require the ORDERED stage chain view → click → purchase
+    // WITHIN each session (click at-or-after first view, purchase
+    // at-or-after that click — time-respecting, not mere presence).
+    // Per-session work is three conditional mins; output is the
+    // 1-row funnel with exact ppm conversion rates.
+    "events_session_funnel" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("s"))
+      val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+      val sess = ev
+        .withColumn("gap",
+          when(col("s") - lag(col("s"), 1).over(w) > 1800L, 1L)
+            .otherwise(when(lag(col("s"), 1).over(w).isNull, 1L).otherwise(0L)))
+        .withColumn("sid", sum(col("gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val per = sess.groupBy("user_id", "sid")
+        .agg(min(when(col("event_type") === "view", col("s"))).as("v"))
+      val withV = sess.join(per, Seq("user_id", "sid"))
+      val perC = withV.groupBy("user_id", "sid")
+        .agg(min(col("v")).as("v"),
+          min(when(col("event_type") === "click" && col("s") >= col("v"),
+            col("s"))).as("c"))
+      val perP = sess.join(perC, Seq("user_id", "sid"))
+        .groupBy("user_id", "sid")
+        .agg(min(col("v")).as("v"), min(col("c")).as("c"),
+          min(when(col("event_type") === "purchase" && col("s") >= col("c"),
+            col("s"))).as("p"))
+      perP.agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+        .withColumn("view_ppm", expr("(n_view * 1000000) div n_sessions"))
+        .withColumn("purchase_ppm",
+          expr("(n_full_funnel * 1000000) div n_sessions"))
+    }),
+
     // Median/MAD anomaly detection (the robust z-score): per group,
     // EXACT median and median-absolute-deviation via two passes of
     // the group-partitioned histogram-cumsum rank test (2·cum >= n ⇔
@@ -871,6 +912,51 @@ object AggWindowQueries {
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS bucket_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Same gap-sessionization and time-respecting conditional mins.
+    "events_session_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, event_type, s,
+        |    CASE WHEN lag(s) OVER w IS NULL
+        |              OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS gap
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_type, s,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), pv AS (
+        |  SELECT user_id, sid,
+        |    min(CASE WHEN event_type = 'view' THEN s END) AS v
+        |  FROM sess GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT sess.user_id, sess.sid, min(pv.v) AS v,
+        |    min(CASE WHEN event_type = 'click' AND s >= pv.v THEN s END) AS c
+        |  FROM sess JOIN pv ON sess.user_id = pv.user_id AND sess.sid = pv.sid
+        |  GROUP BY 1, 2
+        |), pp AS (
+        |  SELECT sess.user_id, sess.sid, min(pc.v) AS v, min(pc.c) AS c,
+        |    min(CASE WHEN event_type = 'purchase' AND s >= pc.c THEN s END) AS p
+        |  FROM sess JOIN pc ON sess.user_id = pc.user_id AND sess.sid = pc.sid
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view,
+        |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full_funnel,
+        |  CAST((sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS view_ppm,
+        |  CAST((sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS purchase_ppm
+        |FROM pp""".stripMargin,
 
     // Same two-pass group-partitioned histogram median (2·cum >= n),
     // same 10·MAD flag.
