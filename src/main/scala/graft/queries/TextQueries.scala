@@ -405,6 +405,41 @@ object TextQueries {
     // broadcast; one doc-keyed aggregation.
     "text_bigram_lm" -> ((spark, dir) => bigramLmScores(spark, dir)),
 
+    // Kneser-Ney smoothed bigram LM (the smoothing production n-gram
+    // LMs actually shipped): absolute discount D = 3/4 — RATIONAL by
+    // choice, so max(c−D,0)/ctx = (4c−3)/(4·ctx) and the whole score
+    // stays in staged integer division; the continuation probability
+    // uses distinct-predecessor counts (the KN insight: "how many
+    // contexts does w2 complete", not raw frequency). Per-transition
+    // p_x1e6 = (4c2−3)·1e6 div (4·ctx) + ((3·N1f·1e6) div (4·ctx))
+    // ·N1b div B — no intermediate above ~3e15 at a 1e9 vocabulary.
+    // Count tables are vocabulary-sized → broadcast; one doc-keyed
+    // aggregation, engine-exact by construction.
+    "text_kn_bigram_lm" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(TextFns.shingles(col("t"), 2)).as("bg"))
+      val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val ctx = bi.groupBy("w1").agg(sum(col("c2")).as("ctx"),
+        count(lit(1)).as("n1f"))
+      val back = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val nB = bi.count() // distinct bigrams, corpus scalar pre-plan
+      bigrams
+        .join(broadcast(bi.select(col("bg"), col("c2"), col("w1"), col("w2"))),
+          Seq("bg"))
+        .join(broadcast(ctx), Seq("w1"))
+        .join(broadcast(back), Seq("w2"))
+        .withColumn("p_x1e6",
+          expr("((4 * c2 - 3) * 1000000) div (4 * ctx)") +
+            expr(s"(((3 * n1f * 1000000) div (4 * ctx)) * n1b) div ${nB}L"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trans"), sum(col("p_x1e6")).as("sum_p_x1e6"))
+        .withColumn("mean_p_x1e6", expr("sum_p_x1e6 div n_trans"))
+    }),
+
     // CCNet-style LM-score bucketing: split the corpus into exact
     // low/mid/high predictability tertiles of the bigram-LM score —
     // the bucket column CCNet samples from (keep the well-modeled
@@ -697,6 +732,39 @@ object TextQueries {
          |  CAST(sum(p) AS BIGINT) AS sum_p_x1e6,
          |  CAST(sum(p) // count(*) AS BIGINT) AS mean_p_x1e6
          |FROM t GROUP BY 1""".stripMargin,
+
+    // Same rational-discount staging: (4c−3)/(4·ctx) + continuation
+    // term over distinct-neighbor counts.
+    "text_kn_bigram_lm" -> {
+      val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT doc_id, unnest($sh) AS bg FROM documents
+         |), bi AS MATERIALIZED (
+         |  SELECT bg, count(*) AS c2,
+         |    string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2
+         |  FROM bg GROUP BY 1
+         |), ctx AS (
+         |  SELECT w1, sum(c2) AS ctx, count(*) AS n1f FROM bi GROUP BY 1
+         |), back AS (
+         |  SELECT w2, count(*) AS n1b FROM bi GROUP BY 1
+         |), nb AS (
+         |  SELECT count(*) AS b FROM bi
+         |), t AS (
+         |  SELECT bg.doc_id,
+         |    ((4 * bi.c2 - 3) * 1000000) // (4 * ctx.ctx)
+         |      + (((3 * ctx.n1f * 1000000) // (4 * ctx.ctx)) * back.n1b)
+         |        // (SELECT b FROM nb) AS p
+         |  FROM bg
+         |  JOIN bi USING (bg)
+         |  JOIN ctx ON bi.w1 = ctx.w1
+         |  JOIN back ON bi.w2 = back.w2
+         |)
+         |SELECT doc_id, count(*) AS n_trans,
+         |  CAST(sum(p) AS BIGINT) AS sum_p_x1e6,
+         |  CAST(sum(p) // count(*) AS BIGINT) AS mean_p_x1e6
+         |FROM t GROUP BY 1""".stripMargin
+    },
 
     // Exact rank-tertile cuts over the same LM scores, then bucket by
     // VALUE — ties land on the <= side in both engines.
