@@ -559,6 +559,44 @@ object TextQueries {
         nGram = 5, minDocFreq = 2)
     }),
 
+    // Containment (asymmetric Jaccard |A∩B|/|A|) pair detection: the
+    // near-SUPERSET case symmetric-Jaccard dedup misses — a short doc
+    // quoted whole inside a long one has low Jaccard but containment
+    // ≈ 1. The metric runs over the DF-CAPPED gram space (grams in >
+    // 100 docs excluded from numerator AND denominator — the stop-
+    // gram removal every set-similarity self-join ships): ubiquitous
+    // boilerplate grams carry no containment signal but dominate the
+    // gram self-join quadratically. Candidates then come from the
+    // distinct-gram equi-join with a >= 2 shared-gram floor (note a
+    // LENGTH-ratio prune would be WRONG here: containment pairs are
+    // exactly the length-asymmetric ones). Grams join on native hash
+    // keys; the oracle joins the STRINGS, so the hash match doubles
+    // as a collision check.
+    "text_containment_pairs" -> ((spark, dir) => {
+      // native kernel: ONE tokenization pass per doc (the inline HOF
+      // form re-splits the text at every element_at — measured 8+ s
+      // here before the switch)
+      val raw = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.expressions.GraftFunctions.hashedShingles(col("text"), 3))).as("g"))
+      val keep = raw.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 100).select(col("g"))
+      val grams = raw.join(keep, Seq("g"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      grams.as("x").join(grams.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 2)
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("cont_a_ppm", expr("(shared * 1000000) div na"))
+        .withColumn("cont_b_ppm", expr("(shared * 1000000) div nb"))
+        .where(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 600000)
+        .select(col("a"), col("b"), col("shared"),
+          col("cont_a_ppm"), col("cont_b_ppm"))
+    }),
+
     // Exact-substring dedup as a TRANSFORM (Lee et al.): every token
     // covered by a 5-gram that appears in >= 2 distinct docs is
     // excised from every occurrence; survivors reassemble in order.
@@ -1089,6 +1127,32 @@ object TextQueries {
          |  CAST(n_dup * 1000 // n_grams AS BIGINT) AS dup_permille,
          |  CAST(coalesce(runs.longest, 0) AS BIGINT) AS longest_dup_run
          |FROM per LEFT JOIN runs ON per.doc_id = runs.doc_id""".stripMargin
+    },
+
+    // String-gram twin: same distinct 3-gram sets, same >= 2 support
+    // floor, same staged ppm containments.
+    "text_containment_pairs" -> {
+      val sh = TextFns.shinglesSql("string_split(text, ' ')", 3)
+      s"""WITH g0 AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct($sh)) AS g FROM documents
+         |), g AS MATERIALIZED (
+         |  SELECT doc_id, g FROM g0
+         |  WHERE g IN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 100)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+         |), p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT a, b, CAST(shared AS BIGINT) AS shared,
+         |  CAST((shared * 1000000) // sa.n AS BIGINT) AS cont_a_ppm,
+         |  CAST((shared * 1000000) // sb.n AS BIGINT) AS cont_b_ppm
+         |FROM p
+         |JOIN sz sa ON p.a = sa.doc_id
+         |JOIN sz sb ON p.b = sb.doc_id
+         |WHERE greatest((shared * 1000000) // sa.n,
+         |               (shared * 1000000) // sb.n) >= 600000""".stripMargin
     },
 
     // String-gram twin of the hashed-kernel removal: same 5-gram
