@@ -122,6 +122,42 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dupSpanRemoval matches a driver-side reference on random corpora with planted spans") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val nGram = 2 + rnd.nextInt(3) // 2..4
+      // random docs over a small vocab (natural collisions) plus a
+      // planted span copied into two docs
+      val vocab = (0 until 12).map(i => s"w$i")
+      def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val span = Seq.fill(nGram + 2)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (0 until 8).map { i =>
+        val base = doc(6 + rnd.nextInt(8))
+        val t = if (i < 2) s"$base $span" else base
+        (i.toLong, t)
+      }
+      // reference: count n-gram doc frequencies, cover, excise
+      val grams = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 to ws.length - nGram).map(p => (id, p, ws.slice(p, p + nGram).toSeq))
+      }
+      val df = grams.groupBy(_._3).map { case (g, occ) => g -> occ.map(_._1).distinct.size }
+      val expected = docs.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val covered = grams.filter(g => g._1 == id && df(g._3) >= 2)
+          .flatMap(g => g._2 until g._2 + nGram).toSet
+        val kept = ws.zipWithIndex.filterNot(p => covered(p._2)).map(_._1)
+        id -> (ws.length.toLong, covered.size.toLong, kept.mkString(" "))
+      }.toMap
+      val got = graft.operators.Dedup
+        .dupSpanRemoval(docs.toDF("doc_id", "text"), "doc_id", "text", nGram)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got === expected, s"trial $trial nGram $nGram")
+    }
+  }
+
   test("exact rank cuts equal the sorted r-th smallest on random tied inputs") {
     import spark.implicits._
     val rnd = new Random(23)
