@@ -563,8 +563,11 @@ object TextQueries {
     // near-SUPERSET case symmetric-Jaccard dedup misses — a short doc
     // quoted whole inside a long one has low Jaccard but containment
     // ≈ 1. The metric runs over the DF-CAPPED gram space (grams in >
-    // 100 docs excluded from numerator AND denominator — the stop-
-    // gram removal every set-similarity self-join ships): ubiquitous
+    // 32 docs excluded from numerator AND denominator — the stop-
+    // gram removal every set-similarity self-join ships; the cap is
+    // ABSOLUTE because pair cost per gram is df², so a corpus-
+    // relative cap re-grows quadratically — measured 48× at the 10×
+    // duplication-heavy corpus before this bound): ubiquitous
     // boilerplate grams carry no containment signal but dominate the
     // gram self-join quadratically. Candidates then come from the
     // distinct-gram equi-join with a >= 2 shared-gram floor (note a
@@ -580,7 +583,7 @@ object TextQueries {
         .select(col("doc_id"), explode(array_distinct(
           graft.expressions.GraftFunctions.hashedShingles(col("text"), 3))).as("g"))
       val keep = raw.groupBy("g").agg(count(lit(1)).as("df"))
-        .where(col("df") <= 100).select(col("g"))
+        .where(col("df") <= 32).select(col("g"))
       val grams = raw.join(keep, Seq("g"))
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       grams.as("x").join(grams.as("y"),
@@ -1137,7 +1140,7 @@ object TextQueries {
          |  SELECT doc_id, unnest(list_distinct($sh)) AS g FROM documents
          |), g AS MATERIALIZED (
          |  SELECT doc_id, g FROM g0
-         |  WHERE g IN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 100)
+         |  WHERE g IN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 32)
          |), sz AS (
          |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
          |), p AS (
