@@ -126,6 +126,37 @@ object TextQueries {
     // token; no token is shorter than one char). The value-level
     // guarantee — priority apply == sequential reference apply,
     // 0 merges == char count, monotone compression — lives in BpeSpec.
+    // Tokenizer fertility per language (subword tokens per word —
+    // the per-language cost metric tokenizer teams track: a high-
+    // fertility language pays more context budget per word). The
+    // merge table is a fitted model with no SQL twin, so the oracle
+    // is the invariant harness: word/char companions are DuckDB-exact
+    // per language, and fertility must sit in [1, chars-per-word]
+    // ×1e4 (every word is ≥1 token; no token shorter than a char).
+    "text_tokenizer_fertility" -> ((spark, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val docs = Tables.documents(spark, dir)
+      val ranks = graft.functions.Bpe.ranksOf(
+        graft.functions.Bpe.fitFromCorpus(docs, col("text")))
+      val bpe = ColumnBridge.column(graft.expressions.BpeTokenCount(
+        ColumnBridge.expression(col("text")), ranks))
+      docs.select(col("lang"),
+          size(filter(TextFns.tokens(col("text")), w => length(w) > 0))
+            .cast("long").as("nw"),
+          length(translate(col("text"), " ", "")).cast("long").as("nc"),
+          bpe.as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nc")).as("n_nonspace_chars"),
+          sum(col("nb")).as("__nb"))
+        .withColumn("__f", expr("(__nb * 10000) div n_words"))
+        .withColumn("bounds_ok",
+          col("__f") >= 10000L &&
+            col("__f") <= expr("(n_nonspace_chars * 10000) div n_words"))
+        .drop("__nb", "__f")
+    }),
+
     "text_bpe_tokens" -> ((spark, dir) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val docs = Tables.documents(spark, dir)
@@ -927,6 +958,17 @@ object TextQueries {
     // graph_kcore lesson: DuckDB inlines plain CTEs and R rounds
     // become ~3^R re-evaluations of the base).
     "text_bpe_train" -> bpeTrainSql(4),
+
+    // Invariant harness: per-language companions exact; the fertility
+    // bound folds into the boolean (the text_bpe_tokens convention).
+    "text_tokenizer_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+        |    AS BIGINT) AS n_words,
+        |  CAST(sum(strlen(replace(text, ' ', ''))) AS BIGINT)
+        |    AS n_nonspace_chars,
+        |  true AS bounds_ok
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // Invariant harness: the companions are DuckDB-exact; the bounds
     // boolean states the per-document BPE contract as a constant.
