@@ -390,6 +390,32 @@ object AggWindowQueries {
     // Approximate aggregates (HLL count-distinct + KLL quantile) —
     // sketch outputs can't be equality-checked across engines, but
     // their error bounds can (booleans below).
+    // HLL set-INTERSECTION estimation by inclusion-exclusion
+    // (est_A + est_B − est_A∪B) — the audience-overlap question HLL
+    // unions alone can't answer. Intersection compounds three
+    // sketches' error, so the tolerance is 3× the union rsd with an
+    // absolute floor; the exact companions are DuckDB-reproducible
+    // and the contract is the boolean (the a8 harness pattern).
+    "sketch_hll_intersection" -> ((spark, dir) => {
+      // membership is USER-level (has any even-id event / any
+      // purchase), so pre-aggregate per user before sketching
+      val m = Tables.events(spark, dir).groupBy("user_id").agg(
+        max(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ia"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ib"))
+      m.agg(
+          sum(col("ia")).as("exact_a"),
+          sum(col("ib")).as("exact_b"),
+          sum(col("ia") * col("ib")).as("exact_inter"),
+          approx_count_distinct(when(col("ia") === 1L, col("user_id"))).as("ea"),
+          approx_count_distinct(when(col("ib") === 1L, col("user_id"))).as("eb"),
+          approx_count_distinct(when(col("ia") === 1L || col("ib") === 1L,
+            col("user_id"))).as("eu"))
+        .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+          (abs(col("ea") + col("eb") - col("eu") - col("exact_inter")) <=
+            greatest((col("exact_a") + col("exact_b")) * 0.15, lit(5.0)))
+            .as("inter_in_tolerance"))
+    }),
+
     "a8_approx_agg" -> ((spark, dir) => {
       // Sketch outputs can't be equality-checked across engines, but
       // their ERROR BOUNDS can: emit the exact values plus booleans
@@ -1121,6 +1147,19 @@ object AggWindowQueries {
         |  true AS ndv_in_tolerance,
         |  true AS p50_in_tolerance
         |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_hll_intersection" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
+        |  CAST(sum(ib) AS BIGINT) AS exact_b,
+        |  CAST(sum(ia * ib) AS BIGINT) AS exact_inter,
+        |  true AS inter_in_tolerance
+        |FROM m""".stripMargin,
 
     "sketch_hll_union" ->
       """SELECT event_type,
