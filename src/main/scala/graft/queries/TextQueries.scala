@@ -631,6 +631,24 @@ object TextQueries {
           col("cont_a_ppm"), col("cont_b_ppm"))
     }),
 
+    // Duplication health BY SOURCE — the rollup a curation run acts
+    // on (drop or down-weight the polluting feed, not individual
+    // docs): per-doc dup-span mass aggregated over documents.source,
+    // with corpus-share context. Same gram machinery as the profile;
+    // integer-exact throughout.
+    "text_dup_by_source" -> ((spark, dir) => {
+      val prof = Dedup.dupSpanProfile(Tables.documents(spark, dir),
+        "doc_id", "text", nGram = 5, minDocFreq = 2)
+      prof.join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("n_grams"),
+          sum(col("n_dup")).as("n_dup"),
+          max(col("longest_dup_run")).as("max_dup_run"))
+        .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
+    }),
+
     // Exact-substring dedup as a TRANSFORM (Lee et al.): every token
     // covered by a 5-gram that appears in >= 2 distinct docs is
     // excised from every occurrence; survivors reassemble in order.
@@ -1172,6 +1190,45 @@ object TextQueries {
          |  CAST(n_dup * 1000 // n_grams AS BIGINT) AS dup_permille,
          |  CAST(coalesce(runs.longest, 0) AS BIGINT) AS longest_dup_run
          |FROM per LEFT JOIN runs ON per.doc_id = runs.doc_id""".stripMargin
+    },
+
+    // Per-source rollup of the string-gram profile twin.
+    "text_dup_by_source" -> {
+      val sh = TextFns.shinglesSql("toks", 5)
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, source, $sh AS sh FROM t
+         |), g AS MATERIALIZED (
+         |  SELECT doc_id, source, unnest(sh) AS g,
+         |    unnest(range(len(sh))) AS pos FROM s
+         |), dup AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+         |  ) WHERE df >= 2
+         |), f AS MATERIALIZED (
+         |  SELECT g.doc_id, g.source, g.pos, dup.g IS NOT NULL AS d
+         |  FROM g LEFT JOIN dup ON g.g = dup.g
+         |), per AS (
+         |  SELECT doc_id, source, count(*) AS n_grams,
+         |    sum(CASE WHEN d THEN 1 ELSE 0 END) AS n_dup
+         |  FROM f GROUP BY 1, 2
+         |), runs AS (
+         |  SELECT doc_id, max(runlen) AS longest FROM (
+         |    SELECT doc_id, grp, count(*) AS runlen FROM (
+         |      SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM f WHERE d
+         |    ) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_dup) AS BIGINT) AS n_dup,
+         |  CAST(max(coalesce(runs.longest, 0)) AS BIGINT) AS max_dup_run,
+         |  CAST((sum(n_dup) * 1000) // sum(n_grams) AS BIGINT) AS dup_permille
+         |FROM per LEFT JOIN runs USING (doc_id)
+         |GROUP BY 1""".stripMargin
     },
 
     // String-gram twin: same distinct 3-gram sets, same >= 2 support
