@@ -242,4 +242,52 @@ object Clustering {
         coalesce(col("lbl"), col("_sd_id")).as("canon"),
         (coalesce(col("lbl"), col("_sd_id")) === col("_sd_id")).as("keep"))
   }
+
+  /** Distributed power iteration for the TOP PRINCIPAL DIRECTION of
+    * the (uncentered) embedding Gram matrix — the first step of PCA /
+    * spectral methods, covariance-free: each round computes
+    * w = Σ_rows x·(xᵀv) — one zero-shuffle projection (per-row dot
+    * with the BROADCAST direction literal) plus one map-side-combined
+    * [[LongVecSum]] aggregation; the d-long direction is the only
+    * driver state (the kmeans centroid-pull pattern). ENTIRELY in
+    * integer arithmetic: coordinates quantized once; each round ends
+    * with an integer rescale w div max(1, max|w| div 1e6), keeping
+    * coordinates ≤ ~1e6 so products never overflow BIGINT at any
+    * corpus size — deterministic where a float normalize would drift
+    * per round. The oracle unrolls the SAME rounds as chained CTEs,
+    * bit for bit.
+    *
+    * Returns (dim_idx, v) — the unnormalized fixed-point direction
+    * after `rounds` iterations (direction, not unit vector: callers
+    * normalize in float for reporting only).
+    */
+  def powerIteration(points: DataFrame, embCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
+    import graft.core.GraftSession.LineageOps
+    val spark = points.sparkSession
+    val q = points.select(quantize(col(embCol)).as("_pi_q"))
+      .where(size(col("_pi_q")) > 0)
+      .truncateLineage()
+    val first = q.head()
+    val dim = first.getSeq[Long](0).size
+    var v: Array[Long] = Array.fill(dim)(1L)
+    val vecSum = udaf(new LongVecSum)
+    var r = 0
+    while (r < rounds) {
+      val vLit = array(v.map(lit(_)): _*)
+      val w = q
+        .withColumn("_s", aggregate(
+          zip_with(col("_pi_q"), vLit, (a, b) => a * b),
+          lit(0L), (acc, y) => acc + y))
+        .select(transform(col("_pi_q"), c => c * col("_s")).as("_c"))
+        .agg(vecSum(col("_c")).as("w"))
+        .head().getSeq[Long](0).toArray
+      val d = math.max(1L, w.map(math.abs).max / 1000000L)
+      v = w.map(_ / d)
+      r += 1
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq
+      .toDF("dim_idx", "v")
+  }
 }

@@ -129,6 +129,16 @@ object VectorQueries {
       Similarity.recallHarness(rr, brute, minAvgRecall = 0.1).crossJoin(dom)
     }),
 
+    // Top principal direction by 4 rounds of integer power iteration
+    // (covariance-free PCA step): per round one zero-shuffle dot
+    // projection + one LongVecSum agg; integer rescale instead of a
+    // float normalize, so the oracle unrolls the SAME rounds bit for
+    // bit.
+    "vec_power_iteration" -> ((spark, dir) => {
+      graft.operators.Clustering.powerIteration(
+        Tables.embeddings(spark, dir), "embedding", rounds = 4)
+    }),
+
     // Late-interaction (ColBERT-style) MaxSim retrieval: multi-vector
     // docs (4 token vectors per doc, carved from vec_id), score =
     // Σ over query tokens of the best-matching corpus token cosine.
@@ -526,6 +536,8 @@ object VectorQueries {
 
     "ann_matryoshka_topk" -> recallHarnessOracle,
 
+    "vec_power_iteration" -> powerIterationSql(4),
+
     // Same token carving, same floor(1e6·cos) quantization, same
     // max-then-sum grouping and total-ordered top-3.
     "ann_maxsim_topk" ->
@@ -727,4 +739,38 @@ object VectorQueries {
         |SELECT vec_id, round(sqrt(sum(pow((v - m) / sd, 2))), 4) AS znorm
         |FROM e JOIN s USING (pos) GROUP BY 1""".stripMargin
   )
+
+  /** Generated twin of Clustering.powerIteration: same quantization,
+    * same per-round w = Σ x·(xᵀv) integer recurrence, same
+    * w // max(1, max|w| // 1e6) rescale — every CTE a later round
+    * touches more than once is MATERIALIZED.
+    */
+  private def powerIterationSql(rounds: Int): String = {
+    val body = (1 to rounds).map { i =>
+      s""", s$i AS MATERIALIZED (
+         |  SELECT c.vec_id, sum(c.xj * v.val) AS s
+         |  FROM c JOIN v${i - 1} v USING (j) GROUP BY 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT c.j, CAST(sum(c.xj * s.s) AS BIGINT) AS w
+         |  FROM c JOIN s$i s USING (vec_id) GROUP BY 1
+         |), d$i AS (
+         |  SELECT greatest(1, max(abs(w)) // 1000000) AS d FROM w$i
+         |), v$i AS MATERIALIZED (
+         |  SELECT j, CAST(w // (SELECT d FROM d$i) AS BIGINT) AS val FROM w$i
+         |)""".stripMargin
+    }.mkString
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      e -> CAST(floor(e * 10000) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |), c AS MATERIALIZED (
+       |  SELECT vec_id, unnest(xq) AS xj, unnest(range(0, len(xq))) AS j
+       |  FROM x
+       |), v0 AS MATERIALIZED (
+       |  SELECT unnest(range(0, (SELECT len(xq) FROM x LIMIT 1))) AS j,
+       |    CAST(1 AS BIGINT) AS val
+       |)$body
+       |SELECT j AS dim_idx, val AS v FROM v$rounds""".stripMargin
+  }
 }

@@ -239,6 +239,37 @@ class ClusteringSpec extends SparkSpec {
     assert(psi(hist) > 0.25, s"planted shift must exceed the drift threshold: ${psi(hist)}")
   }
 
+  test("powerIteration matches a driver-side twin and finds the dominant axis") {
+    val rnd = new scala.util.Random(41)
+    // anisotropic cloud: axis 0 variance dominates
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq(
+        (rnd.nextFloat() * 2 - 1) * 10f,
+        (rnd.nextFloat() * 2 - 1) * 0.5f,
+        (rnd.nextFloat() * 2 - 1) * 0.5f,
+        (rnd.nextFloat() * 2 - 1) * 0.5f))
+    }
+    val got = Clustering.powerIteration(mkPoints(vecs), "embedding", rounds = 4)
+      .orderBy("dim_idx").collect().map(_.getLong(1))
+    // driver-side twin: same quantize, same integer recurrence+rescale
+    val xq = vecs.map(_._2.map(f => math.floor(f.toDouble * 10000).toLong).toArray)
+    var v = Array.fill(4)(1L)
+    for (_ <- 1 to 4) {
+      val w = new Array[Long](4)
+      xq.foreach { x =>
+        val s = x.zip(v).map { case (a, b) => a * b }.sum
+        var j = 0
+        while (j < 4) { w(j) += x(j) * s; j += 1 }
+      }
+      val d = math.max(1L, w.map(math.abs).max / 1000000L)
+      v = w.map(_ / d)
+    }
+    assert(got.toSeq === v.toSeq)
+    // dominant axis wins by a wide margin (sign-agnostic)
+    assert(math.abs(got(0)) > 5 * got.drop(1).map(math.abs).max,
+      got.toSeq.toString)
+  }
+
   test("deterministic across reruns") {
     val rnd = new scala.util.Random(99)
     val vecs = (0L until 30L).map { id =>
