@@ -73,10 +73,63 @@ object Bench {
       (oks, attempts)
     }
     val measured = selected.toSeq.sortBy(_._1).map { case (n, f) => n -> measure(n, f) }
-    val results = measured.collect {
+    var results = measured.collect {
       case (n, (oks, _)) if oks.nonEmpty => n -> oks.min
     }.sortBy(_._1)
     val failed = measured.collect { case (n, (oks, _)) if oks.isEmpty => n }.sorted
+    // ---- JVM-state-noise guard ----------------------------------------
+    // A 240-query suite accumulates JVM state (codegen class cache, GC
+    // pressure, broadcast cleanup debt); queries late in the sweep can
+    // read 2-8x over their true cost even though consecutive repeats
+    // corroborate each other (they share the polluted state). Guard:
+    // any query whose best time exceeds driftTol x its BENCH_PINNED.json
+    // entry gets up to two retry passes AFTER the sweep, each preceded
+    // by an explicit GC + cache clear, keeping the per-query minimum.
+    // Only drift that survives the retries is reported -- so a `drift`
+    // entry in the artifact means a corroborated regression, not
+    // scheduler noise.
+    val pinnedFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINNED", "BENCH_PINNED.json")
+    val driftTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_TOL", "1.5").toDouble
+    val pinned: Map[String, Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val p = java.nio.file.Paths.get(pinnedFile)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else (JsonMethods.parse(java.nio.file.Files.readString(p)) \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    def drifting(rs: Seq[(String, Double)]): Seq[String] =
+      rs.collect { case (n, v) if pinned.get(n).exists(p => v > p * driftTol) => n }
+    var retryPass = 0
+    val maxRetryPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PASSES", "2").toInt
+    while (retryPass < maxRetryPasses && drifting(results).nonEmpty) {
+      retryPass += 1
+      val names = drifting(results)
+      System.err.println(s"[bench] retry pass $retryPass for ${names.size} " +
+        s"queries over ${driftTol}x pinned: ${names.take(8).mkString(",")}")
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+      val best = results.toMap
+      val retried = names.flatMap { n =>
+        selected.get(n).flatMap { f =>
+          val (oks, _) = measure(n, f)
+          if (oks.nonEmpty) Some(n -> math.min(best(n), oks.min)) else None
+        }
+      }.toMap
+      results = results.map { case (n, v) => n -> retried.getOrElse(n, v) }
+    }
+    val residualDrift = drifting(results).map { n =>
+      n -> results.toMap.apply(n) / pinned(n)
+    }.sortBy(-_._2)
+    val driftJson = residualDrift
+      .map { case (n, r) => "\"" + n + f"\":$r%.2f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     // A TARGETED run (BENCH_ONLY) merges over the existing full record
@@ -105,7 +158,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = merged.map(_._2).sum
     val fullJson =
-      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}"""
     // The full line first (complete per-query map for the log)…
     val runTotal = results.map(_._2).sum
     println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$runTotal%.3f}""")
@@ -122,7 +175,7 @@ object Bench {
     // failure would otherwise blow the compact line past the tail
     // capture in exactly the scenario where it matters most.
     val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_drift":${residualDrift.size},"drift":$driftJson,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
     spark.stop()
   }
 }

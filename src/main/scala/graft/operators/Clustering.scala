@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   * whose map-side combine collapses every partition to ≤ k vector
   * sums ([[LongVecSum]] — elementwise, no per-dimension explode). The
   * k-row update collects to the driver (the bounded-centroid-pull
-  * pattern of [[Similarity]]); the corpus itself is re-scanned per
-  * round rather than materialized — at 100 TB a narrow parquet
-  * re-scan (id + embedding after column pruning) beats storing a
-  * quantized corpus copy.
+  * pattern of [[Similarity]]). The quantized (id, vector) projection
+  * is lineage-truncated ONCE before the loop, so every Lloyd round
+  * re-scans the compact materialized projection — not the parquet
+  * source — and round cost is independent of how wide the source
+  * table is. (With a reliable checkpoint dir set the blocks live in
+  * fault-tolerant storage; see [[graft.core.GraftSession.truncate]].)
   */
 object Clustering {
 
@@ -45,7 +47,11 @@ object Clustering {
 
   /** Elementwise BIGINT vector sum — the map-side-combinable centroid
     * accumulator. Integer addition commutes, so partial-merge order
-    * cannot perturb the result.
+    * cannot perturb the result. Additions are OVERFLOW-CHECKED
+    * (`Math.addExact`): the DuckDB oracle sums into HUGEINT, so a
+    * silent Long wraparound here would diverge from the oracle with no
+    * symptom — instead the job fails loudly with ArithmeticException
+    * and the caller knows the integer envelope was exceeded.
     */
   class LongVecSum extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
@@ -53,7 +59,7 @@ object Clustering {
       if (b.isEmpty) a.toArray
       else {
         var i = 0
-        while (i < b.length) { b(i) += a(i); i += 1 }
+        while (i < b.length) { b(i) = Math.addExact(b(i), a(i)); i += 1 }
         b
       }
     override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = add(b, a)
@@ -105,7 +111,12 @@ object Clustering {
                       k: Int, rounds: Int): Seq[(Long, Array[Long])] = {
     require(k >= 2 && k <= 64, s"k must be 2..64 (centroids ride the plan as literals), got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
+    import graft.core.GraftSession.LineageOps
+    // Materialize the quantized projection once: R Lloyd rounds then
+    // re-scan this compact (id, BIGINT vector) frame instead of
+    // launching R full parquet scans + per-round re-quantization.
     val q = points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q"))
+      .truncateLineage()
 
     val seeds = q.orderBy("_km_id").limit(k).collect()
     require(seeds.length == k, s"need at least $k vectors to seed, got ${seeds.length}")
@@ -252,10 +263,19 @@ object Clustering {
     * driver state (the kmeans centroid-pull pattern). ENTIRELY in
     * integer arithmetic: coordinates quantized once; each round ends
     * with an integer rescale w div max(1, max|w| div 1e6), keeping
-    * coordinates ≤ ~1e6 so products never overflow BIGINT at any
-    * corpus size — deterministic where a float normalize would drift
-    * per round. The oracle unrolls the SAME rounds as chained CTEs,
-    * bit for bit.
+    * DIRECTION coordinates ≤ ~1e6 so each PER-ROW product x·(xᵀv)
+    * stays well under BIGINT (≈ dim·Q²·1e6 per element). The
+    * AGGREGATED sum Σ_rows x·(xᵀv) still grows linearly with row
+    * count: with |x| ≤ Q ≈ 1e4 coordinates the safe envelope is
+    * roughly n·dim ≲ 9e18 / (Q²·1e6) ≈ 1e5 row·dims per partition-
+    * merge chain. Beyond it the [[LongVecSum]] accumulator fails
+    * LOUDLY (Math.addExact → ArithmeticException) rather than
+    * silently wrapping — the DuckDB oracle sums into HUGEINT, so a
+    * silent wrap would be an undetectable cross-engine divergence.
+    * Callers at larger n should pre-aggregate (e.g. run on cluster
+    * centroids or a deterministic projection), not raise the cap.
+    * Deterministic where a float normalize would drift per round; the
+    * oracle unrolls the SAME rounds as chained CTEs, bit for bit.
     *
     * Returns (dim_idx, v) — the unnormalized fixed-point direction
     * after `rounds` iterations (direction, not unit vector: callers
@@ -268,8 +288,10 @@ object Clustering {
     val q = points.select(quantize(col(embCol)).as("_pi_q"))
       .where(size(col("_pi_q")) > 0)
       .truncateLineage()
-    val first = q.head()
-    val dim = first.getSeq[Long](0).size
+    val first = q.take(1)
+    require(first.nonEmpty,
+      "powerIteration requires at least one non-empty embedding")
+    val dim = first(0).getSeq[Long](0).size
     var v: Array[Long] = Array.fill(dim)(1L)
     val vecSum = udaf(new LongVecSum)
     var r = 0

@@ -290,12 +290,22 @@ object Lakehouse {
     */
   /** Partition-spec EVOLUTION: rewrite a partitioned table under a
     * new partition column set (e.g. year=/month= → month= only, or
-    * adding a bucket column as query patterns change) without readers
-    * ever seeing a half-migrated table. The full table rewrites into
+    * adding a bucket column as query patterns change) so readers never
+    * see a MIXED old/new layout. The full table rewrites into
     * a hidden staging dir under the NEW spec, then swaps in with the
     * rename-aside protocol [[compact]] uses: live → __old, staging →
     * live, __old dropped — a crash between renames is healed on the
-    * next call (restore from __old). Rows are bit-identical before
+    * next call (restore from __old).
+    *
+    * Concurrency contract (same as [[compact]]): SINGLE WRITER, and
+    * the swap has a brief READ-UNAVAILABILITY window — between the
+    * two renames the live path does not exist, so a concurrent reader
+    * gets path-not-found (never partial data) and should retry; a
+    * concurrent second WRITER could mistake the window for a crash
+    * and race the publisher through the restore branch, so callers
+    * must serialize evolve/compact invocations per table externally
+    * (two directory renames cannot be made jointly atomic on a plain
+    * filesystem). Rows are bit-identical before
     * and after (spec-pinned); only the directory layout — and thus
     * which predicates prune — changes. Scale: one full-table
     * read+write (the floor for any respec) shuffled by the new
