@@ -319,6 +319,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("wave-6 batch plans stay equi-join shaped — funnel, coalesce, KN LM, HLL intersection") {
+    // sessionization/funnel: the session-id joins hash on
+    // (user_id, sid); interval coalesce is window + agg over the same
+    // user partitioning; the Kneser-Ney continuation/discount joins
+    // hash on gram keys; HLL intersection unions bounded register
+    // tables. A nested-loop in any of these degenerates quadratic at
+    // corpus scale.
+    for (name <- Seq("events_session_funnel", "events_interval_coalesce",
+        "sketch_hll_intersection")) {
+      val df = graft.queries.AggWindowQueries.queries(name)(spark, sfDir)
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(1500)}")
+    }
+    val kn = graft.queries.TextQueries.queries("text_kn_bigram_lm")(spark, sfDir)
+    kn.collect()
+    val pk = plan(kn)
+    assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"),
+      pk.take(1500))
+    // funnel sessionization must partition its windows by user only —
+    // a global (empty-key) window would funnel the corpus through one
+    // task; assert no single-partition exchange feeds a Window.
+    val pf = plan(graft.queries.AggWindowQueries.queries("events_session_funnel")(spark, sfDir))
+    assert(!pf.contains("Exchange SinglePartition, [plan_id") ||
+      !"Exchange SinglePartition[\\s\\S]{0,400}Window".r.findFirstIn(pf).isDefined,
+      pf.take(1500))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
