@@ -265,17 +265,16 @@ object Clustering {
     * with an integer rescale w div max(1, max|w| div 1e6), keeping
     * DIRECTION coordinates ≤ ~1e6 so each PER-ROW product x·(xᵀv)
     * stays well under BIGINT (≈ dim·Q²·1e6 per element). The
-    * AGGREGATED sum Σ_rows x·(xᵀv) still grows linearly with row
-    * count: with |x| ≤ Q ≈ 1e4 coordinates the safe envelope is
-    * roughly n·dim ≲ 9e18 / (Q²·1e6) ≈ 1e5 row·dims per partition-
-    * merge chain. Beyond it the [[LongVecSum]] accumulator fails
-    * LOUDLY (Math.addExact → ArithmeticException) rather than
-    * silently wrapping — the DuckDB oracle sums into HUGEINT, so a
-    * silent wrap would be an undetectable cross-engine divergence.
-    * Callers at larger n should pre-aggregate (e.g. run on cluster
-    * centroids or a deterministic projection), not raise the cap.
-    * Deterministic where a float normalize would drift per round; the
-    * oracle unrolls the SAME rounds as chained CTEs, bit for bit.
+    * AGGREGATED sum Σ_rows x·(xᵀv) grows linearly with row count and
+    * would overflow BIGINT near n·dim ≈ 9e18/(Q²·1e6) ≈ 1e5 row·dims,
+    * so the per-round reduction is an EXACT 128-bit sum: per-element
+    * contributions cast to DECIMAL(38,0) and hash-aggregated by
+    * dimension index (native codegen'd sum — envelope 1e38, beyond
+    * any corpus), matching the DuckDB oracle's HUGEINT sum digit for
+    * digit. Only the RESCALED direction must fit BIGINT, and the
+    * ≤ ~1e6 rescale guarantees that at any n. Deterministic where a
+    * float normalize would drift per round; the oracle unrolls the
+    * SAME rounds as chained CTEs, bit for bit.
     *
     * Returns (dim_idx, v) — the unnormalized fixed-point direction
     * after `rounds` iterations (direction, not unit vector: callers
@@ -293,19 +292,29 @@ object Clustering {
       "powerIteration requires at least one non-empty embedding")
     val dim = first(0).getSeq[Long](0).size
     var v: Array[Long] = Array.fill(dim)(1L)
-    val vecSum = udaf(new LongVecSum)
     var r = 0
     while (r < rounds) {
       val vLit = array(v.map(lit(_)): _*)
-      val w = q
+      // per-element contributions are Long-safe (≤ dim·Q²·1e6); the
+      // row-count-growing SUM is the 128-bit part: posexplode by
+      // dimension, cast, native decimal hash-agg (map-side combined
+      // to dim rows per partition — the exchange moves dim·partitions
+      // rows regardless of corpus size).
+      val rows = q
         .withColumn("_s", aggregate(
           zip_with(col("_pi_q"), vLit, (a, b) => a * b),
           lit(0L), (acc, y) => acc + y))
-        .select(transform(col("_pi_q"), c => c * col("_s")).as("_c"))
-        .agg(vecSum(col("_c")).as("w"))
-        .head().getSeq[Long](0).toArray
-      val d = math.max(1L, w.map(math.abs).max / 1000000L)
-      v = w.map(_ / d)
+        .select(posexplode(transform(col("_pi_q"), c => c * col("_s"))).as(Seq("j", "_c")))
+        .groupBy("j")
+        .agg(sum(col("_c").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("w"))
+        .collect()
+      val w = new Array[BigInt](dim)
+      rows.foreach(rr => w(rr.getInt(0)) = BigInt(rr.getDecimal(1).toBigInteger))
+      val dRaw = w.map(_.abs).max / BigInt(1000000L)
+      val d = if (dRaw < 1) BigInt(1) else dRaw
+      // BigInt `/`, Long `/` and DuckDB `//` all truncate toward zero,
+      // and |w/d| ≤ ~2e6, so the narrowing is exact and safe.
+      v = w.map(x => (x / d).toLong)
       r += 1
     }
     import spark.implicits._

@@ -743,7 +743,10 @@ object VectorQueries {
   /** Generated twin of Clustering.powerIteration: same quantization,
     * same per-round w = Σ x·(xᵀv) integer recurrence, same
     * w // max(1, max|w| // 1e6) rescale — every CTE a later round
-    * touches more than once is MATERIALIZED.
+    * touches more than once is MATERIALIZED. `w` stays HUGEINT (no
+    * BIGINT cast) to mirror the engine's DECIMAL(38,0) exact sum:
+    * both sides are 128-bit past the point where Σ x·(xᵀv) outgrows
+    * BIGINT, and only the rescaled direction narrows to BIGINT.
     */
   private def powerIterationSql(rounds: Int): String = {
     val body = (1 to rounds).map { i =>
@@ -751,7 +754,7 @@ object VectorQueries {
          |  SELECT c.vec_id, sum(c.xj * v.val) AS s
          |  FROM c JOIN v${i - 1} v USING (j) GROUP BY 1
          |), w$i AS MATERIALIZED (
-         |  SELECT c.j, CAST(sum(c.xj * s.s) AS BIGINT) AS w
+         |  SELECT c.j, sum(c.xj * s.s) AS w
          |  FROM c JOIN s$i s USING (vec_id) GROUP BY 1
          |), d$i AS (
          |  SELECT greatest(1, max(abs(w)) // 1000000) AS d FROM w$i
