@@ -186,7 +186,12 @@ object Clustering {
   def kCenterSelect(points: DataFrame, idCol: String, embCol: String,
                     k: Int): DataFrame = {
     require(k >= 2 && k <= 64, s"k must be 2..64 (centers ride the plan as literals), got $k")
+    import graft.core.GraftSession.LineageOps
+    // k farthest-first rounds + the final assignment each scan the
+    // quantized projection — materialize it once (the kmeans pattern)
+    // so the per-round job reads the compact frame, not the source.
     val q = points.select(col(idCol).as("_kc_id"), quantize(col(embCol)).as("_kc_q"))
+      .truncateLineage()
     val seedRow = q.orderBy("_kc_id").limit(1).collect()
     require(seedRow.nonEmpty, "kCenterSelect on an empty input")
     var cents: Vector[(Long, Array[Long])] =
