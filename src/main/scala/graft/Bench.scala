@@ -88,8 +88,12 @@ object Bench {
     // Only drift that survives the retries is reported -- so a `drift`
     // entry in the artifact means a corroborated regression, not
     // scheduler noise.
+    // Tolerance 1.6: pins are corroborated minima over 4+ full runs, so
+    // sub-second queries sit 1.3-1.55x over their own floor on a normal
+    // pass — 1.6 keeps the guard quiet there while still tripping (and
+    // retry-corroborating) anything approaching a real 2x regression.
     val pinnedFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINNED", "BENCH_PINNED.json")
-    val driftTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_TOL", "1.5").toDouble
+    val driftTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_TOL", "1.6").toDouble
     val pinned: Map[String, Double] =
       try {
         import org.json4s._

@@ -285,6 +285,25 @@ object Clustering {
     * after `rounds` iterations (direction, not unit vector: callers
     * normalize in float for reporting only).
     */
+  /** One power-iteration round's reduction, exposed as a DataFrame so
+    * its plan shape is pinnable: zero-shuffle projection (per-row dot
+    * with the broadcast direction literal — per-element contributions
+    * are Long-safe at ≤ dim·Q²·1e6), posexplode by dimension index,
+    * then a native DECIMAL(38,0) hash-agg. The partial agg collapses
+    * each partition to dim rows, so the single exchange moves
+    * dim·partitions rows regardless of corpus size, and the 128-bit
+    * sum never overflows (envelope 1e38). Input must carry `_pi_q`.
+    */
+  private[graft] def powerIterationRoundPlan(q: DataFrame, v: Array[Long]): DataFrame = {
+    val vLit = array(v.map(lit(_)): _*)
+    q.withColumn("_s", aggregate(
+        zip_with(col("_pi_q"), vLit, (a, b) => a * b),
+        lit(0L), (acc, y) => acc + y))
+      .select(posexplode(transform(col("_pi_q"), c => c * col("_s"))).as(Seq("j", "_c")))
+      .groupBy("j")
+      .agg(sum(col("_c").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("w"))
+  }
+
   def powerIteration(points: DataFrame, embCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
     import graft.core.GraftSession.LineageOps
@@ -299,20 +318,7 @@ object Clustering {
     var v: Array[Long] = Array.fill(dim)(1L)
     var r = 0
     while (r < rounds) {
-      val vLit = array(v.map(lit(_)): _*)
-      // per-element contributions are Long-safe (≤ dim·Q²·1e6); the
-      // row-count-growing SUM is the 128-bit part: posexplode by
-      // dimension, cast, native decimal hash-agg (map-side combined
-      // to dim rows per partition — the exchange moves dim·partitions
-      // rows regardless of corpus size).
-      val rows = q
-        .withColumn("_s", aggregate(
-          zip_with(col("_pi_q"), vLit, (a, b) => a * b),
-          lit(0L), (acc, y) => acc + y))
-        .select(posexplode(transform(col("_pi_q"), c => c * col("_s"))).as(Seq("j", "_c")))
-        .groupBy("j")
-        .agg(sum(col("_c").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("w"))
-        .collect()
+      val rows = powerIterationRoundPlan(q, v).collect()
       val w = new Array[BigInt](dim)
       rows.foreach(rr => w(rr.getInt(0)) = BigInt(rr.getDecimal(1).toBigInteger))
       val dRaw = w.map(_.abs).max / BigInt(1000000L)

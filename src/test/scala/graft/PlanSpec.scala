@@ -348,6 +348,25 @@ class PlanSpec extends SparkSpec {
       pf.take(1500))
   }
 
+  test("power-iteration round is projection + one dim-keyed exchange — no join, decimal agg") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val q = emb.select(graft.operators.Clustering.quantize(
+      org.apache.spark.sql.functions.col("embedding")).as("_pi_q"))
+    val df = graft.operators.Clustering.powerIterationRoundPlan(
+      q, Array.fill(64)(1L))
+    df.collect()
+    // AQE renders "== Final Plan ==" followed by the initial plan —
+    // count operators in the final section only.
+    val p = plan(df).split("== Initial Plan ==").head
+    // the row-count-growing reduction must be pure map + hash-agg:
+    // any join or second exchange here multiplies per-round cost at
+    // corpus scale; the partial agg bounds the exchange to dim rows
+    // per partition.
+    assert(!p.contains("Join"), p.take(1200))
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate hot path") {
     val df = graft.queries.CoreQueries.queries("q1_agg")(spark, sfDir)
     // AQE renders codegen spans only once THIS plan instance has run —
