@@ -108,8 +108,14 @@ object FriendRecsJob {
     // agreement is safe — the nearest pair distance to the 300 km cut
     // over ALL grid coordinate pairs is 1.7e-3 km away, dwarfing libm
     // ulps.
+    // Coordinate quarantine: the fixture synthesizes valid coords, but
+    // a data-sourced deployment can carry a corrupt row (|lat| > 90,
+    // NaN, null) that would abort the job at the blocking grid's
+    // measured-extreme guard — users without a usable position simply
+    // can't be proximity candidates. No-op on valid inputs.
     val near = GeoBlocking.pairsWithinKmAuto(
-      lastCoords.select(col("user_id"), col("lat"), col("lon")),
+      lastCoords.select(col("user_id"), col("lat"), col("lon"))
+        .where(GeoOps.validCoords(col("lat"), col("lon"))),
       "user_id", "lat", "lon", maxKm = MaxDistKm,
       distanceKm = graft.functions.Geo.distanceKm(refCompat))
       .select(col("id_a").as("lo"), col("id_b").as("hi"))

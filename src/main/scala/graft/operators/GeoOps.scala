@@ -35,6 +35,21 @@ object GeoOps {
   /** One dictionary entry. */
   final case class City(id: Int, name: String, lat: Double, lon: Double, timezone: String)
 
+  /** True iff (lat, lon) is a usable WGS84 coordinate: non-null,
+    * non-NaN, |lat| ≤ 90, |lon| ≤ 180. The quarantine predicate for
+    * geo inputs sourced from DATA rather than synthesized — a single
+    * corrupt row (sensor glitch, unit confusion, null-as-999 sentinel)
+    * must not abort a corpus-scale job at
+    * [[GeoBlocking.pairsWithinKmAuto]]'s measured-extreme guard or
+    * poison the blocking grid's cell sizing. Codegen-friendly
+    * conjunction; apply BEFORE blocking/argmin, count what it drops
+    * ([[Observe]]) rather than silently discarding at the source.
+    */
+  def validCoords(lat: Column, lon: Column): Column =
+    lat.isNotNull && lon.isNotNull &&
+      !isnan(lat) && !isnan(lon) &&
+      abs(lat) <= 90.0 && abs(lon) <= 180.0
+
   /** Scale path: per-row argmin over a literal city array — no shuffle.
     *
     * The argmin compares UNROUNDED distances and rounds only the

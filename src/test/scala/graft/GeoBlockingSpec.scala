@@ -96,4 +96,30 @@ class GeoBlockingSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("validCoords quarantine lets blocking survive poisoned rows") {
+    import spark.implicits._
+    // one sensor-glitch row per failure mode, amid valid points that
+    // form exactly one qualifying pair
+    val dirty = Seq(
+      (1L, Some(52.00), Some(13.00)),
+      (2L, Some(52.05), Some(13.05)),
+      (3L, Some(999.0), Some(13.0)), // unit confusion / sentinel
+      (4L, Some(52.0), Some(-720.0)), // wrapped longitude
+      (5L, Some(Double.NaN), Some(13.0)), // NaN lat
+      (6L, None, Some(13.0)), // null lat
+      (7L, Some(10.0), None) // null lon
+    ).toDF("id", "lat", "lon")
+    // raw poisoned frame aborts at the measured-extreme guard...
+    intercept[IllegalArgumentException] {
+      graft.operators.GeoBlocking.pairsWithinKmAuto(dirty, "id", "lat", "lon", 10.0)
+    }
+    // ...the quarantine predicate drops exactly the five poisoned rows
+    // and blocking proceeds with the valid pair intact
+    val clean = dirty.where(graft.operators.GeoOps.validCoords(col("lat"), col("lon")))
+    assert(clean.count() === 2L)
+    val pairs = graft.operators.GeoBlocking
+      .pairsWithinKmAuto(clean, "id", "lat", "lon", 10.0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
 }
