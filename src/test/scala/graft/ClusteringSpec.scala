@@ -270,6 +270,39 @@ class ClusteringSpec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("powerIteration round sum is exact past the BIGINT envelope") {
+    // 100k near-identical unit-scale vectors: by round 2 the direction
+    // has rescaled to ~1e6, so per-row contributions reach ~1e14 and
+    // the 100k-row sum crosses 9.2e18 — a Long accumulator wraps, the
+    // engine's DECIMAL(38,0) reduction must not. Twin in BigInt.
+    val vecs = (0 until 100000).map { i =>
+      (i.toLong, Seq(0.9f, 0.5f + (i % 7) * 1e-4f))
+    }
+    val got = Clustering.powerIteration(mkPoints(vecs), "embedding", rounds = 2)
+      .orderBy("dim_idx").collect().map(_.getLong(1))
+    val xq = vecs.map(_._2.map(f => math.floor(f.toDouble * 10000).toLong).toArray)
+    def twin(add: (BigInt, BigInt) => BigInt): Seq[Long] = {
+      var v = Array.fill(2)(1L)
+      for (_ <- 1 to 2) {
+        val w = Array.fill(2)(BigInt(0))
+        xq.foreach { x =>
+          val s = x.zip(v).map { case (a, b) => a * b }.sum // Long-safe per row
+          var j = 0
+          while (j < 2) { w(j) = add(w(j), BigInt(x(j)) * s); j += 1 }
+        }
+        val d = w.map(_.abs).max / BigInt(1000000L) max BigInt(1)
+        v = w.map(x => (x / d).toLong)
+      }
+      v.toSeq
+    }
+    val exact = twin(_ + _)
+    // the fixture genuinely crosses the Long envelope: a wrapping
+    // accumulator diverges from the exact sum
+    val wrapped = twin((a, b) => BigInt((a + b).toLong))
+    assert(exact !== wrapped, "fixture must exceed the BIGINT envelope")
+    assert(got.toSeq === exact)
+  }
+
   test("deterministic across reruns") {
     val rnd = new scala.util.Random(99)
     val vecs = (0L until 30L).map { id =>
