@@ -32,6 +32,16 @@ object Bench {
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val maxIterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS",
       math.max(iterations + 4, 7).toString).toInt
+    // Drift-guard knobs parsed UP FRONT with the iteration knobs: a
+    // malformed value must fail before the sweep runs, not after
+    // minutes of measurement with nothing written.
+    // Tolerance 1.6: pins are corroborated minima over 4+ full runs, so
+    // sub-second queries sit 1.3-1.55x over their own floor on a normal
+    // pass — 1.6 keeps the guard quiet there while still tripping (and
+    // retry-corroborating) anything approaching a real 2x regression.
+    val pinnedFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINNED", "BENCH_PINNED.json")
+    val driftTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_TOL", "1.6").toDouble
+    val maxRetryPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PASSES", "2").toInt
     // Optional comma-separated query-name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -88,12 +98,6 @@ object Bench {
     // Only drift that survives the retries is reported -- so a `drift`
     // entry in the artifact means a corroborated regression, not
     // scheduler noise.
-    // Tolerance 1.6: pins are corroborated minima over 4+ full runs, so
-    // sub-second queries sit 1.3-1.55x over their own floor on a normal
-    // pass — 1.6 keeps the guard quiet there while still tripping (and
-    // retry-corroborating) anything approaching a real 2x regression.
-    val pinnedFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINNED", "BENCH_PINNED.json")
-    val driftTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_TOL", "1.6").toDouble
     val pinned: Map[String, Double] =
       try {
         import org.json4s._
@@ -111,10 +115,9 @@ object Bench {
     def drifting(rs: Seq[(String, Double)]): Seq[String] =
       rs.collect { case (n, v) if pinned.get(n).exists(p => v > p * driftTol) => n }
     var retryPass = 0
-    val maxRetryPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PASSES", "2").toInt
-    while (retryPass < maxRetryPasses && drifting(results).nonEmpty) {
+    var names = drifting(results)
+    while (retryPass < maxRetryPasses && names.nonEmpty) {
       retryPass += 1
-      val names = drifting(results)
       System.err.println(s"[bench] retry pass $retryPass for ${names.size} " +
         s"queries over ${driftTol}x pinned: ${names.take(8).mkString(",")}")
       spark.catalog.clearCache()
@@ -128,11 +131,16 @@ object Bench {
         }
       }.toMap
       results = results.map { case (n, v) => n -> retried.getOrElse(n, v) }
+      names = drifting(results)
     }
-    val residualDrift = drifting(results).map { n =>
-      n -> results.toMap.apply(n) / pinned(n)
-    }.sortBy(-_._2)
+    val byName = results.toMap
+    val residualDrift = names.map(n => n -> byName(n) / pinned(n)).sortBy(-_._2)
     val driftJson = residualDrift
+      .map { case (n, r) => "\"" + n + f"\":$r%.2f" }.mkString("{", ",", "}")
+    // compact-line variant bounded like failedCompact: the 2 KB tail
+    // capture must survive a mass-drift run (stale pins, slow box) —
+    // top-8 ratios plus the n_drift count tell the whole story.
+    val driftCompact = residualDrift.take(8)
       .map { case (n, r) => "\"" + n + f"\":$r%.2f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
@@ -179,7 +187,7 @@ object Bench {
     // failure would otherwise blow the compact line past the tail
     // capture in exactly the scenario where it matters most.
     val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_drift":${residualDrift.size},"drift":$driftJson,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
     spark.stop()
   }
 }

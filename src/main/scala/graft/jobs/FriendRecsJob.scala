@@ -112,10 +112,20 @@ object FriendRecsJob {
     // a data-sourced deployment can carry a corrupt row (|lat| > 90,
     // NaN, null) that would abort the job at the blocking grid's
     // measured-extreme guard — users without a usable position simply
-    // can't be proximity candidates. No-op on valid inputs.
+    // can't be proximity candidates. No-op on valid inputs, and the
+    // drop count is OBSERVED in-flight (free, no second pass) so a
+    // feed-wide corruption surfaces as a metric instead of a silent
+    // candidate shrink: read `queryExecution.observedMetrics(
+    // "friend_recs_coord_quarantine")` after the job's action.
+    val valid = GeoOps.validCoords(col("lat"), col("lon"))
+    val blockingInput = lastCoords
+      .select(col("user_id"), col("lat"), col("lon"))
+      .observe("friend_recs_coord_quarantine",
+        coalesce(sum(when(!valid, 1L).otherwise(0L)), lit(0L)).as("n_dropped"),
+        count(lit(1)).as("n_users"))
+      .where(valid)
     val near = GeoBlocking.pairsWithinKmAuto(
-      lastCoords.select(col("user_id"), col("lat"), col("lon"))
-        .where(GeoOps.validCoords(col("lat"), col("lon"))),
+      blockingInput,
       "user_id", "lat", "lon", maxKm = MaxDistKm,
       distanceKm = graft.functions.Geo.distanceKm(refCompat))
       .select(col("id_a").as("lo"), col("id_b").as("hi"))

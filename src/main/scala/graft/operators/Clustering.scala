@@ -264,7 +264,8 @@ object Clustering {
     * spectral methods, covariance-free: each round computes
     * w = Σ_rows x·(xᵀv) — one zero-shuffle projection (per-row dot
     * with the BROADCAST direction literal) plus one map-side-combined
-    * [[LongVecSum]] aggregation; the d-long direction is the only
+    * decimal hash-agg ([[powerIterationRoundPlan]]); the d-long
+    * direction is the only
     * driver state (the kmeans centroid-pull pattern). ENTIRELY in
     * integer arithmetic: coordinates quantized once; each round ends
     * with an integer rescale w div max(1, max|w| div 1e6), keeping

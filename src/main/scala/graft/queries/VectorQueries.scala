@@ -131,9 +131,10 @@ object VectorQueries {
 
     // Top principal direction by 4 rounds of integer power iteration
     // (covariance-free PCA step): per round one zero-shuffle dot
-    // projection + one LongVecSum agg; integer rescale instead of a
-    // float normalize, so the oracle unrolls the SAME rounds bit for
-    // bit.
+    // projection + one exact DECIMAL(38,0) hash-agg (128-bit past the
+    // BIGINT envelope, HUGEINT in the oracle); integer rescale instead
+    // of a float normalize, so the oracle unrolls the SAME rounds bit
+    // for bit.
     "vec_power_iteration" -> ((spark, dir) => {
       graft.operators.Clustering.powerIteration(
         Tables.embeddings(spark, dir), "embedding", rounds = 4)

@@ -122,4 +122,16 @@ class GeoBlockingSpec extends SparkSpec {
       .pairsWithinKmAuto(clean, "id", "lat", "lon", 10.0).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
+
+  test("friend-recs observes its quarantine drop count in-flight") {
+    // the metric rides the job's own pass (CollectMetrics node — no
+    // second scan); on the clean fixture it must report zero drops
+    // and a positive user count, so a feed-wide corruption would be
+    // visible as n_dropped > 0 rather than a silent candidate shrink
+    val df = graft.jobs.FriendRecsJob.run(spark, sfDir)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("friend_recs_coord_quarantine")
+    assert(m.getAs[Long]("n_dropped") === 0L)
+    assert(m.getAs[Long]("n_users") > 0L)
+  }
 }

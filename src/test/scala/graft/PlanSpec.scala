@@ -341,11 +341,16 @@ class PlanSpec extends SparkSpec {
       pk.take(1500))
     // funnel sessionization must partition its windows by user only —
     // a global (empty-key) window would funnel the corpus through one
-    // task; assert no single-partition exchange feeds a Window.
-    val pf = plan(graft.queries.AggWindowQueries.queries("events_session_funnel")(spark, sfDir))
-    assert(!pf.contains("Exchange SinglePartition, [plan_id") ||
-      !"Exchange SinglePartition[\\s\\S]{0,400}Window".r.findFirstIn(pf).isDefined,
-      pf.take(1500))
+    // task. Every window spec in the executed plan must carry the
+    // user_id key, and the only single-partition exchange allowed is
+    // the final one-row funnel rollup.
+    val fdf = graft.queries.AggWindowQueries.queries("events_session_funnel")(spark, sfDir)
+    fdf.collect()
+    val pf = plan(fdf).split("== Initial Plan ==").head
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(pf).toList
+    assert(specs.nonEmpty, pf.take(1500))
+    assert(specs.forall(_.contains("user_id")), specs.mkString("\n"))
+    assert(count(pf, "Exchange SinglePartition") <= 1, pf.take(1500))
   }
 
   test("power-iteration round is projection + one dim-keyed exchange — no join, decimal agg") {

@@ -46,9 +46,7 @@ class TextDirtySpec extends SparkSpec {
 
   test("pathological documents never fail a text query task") {
     for (name <- docQueries) {
-      val df = graft.queries.TextQueries.queries.get(name)
-        .orElse(graft.queries.VectorQueries.queries.get(name))
-        .getOrElse(graft.queries.TextQueries.queries(name))
+      val df = graft.queries.TextQueries.queries(name)
       val rows = df(spark, dirtyDir).collect() // completing IS the assertion
       assert(rows.nonEmpty, s"$name returned no rows on the dirty fixture")
     }
