@@ -24,11 +24,22 @@ import org.apache.spark.sql.types._
   */
 object BloomKernels {
 
-  /** Bits (rounded up to a whole number of longs) for n items at fpp p. */
-  def optimalNumBits(n: Long, p: Double): Int = {
+  /** Bits (rounded up to a whole number of longs) for n items at fpp p.
+    * Long arithmetic throughout: n ≈ 225M items at fpp 0.01 already
+    * needs 2.1e9 bits, past Int — an Int here would wrap to a negative
+    * allocation (crash) or, worse, a tiny positive size whose filter
+    * admits everything and silently neuters the prune. Capped at 1 GiB
+    * of bitset (2^33 bits ≈ 900M keys at fpp 0.01): beyond that the
+    * broadcast itself is the problem and the caller should raise fpp
+    * or partition the build, so fail loudly with that guidance.
+    */
+  def optimalNumBits(n: Long, p: Double): Long = {
     val m = math.ceil(-n * math.log(p) / (math.log(2) * math.log(2)))
-    val words = math.max(1, math.ceil(m / 64.0).toInt)
-    words * 64
+    val words = math.max(1L, math.ceil(m / 64.0).toLong)
+    require(words <= (1L << 27),
+      f"bloom filter for $n%d keys at fpp $p%.4f needs ${words * 64}%d bits " +
+        "(> 1 GiB broadcast) — raise fpp, lower expectedItems, or partition the build")
+    words * 64L
   }
 
   /** Probe count minimizing fpp for m bits over n items. */

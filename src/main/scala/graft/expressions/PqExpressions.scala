@@ -96,23 +96,36 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
-  /** ADC approximate dot: sum of m table lookups. */
+  /** ADC approximate dot: sum of m table lookups. Codes arrays come
+    * from [[PqEncode]] (containsNull=false); a null slot in a
+    * caller-supplied array would read as code 0 through an unguarded
+    * getInt and silently score against the wrong centroid — fail
+    * loudly instead.
+    */
   def adcScore(tables: ArrayData, codes: ArrayData, nCodes: Int): Double = {
     val m = codes.numElements()
     var acc = 0.0
     var s = 0
     while (s < m) {
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"adc_score: null PQ code at subspace $s — codes must come from pq_encode")
       acc += tables.getDouble(s * nCodes + codes.getInt(s))
       s += 1
     }
     acc
   }
 
-  /** Reconstructed norm from codes: sqrt(Σ_s |books(s)(code_s)|²). */
+  /** Reconstructed norm from codes: sqrt(Σ_s |books(s)(code_s)|²).
+    * Same null-code contract as [[adcScore]].
+    */
   def reconNorm(codes: ArrayData, normSq: Array[Array[Double]]): Double = {
     var acc = 0.0
     var s = 0
     while (s < normSq.length) {
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"recon_norm: null PQ code at subspace $s — codes must come from pq_encode")
       acc += normSq(s)(codes.getInt(s))
       s += 1
     }

@@ -130,18 +130,26 @@ object TextHash {
   def topNgramRatio(s: String, n: Int): Double =
     topFreqRatio(if (n == 1) tokenHashes(s) else hashedShingles(s, n))
 
-  /** k seeded min-hashes over a long-array shingle set, one pass. */
+  /** k seeded min-hashes over a long-array shingle set, one pass.
+    * Null SLOTS are skipped — a null shingle is no shingle; an
+    * unguarded getLong would read 0 from UnsafeArrayData and hash a
+    * phantom shingle into every signature. (The gate path feeds
+    * [[HashedShingles]] output, containsNull=false — the guard is for
+    * caller-supplied arrays.)
+    */
   def minhashSig(sh: ArrayData, k: Int): Array[Long] = {
     val n = sh.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = sh.getLong(i)
-      var seed = 0
-      while (seed < k) {
-        val h = fmix64(s ^ (0x9e3779b97f4a7c15L * (seed + 1)))
-        if (h < mins(seed)) mins(seed) = h
-        seed += 1
+      if (!sh.isNullAt(i)) {
+        val s = sh.getLong(i)
+        var seed = 0
+        while (seed < k) {
+          val h = fmix64(s ^ (0x9e3779b97f4a7c15L * (seed + 1)))
+          if (h < mins(seed)) mins(seed) = h
+          seed += 1
+        }
       }
       i += 1
     }

@@ -67,6 +67,11 @@ object VarintCodec {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)
+      // a 64-bit value spans at most 10 varint bytes (shift ≤ 63 on
+      // the last); beyond that the blob is not varint data, and since
+      // JVM shifts are mod 64 an unbounded shift would WRAP and decode
+      // well-formed-looking garbage instead of erroring
+      require(shift < 64, "malformed varint: value spans more than 10 bytes")
       v |= (b & 0x7fL) << shift
       if ((b & 0x80) == 0) {
         out += v

@@ -58,14 +58,18 @@ object VectorKernels {
 
   /** |A ∩ B| of two SORTED long arrays via linear merge — no hash set,
     * no allocation. Callers sort once per row before the pair join.
+    * Null on any null ELEMENT (the [[dotFF]] convention): an unguarded
+    * getLong over a null slot reads 0 from UnsafeArrayData and would
+    * silently count a phantom element into the similarity.
     */
-  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): java.lang.Integer = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var cnt = 0
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { cnt += 1; i += 1; j += 1 }
@@ -131,13 +135,17 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
           s"got ${left.dataType} and ${right.dataType}")
     }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.sortedIntersectCount(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.VectorKernels.sortedIntersectCount($a, $b);")
+      s"""java.lang.Integer ${ev.value}_r = graft.expressions.VectorKernels.sortedIntersectCount($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.intValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)

@@ -68,7 +68,7 @@ object BloomJoin {
     import spark.implicits._
     val keys = dim.select(col(keyCol).cast("long")).na.drop().as[Long]
     val bits = keys.mapPartitions { it =>
-      val local = new Array[Long](numBits / 64)
+      val local = new Array[Long]((numBits / 64L).toInt) // ≤ 2^27 words by optimalNumBits' cap
       while (it.hasNext) BloomKernels.add(local, numHashes, it.next())
       Iterator.single(local)
     }.reduce { (a, b) =>

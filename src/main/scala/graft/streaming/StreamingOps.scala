@@ -15,7 +15,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * specs exercise them; the streaming specs drive them from a
   * MemoryStream with watermarks.
   */
-object StreamingOps {
+// Serializable: the sessionization closures call [[gapMerge]] through
+// the module reference, which rides the task closure to executors.
+object StreamingOps extends Serializable {
 
   /** Event-time sliding-window counts with a watermark for late data.
     * Works on a streaming or batch events frame (ts: timestamp).
@@ -92,6 +94,38 @@ object StreamingOps {
   final case class UserSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
                                n_events: Int, total_value: Double)
 
+  /** One micro-batch's gap-merge, shared by BOTH state surfaces: the
+    * stored open session and the batch's events become intervals
+    * (events are points), sorted by start and folded — adjacent
+    * intervals within `gapMs` merge. Interval logic rather than a
+    * per-event `t - endMs <= gapMs` test because that test is
+    * VACUOUSLY true for any event EARLIER than the stored session
+    * (negative delta): a late cross-batch event an hour before the
+    * stored session would silently merge into it instead of forming
+    * its own earlier session. Here such an event sorts before the
+    * stored interval and closes as its own session.
+    *
+    * Returns (closed sessions in start order, still-open last
+    * session). Events inside/next to the stored interval widen it
+    * monotonically — in-order input reduces to the classic chain.
+    */
+  private[streaming] def gapMerge(stored: Option[SessionAgg], batch: Seq[Ev],
+                                  gapMs: Long): (Seq[SessionAgg], SessionAgg) = {
+    val pts = batch.sortBy(e => (e.ts.getTime, e.event_type))
+      .map(e => SessionAgg(e.ts.getTime, e.ts.getTime, 1, e.value))
+    // stable sort: stored-first on ties keeps the fold deterministic
+    val intervals = (stored.toSeq ++ pts).sortBy(s => (s.startMs, s.endMs))
+    var closed = List.empty[SessionAgg]
+    var cur = intervals.head
+    for (s <- intervals.tail) {
+      if (s.startMs - cur.endMs <= gapMs)
+        cur = SessionAgg(math.min(cur.startMs, s.startMs),
+          math.max(cur.endMs, s.endMs), cur.n + s.n, cur.total + s.total)
+      else { closed = cur :: closed; cur = s }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapMs` (custom state — the
     * KeyValueGroupedDataset path SURVEY steers streaming state to).
@@ -101,30 +135,17 @@ object StreamingOps {
 
     def fn(userId: Long, evs: Iterator[Ev],
            state: GroupState[SessionAgg]): Iterator[UserSession] = {
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-      var cur = state.getOption
-      val out = Seq.newBuilder[UserSession]
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            // monotone bounds: a late cross-batch event whose ts falls
-            // INSIDE the stored session must widen it, never shrink it
-            // (in-order input makes both max/min no-ops)
-            cur = Some(s.copy(startMs = math.min(s.startMs, t),
-              endMs = math.max(s.endMs, t), n = s.n + 1, total = s.total + e.value))
-          case Some(s) =>
-            out += UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
-            cur = Some(SessionAgg(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionAgg(t, t, 1, e.value))
-        }
+      val batch = evs.toSeq
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val (done, open) = gapMerge(state.getOption, batch, gapMs)
+        // The still-open session stays in state; it is emitted once a
+        // later event (possibly a sentinel "flush" event past the gap)
+        // closes it. Closed sessions are append-only output.
+        state.update(open)
+        done.iterator.map(s =>
+          UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total))
       }
-      // The still-open session stays in state; it is emitted once a
-      // later event (possibly a sentinel "flush" event past the gap)
-      // closes it. Closed sessions are append-only output.
-      cur.foreach(state.update)
-      out.result().iterator
     }
 
     events
@@ -153,26 +174,18 @@ object StreamingOps {
 
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
                                  timers: TimerValues): Iterator[UserSession] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-      var cur = if (session.exists()) Some(session.get()) else None
-      val out = Seq.newBuilder[UserSession]
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            // monotone bounds (see the fMGWS twin): late cross-batch
-            // events widen the stored session, never shrink it
-            cur = Some(s.copy(startMs = math.min(s.startMs, t),
-              endMs = math.max(s.endMs, t), n = s.n + 1, total = s.total + e.value))
-          case Some(s) =>
-            out += UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
-            cur = Some(SessionAgg(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionAgg(t, t, 1, e.value))
-        }
+      val batch = rows.toSeq
+      if (batch.isEmpty) Iterator.empty
+      else {
+        // identical gap-merge as the fMGWS twin (shared interval fold —
+        // late cross-batch events form their own earlier sessions
+        // instead of vacuously merging into the stored one)
+        val stored = if (session.exists()) Some(session.get()) else None
+        val (done, open) = StreamingOps.gapMerge(stored, batch, gapMs)
+        session.update(open)
+        done.iterator.map(s =>
+          UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total))
       }
-      cur.foreach(session.update)
-      out.result().iterator
     }
   }
 
@@ -184,26 +197,40 @@ object StreamingOps {
     * one-row AvailableNow MemoryStream query once per SparkContext
     * initializes the coordinator through its supported path.
     */
-  private val coordinatorReady =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private val coordinatorReady = scala.collection.mutable.Set.empty[String]
   def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (coordinatorReady.add(spark.sparkContext.applicationId)) {
-      import spark.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
-      ms.addData(1)
-      val q = ms.toDS().writeStream.format("noop")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // the lock is held ACROSS the bootstrap: a concurrent second caller
+    // must block until the coordinator endpoint actually exists, not
+    // race past a flag set before initialization finished — and the
+    // ready mark is recorded only after the query completes, so a
+    // failed bootstrap retries on the next call instead of poisoning
+    // the session
+    coordinatorReady.synchronized {
+      val id = spark.sparkContext.applicationId
+      if (!coordinatorReady.contains(id)) {
+        import spark.implicits._
+        implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+        ms.addData(1)
+        val q = ms.toDS().writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        coordinatorReady += id
+      }
     }
 
   /** The events table as a REAL file-source stream (same ns→µs ts
     * normalization as the batch reader in [[graft.core.Tables]]).
     * Schema comes from a metadata-only batch probe of the same path.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * graft session factory pins at build time (GraftSession / Bench /
+    * Verify) — deliberately NOT set here: a reader utility silently
+    * flipping session-global config would change how every LATER
+    * parquet read in the session interprets TIMESTAMP(NANOS). On a
+    * vanilla session the probe read fails loudly instead.
     */
   def eventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val raw = spark.read.option("mergeSchema", "true").parquet(path)
     // the file-stream source needs a directory basePath; the fixture
@@ -236,14 +263,8 @@ object StreamingOps {
     * result, so callers keep output cardinality bounded (keys,
     * aggregates — never raw events).
     */
-  def runAvailableNow(out: DataFrame, prefix: String): DataFrame = {
-    val name = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = out.writeStream.format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("append").start()
-    q.awaitTermination()
-    out.sparkSession.table(name)
-  }
+  def runAvailableNow(out: DataFrame, prefix: String): DataFrame =
+    drainAvailableNow(out, prefix, "append")
 
   /** [[runAvailableNow]] for AGGREGATION queries: complete-mode drain
     * — the memory sink holds the final state table after the last
@@ -251,13 +272,24 @@ object StreamingOps {
     * wants to expose. Same bounded-output caveat: keys/aggregates
     * only.
     */
-  def runAvailableNowComplete(out: DataFrame, prefix: String): DataFrame = {
+  def runAvailableNowComplete(out: DataFrame, prefix: String): DataFrame =
+    drainAvailableNow(out, prefix, "complete")
+
+  private def drainAvailableNow(out: DataFrame, prefix: String,
+                                mode: String): DataFrame = {
     val name = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
     val q = out.writeStream.format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("complete").start()
+      .outputMode(mode).start()
     q.awaitTermination()
-    out.sparkSession.table(name)
+    val spark = out.sparkSession
+    // hand the result back as checkpoint blocks and DROP the memory
+    // sink's named table: its view registration would otherwise retain
+    // every historical drain for the session's lifetime, while blocks
+    // are reclaimed by the ContextCleaner once unreferenced
+    val drained = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    drained
   }
 
   /** Streaming CDC apply — the last-write-wins upsert/delete

@@ -35,6 +35,34 @@ class StreamingSpec extends SparkSpec {
     assert(u2.length === 1 && u2(0).n_events === 1)
   }
 
+  test("a late cross-batch event before the stored session forms its own session") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(ms.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1 stores an open session at 10:30
+      ms.addData(Ev(1L, ts(30), "click", 3.0))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event at 10:00 — 30 min before the
+      // stored session, triple the gap: it must close as its OWN
+      // session, not vacuously merge into [10:30, 10:30]
+      ms.addData(Ev(1L, ts(0), "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, Timestamp.valueOf("2024-01-02 00:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_sessions")
+        .where(col("total_value") > 0).orderBy("start_ts").collect()
+      assert(sessions.length === 2, sessions.mkString(","))
+      assert(sessions(0).getTimestamp(1) === ts(0) &&
+        sessions(0).getInt(3) === 1 && sessions(0).getDouble(4) === 1.0)
+      assert(sessions(1).getTimestamp(1) === ts(30) &&
+        sessions(1).getInt(3) === 1 && sessions(1).getDouble(4) === 3.0)
+    } finally q.stop()
+  }
+
   test("transformWithState sessionizer equals the fMGWS sessionizer in batch") {
     import spark.implicits._
     val evs = Tables.events(spark, sfDir)
