@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   *
   * Hashing is the standard Kirsch-Mitzenmacher double-hashing scheme
   * (two 32-bit halves of one well-mixed 64-bit hash; probe i uses
-  * h1 + i*h2), the same construction Spark's own BloomFilterImpl and
-  * Guava use — k probes from ONE hash evaluation per row.
+  * h1 + i*h2) — the construction Spark's own BloomFilterImpl and
+  * Guava use, except the combination runs in the 64-bit domain so
+  * filters past 2^31 bits stay fully addressable (see [[add]]) —
+  * k probes from ONE hash evaluation per row.
   */
 object BloomKernels {
 
@@ -50,17 +52,23 @@ object BloomKernels {
   @inline def hash64(key: Long): Long =
     TextHash.fmix64(key ^ 0x5851f42d4c957f2dL)
 
-  /** Set the k probe bits for key in bits (build side). */
+  /** Set the k probe bits for key in bits (build side).
+    *
+    * Probe positions are computed in the 64-BIT domain (unsigned
+    * 32-bit halves combined in Long): the classic Guava/Spark variant
+    * keeps `h1 + i·h2` in Int, which can only ever address the first
+    * 2^31 bits — on a filter sized past 256 MiB the upper bits would
+    * never be set or probed and the realized fpp silently collapses
+    * while results stay "correct" (no false negatives, no symptom).
+    */
   def add(bits: Array[Long], numHashes: Int, key: Long): Unit = {
     val numBits = bits.length.toLong * 64L
     val h = hash64(key)
-    val h1 = h.toInt
-    val h2 = (h >>> 32).toInt
+    val h1 = h & 0xffffffffL
+    val h2 = h >>> 32
     var i = 1
     while (i <= numHashes) {
-      var combined = h1 + i * h2
-      if (combined < 0) combined = ~combined
-      val pos = combined % numBits
+      val pos = (h1 + i.toLong * h2) % numBits // both operands ≥ 0: no sign fix-up needed
       bits((pos >>> 6).toInt) |= (1L << (pos & 63L))
       i += 1
     }
@@ -70,13 +78,11 @@ object BloomKernels {
   def mightContain(bits: Array[Long], numHashes: Int, key: Long): Boolean = {
     val numBits = bits.length.toLong * 64L
     val h = hash64(key)
-    val h1 = h.toInt
-    val h2 = (h >>> 32).toInt
+    val h1 = h & 0xffffffffL
+    val h2 = h >>> 32
     var i = 1
     while (i <= numHashes) {
-      var combined = h1 + i * h2
-      if (combined < 0) combined = ~combined
-      val pos = combined % numBits
+      val pos = (h1 + i.toLong * h2) % numBits
       if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
       i += 1
     }

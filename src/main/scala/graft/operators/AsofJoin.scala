@@ -42,7 +42,13 @@ object AsofJoin {
       lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(payloadType).as("__p"))
-    val taggedRight = right.select(
+    // Equi-join null semantics: a NULL key matches NOTHING. Without
+    // this filter the window's partitionBy would group null-key rows
+    // from BOTH sides into one partition and carry right payloads onto
+    // null-key left rows — diverging from the oracle's `l.k = r.k`.
+    // Dropping null-key right rows suffices: null-key left rows then
+    // sit alone in the null partition and keep the left-outer null.
+    val taggedRight = right.where(col(key).isNotNull).select(
       col(key).as("__k"), col(rightTime).cast("timestamp").as("__t"),
       lit(0).as("__side"),
       lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"),

@@ -67,11 +67,15 @@ object BloomJoin {
     val spark = dim.sparkSession
     import spark.implicits._
     val keys = dim.select(col(keyCol).cast("long")).na.drop().as[Long]
+    // fold, not reduce: an EMPTY dim (zero partitions after optimizer
+    // folding) must yield the all-zeros filter that prunes every fact
+    // row — reduce throws "empty collection" there
+    val zero = new Array[Long]((numBits / 64L).toInt) // ≤ 2^27 words by optimalNumBits' cap
     val bits = keys.mapPartitions { it =>
-      val local = new Array[Long]((numBits / 64L).toInt) // ≤ 2^27 words by optimalNumBits' cap
+      val local = new Array[Long]((numBits / 64L).toInt)
       while (it.hasNext) BloomKernels.add(local, numHashes, it.next())
       Iterator.single(local)
-    }.reduce { (a, b) =>
+    }.rdd.fold(zero) { (a, b) =>
       var i = 0
       while (i < a.length) { a(i) |= b(i); i += 1 }
       a

@@ -192,6 +192,12 @@ object Clustering {
     // so the per-round job reads the compact frame, not the source.
     val q = points.select(col(idCol).as("_kc_id"), quantize(col(embCol)).as("_kc_q"))
       .truncateLineage()
+    // fewer rows than k would make the farthest-first argmax re-pick
+    // an existing center once every point is chosen (max min-distance
+    // 0) — duplicate centers, silently fewer than k distinct picks;
+    // fail loudly like kmeansCentroids' seed guard
+    val n = q.count()
+    require(n >= k, s"kCenterSelect needs at least k=$k points, got $n")
     val seedRow = q.orderBy("_kc_id").limit(1).collect()
     require(seedRow.nonEmpty, "kCenterSelect on an empty input")
     var cents: Vector[(Long, Array[Long])] =

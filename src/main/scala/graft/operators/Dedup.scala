@@ -43,6 +43,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 2, k: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // rowsPerBand > k would give bands = 0 → posexplode over an empty
+    // array → an EMPTY pair set that reads as "no near-duplicates";
+    // a non-dividing rowsPerBand silently discards the remainder
+    // signature rows (quietly lower recall). Both must fail loudly.
+    require(rowsPerBand >= 1 && k >= rowsPerBand && k % rowsPerBand == 0,
+      s"k ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val bands = k / rowsPerBand
     // Shingles are compared as hashed longs, not strings: identical
     // Jaccard modulo 64-bit collisions, and both shingling and the
@@ -365,6 +371,12 @@ object Dedup {
     * split-per-element_at form re-splits the text at every gram
     * position, quadratic in doc length) — the oracle joins the
     * shingle STRINGS, so the hash match doubles as a collision check.
+    *
+    * COVERAGE CONTRACT: the profile has one row per document with at
+    * least one n-gram — documents shorter than `nGram` tokens carry
+    * no spans to measure and are ABSENT (left-join + coalesce(0) at
+    * the call site if a full-corpus frame is needed). The transform
+    * twin [[dupSpanRemoval]] returns every document.
     */
   def dupSpanProfile(docs: DataFrame, idCol: String, textCol: String,
                      nGram: Int, minDocFreq: Int = 2): DataFrame = {

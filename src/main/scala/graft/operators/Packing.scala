@@ -83,8 +83,12 @@ object Packing {
     val start = col("tok_offset")
     val end = start + col(nTokCol) // exclusive
     withStart
+      // integer DIV, not floor(/): fp division loses ulps above 2^53,
+      // exactly the cumulative-offset regime the two-level prefix sum
+      // exists for — a boundary doc would land in the wrong chunk
       .withColumn("chunk_id",
-        explode(sequence(floor(start / budget), floor((end - 1) / budget))))
+        explode(sequence(expr(s"tok_offset div $budget"),
+          expr(s"(tok_offset + $nTokCol - 1) div $budget"))))
       .withColumn("tok_in_chunk",
         least(end, (col("chunk_id") + 1) * budget) -
           greatest(start, col("chunk_id") * budget))
@@ -109,8 +113,7 @@ object Packing {
       "bucketWidth, nShards, batchSize must be positive")
     val byBatch = docs
       .withColumn("bucket", expr(s"`$nTokCol` DIV $bucketWidth"))
-      .withColumn("shard",
-        pmod(col(idCol) * lit(2654435761L), lit(nShards.toLong)))
+      .withColumn("shard", Sampling.modBucket(col(idCol), nShards))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bucket"), col("shard"))
           .orderBy(col(idCol))))

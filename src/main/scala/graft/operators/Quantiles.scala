@@ -24,13 +24,23 @@ object Quantiles {
     * column (quantize floats first: one IEEE multiply+floor is
     * deterministic on every engine). Returns (rank, cut), one row per
     * requested rank — model-sized, broadcastable.
+    *
+    * `bucketWidth` groups adjacent values for the two-level prefix
+    * sum; size it so that (value domain / bucketWidth) stays small —
+    * the bucket-total table goes through ONE window task and a
+    * broadcast. The 1000 default fits dense integer domains (counts,
+    * permille scores); for sparse/wide domains (hash-like values,
+    * byte sizes to 1e12) pass bucketWidth ≈ domain / sqrt(distinct)
+    * or the offsets frame approaches histogram size and the single
+    * window task becomes the bottleneck the module exists to avoid.
     */
   def exactCutsByRank(df: DataFrame, valueCol: String,
-                      ranks: Seq[Long]): DataFrame = {
+                      ranks: Seq[Long], bucketWidth: Long = 1000L): DataFrame = {
     require(ranks.nonEmpty && ranks.forall(_ >= 1), s"ranks must be >= 1: $ranks")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val byVal = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
-    val cum = Packing.prefixSum(byVal, "__v", "__cnt", "__excl", bucketWidth = 1000L)
+    val cum = Packing.prefixSum(byVal, "__v", "__cnt", "__excl", bucketWidth)
       .withColumn("__cum", col("__excl") + col("__cnt"))
     // ALL cuts in one aggregation pass (B min-if columns), then
     // unpivoted to (rank, cut) rows — never B scans of the histogram

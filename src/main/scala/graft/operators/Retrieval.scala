@@ -53,6 +53,9 @@ object Retrieval {
     // equi-key constant-folds away) and break the no-BNLJ invariant.
     val statsRow = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val n = statsRow.getLong(0)
+    // loud guard, not an NPE: sum over zero rows is null, and n = 0
+    // would poison avgdl with a division by zero
+    require(n > 0, "bm25TopK over an empty corpus")
     val avgdl = statsRow.getLong(1).toDouble / n
 
     val terms = queries.map(_._2).distinct

@@ -28,6 +28,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("px"))) // t3: nothing earlier
   }
 
+  test("null keys match nothing — equi-join semantics, not null-partition carry") {
+    import spark.implicits._
+    // a null-key left row and an EARLIER null-key right row land in
+    // the same window partition; SQL `l.k = r.k` yields no match, so
+    // the left row must keep a null payload — the right payload must
+    // not be carried across the shared null partition
+    val l = Seq(
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), "null_key"),
+      (Option(1L), ts("2024-01-01 10:00:00"), "real_key")
+    ).toDF("k", "t", "id")
+    val r = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 99.0),
+      (Option(1L), ts("2024-01-01 09:00:00"), 7.0)
+    ).toDF("k", "qt", "v")
+    val out = AsofJoin.backward(l, r, "k", "t", "qt", Seq("v"))
+      .orderBy("id").collect()
+    assert(out(0).getString(2) === "null_key" && out(0).isNullAt(out(0).fieldIndex("v")))
+    assert(out(1).getString(2) === "real_key" && out(1).getAs[Double]("v") === 7.0)
+  }
+
   test("right row exactly at the left time is visible (inclusive bound)") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "id")

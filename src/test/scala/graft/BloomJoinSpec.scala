@@ -54,6 +54,29 @@ class BloomJoinSpec extends SparkSpec {
       s"kept $kept of $total but dim covers only ${dimFrac * 100}% of keys")
   }
 
+  test("empty dim yields the all-zeros filter that prunes everything") {
+    import spark.implicits._
+    // an empty build side must not crash (RDD.reduce has no zero) —
+    // the correct filter rejects every probe
+    val dim = Seq.empty[Long].toDF("k").where(col("k") > 0)
+    val model = BloomJoin.buildBloom(dim, "k", expectedItems = 100)
+    assert(!model.mightContain(42L))
+    val fact = Seq(1L, 2L, 3L).toDF("fk")
+    assert(BloomJoin.pruneFact(fact, "fk", model).count() === 0L)
+  }
+
+  test("probe positions address the full 64-bit bit domain") {
+    // the Guava/Spark Int-domain variant can only ever touch the
+    // first 2^31 bits; our Long-domain combine must set bits past
+    // that boundary on a large filter. Simulate with a direct kernel
+    // call on an oversized bitset (no need to build a 256 MiB model).
+    val words = 1 << 26 // 2^32 bits, 512 MiB — allocate once, locally
+    val bits = new Array[Long](words)
+    (1L to 2000L).foreach(BloomKernels.add(bits, 7, _))
+    val hi = bits.indices.drop(words / 2).exists(bits(_) != 0L)
+    assert(hi, "no probe landed in the upper half of a 2^32-bit filter")
+  }
+
   test("sizing helpers match the standard formulas") {
     // n=1e6, p=0.01 → m ≈ 9.59e6 bits, k ≈ 7
     val m = BloomKernels.optimalNumBits(1000000L, 0.01)

@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(found.exceptAll(truth).isEmpty)
   }
 
+  test("minhash band geometry that silently loses signal is rejected loudly") {
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(4)
+    // rowsPerBand > k → zero bands → empty pair set read as "no dups"
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 32, rowsPerBand = 33)
+    }
+    // non-dividing geometry would silently drop remainder signature rows
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 32, rowsPerBand = 5)
+    }
+  }
+
   test("simhash of identical token streams is identical, and close docs differ in few bits") {
     import spark.implicits._
     val df = Seq(
