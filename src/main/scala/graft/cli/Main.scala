@@ -51,6 +51,15 @@ object Main {
         if (overwrote)
           System.err.println(s"[graft] $outPath existed — overwrote (idempotent rerun)")
         println(s"[graft] $jobName -> $outPath done (${result.count()} rows)")
+        // surface any in-flight quality metrics the job observed (e.g.
+        // friend-recs' coordinate quarantine): the whole point of the
+        // metric is that a feed-wide corruption is VISIBLE at the
+        // operator's console, not a silent candidate shrink behind a
+        // normal-looking row count
+        result.queryExecution.observedMetrics.foreach { case (name, row) =>
+          println(s"[graft] observed $name: " +
+            row.schema.fieldNames.map(f => s"$f=${row.getAs[Any](f)}").mkString(", "))
+        }
       } finally result.unpersist()
     } finally spark.stop()
   }

@@ -57,7 +57,11 @@ object FriendRecsJob {
       .where(col("event_type") === "click")
       .select(
         col("user_id"),
-        (get_json_object(col("props"), "$.k").cast("long") % 100L).as("partner"))
+        // try_cast, not cast: under Spark 4's default ANSI mode one
+        // non-numeric props value would abort the whole datamart —
+        // the same corrupt-feed posture as the coordinate quarantine
+        // below (a bad payload yields a null partner, filtered next)
+        (expr("try_cast(get_json_object(props, '$.k') AS long)") % 100L).as("partner"))
       .where(col("partner").isNotNull && col("partner") =!= col("user_id"))
     // Contact exclusion is direction-symmetric (the reference expands
     // every message edge in both directions, F10), so candidates are

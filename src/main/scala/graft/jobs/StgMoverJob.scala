@@ -33,20 +33,28 @@ object StgMoverJob {
       col("event_type"),
       col("event_id"))
 
-  /** Flatten the raw nested layer back to STG columns. */
-  def flatten(raw: DataFrame): DataFrame =
+  /** Flatten the raw nested layer back to STG columns.
+    *
+    * try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+    * mode one malformed datetime string would abort the entire mover
+    * run, where the (non-ANSI, Spark-3) reference this job mirrors
+    * produced a null ts and a null date partition for that row — the
+    * try_ variant preserves the documented reference behavior.
+    */
+  def flatten(raw: DataFrame): DataFrame = {
+    val ts = try_to_timestamp(split(col("event.datetime"), "\\.").getItem(0),
+      lit("yyyy-MM-dd HH:mm:ss"))
     raw.select(
       col("event_id"),
       col("event.user_id").as("user_id"),
-      to_timestamp(split(col("event.datetime"), "\\.").getItem(0),
-        "yyyy-MM-dd HH:mm:ss").as("ts"),
+      ts.as("ts"),
       col("event.value").as("value"),
       col("event.media.media_type").as("media_type"),
       col("event.media.src").as("media_src"),
       col("event.props").as("props"),
       col("event_type"),
-      date_format(to_timestamp(split(col("event.datetime"), "\\.").getItem(0),
-        "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd").as("date"))
+      date_format(ts, "yyyy-MM-dd").as("date"))
+  }
 
   /** Full mover: nest→flatten is identity on the shared columns; the
     * write lands Hive-partitioned by (event_type, date).

@@ -48,7 +48,11 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val MaxK = 1024
 
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.topk.enabled", "true") == "true"
+    // case-insensitive like Spark's own boolean confs: "True"/"TRUE"
+    // from a YAML/Python config layer must not silently disable the
+    // rewrite (falling back to the full-sort WindowExec with no
+    // error is the worst kind of perf regression)
+    conf.getConfString("spark.graft.topk.enabled", "true").trim.equalsIgnoreCase("true")
 
   private def limitOf(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(n: Int, _)) if a.semanticEquals(rank) => Some(n)
@@ -178,6 +182,14 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     // emit a superset of each key's top k), it just stops saving
     // shuffle volume for the long tail. The final stage is bounded by
     // the OUTPUT size (≤ k rows per key survive the shuffle).
+    // small seed capacity, grown on demand: PriorityQueue eagerly
+    // allocates its backing array, and with large k over a long-tail
+    // key distribution (most keys holding 1-2 rows) a (k+1)-slot
+    // preallocation per key costs gigabytes of empty pointer arrays —
+    // the OOM path where the WindowExec this operator replaces would
+    // merely have spilled
+    def newHeap(k: Int, ord: Ordering[InternalRow]) =
+      new java.util.PriorityQueue[InternalRow](math.min(k, 16) + 1, ord.reverse)
     val maxPartialKeys =
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.topk.partialMaxKeys", "262144").toInt
@@ -192,7 +204,7 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
           val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null && heaps.size() < maxPartialKeys) {
-            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
+            heap = newHeap(kLocal, ordering)
             heaps.put(key.copy(), heap)
           }
           if (heap == null) true // over budget: pass through unbuffered
@@ -215,7 +227,7 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
           val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null) {
-            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
+            heap = newHeap(kLocal, ordering)
             heaps.put(key.copy(), heap)
           }
           if (heap.size < kLocal) heap.add(row.copy())
