@@ -23,20 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth's 2^32/phi multiplier. ids up to ~3.4e9 cannot overflow a
-    * signed 64-bit product; beyond that the multiply THROWS under
-    * Spark 4's default ANSI mode (and engines differ on wrap
-    * semantics anyway) — use [[xxBucket]] for wider id domains.
+  /** Knuth's 2^32/phi multiplier. The raw product overflows a signed
+    * 64-bit long past ids ~3.4e9 (Spark 4's default ANSI mode THROWS,
+    * and engines differ on wrap semantics anyway), so [[modBucket]]
+    * folds the key into [0, 2^31) FIRST: the folded product tops out
+    * at ~5.7e18, safely inside BIGINT on every engine, for ANY long
+    * id. The fold is the identity below 2^31−1, so bucket values for
+    * existing id domains are unchanged.
     */
   val KnuthMultiplier = 2654435761L
 
-  /** Oracle-expressible bucket in [0, buckets): (id*K) mod buckets. */
+  /** Fold domain: 2^31 − 1 (prime, so sequential and strided ids
+    * spread before the multiply).
+    */
+  val KnuthFold = 2147483647L
+
+  /** Oracle-expressible bucket in [0, buckets):
+    * ((id mod 2^31−1)·K) mod buckets.
+    */
   def modBucket(id: Column, buckets: Int): Column =
-    pmod(id * lit(KnuthMultiplier), lit(buckets.toLong))
+    pmod(pmod(id, lit(KnuthFold)) * lit(KnuthMultiplier), lit(buckets.toLong))
 
   /** DuckDB twin of [[modBucket]] (positive ids ⇒ % == pmod). */
   def modBucketSql(id: String, buckets: Int): String =
-    s"(($id * $KnuthMultiplier) % $buckets)"
+    s"(((($id) % $KnuthFold) * $KnuthMultiplier) % $buckets)"
 
   /** Production bucket in [0, buckets): full-avalanche xxhash64. */
   def xxBucket(id: Column, buckets: Int): Column =
@@ -211,8 +221,16 @@ object Sampling {
       .withColumn("__wsum", sum(col("w_x1e4")).over(all))
       .withColumn("__csum", sum(col("c_tokens")).over(all))
       .withColumn("share_ppm", expr("(w_x1e4 * 1000000) div __wsum"))
-      .withColumn("raw_ppm", expr("(c_tokens * 1000000) div __csum"))
-      .withColumn("target_tokens", expr(s"(${budgetTokens}L * w_x1e4) div __wsum"))
+      // 128-bit products: c_tokens is a PER-DOMAIN corpus token count
+      // (·1e6 passes BIGINT at ~9e12 tokens in one domain), and
+      // budget·w_x1e4 reaches ~3e23 for a 1e13-token budget — while
+      // both quotients are bounded (≤ 1e6 ppm; ≤ the budget). The
+      // sqrt-weight share_ppm numerator is ≤ ~3e16 at 1e13 tokens
+      // (w_x1e4 = √c·1e4), so it stays in BIGINT.
+      .withColumn("raw_ppm",
+        expr("(CAST(c_tokens AS DECIMAL(38,0)) * 1000000) div __csum"))
+      .withColumn("target_tokens",
+        expr(s"(CAST(${budgetTokens} AS DECIMAL(38,0)) * w_x1e4) div __wsum"))
       .drop("__wsum", "__csum")
   }
 

@@ -125,9 +125,13 @@ object AggWindowQueries {
           sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
           sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
           sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
-        .withColumn("view_ppm", expr("(n_view * 1000000) div n_sessions"))
+        // counts here are GLOBAL session tallies — at a 1e13-event
+        // corpus n_view·1e6 passes BIGINT, so the ppm products run
+        // 128-bit (quotients are ≤ 1e6 by construction)
+        .withColumn("view_ppm",
+          expr("(CAST(n_view AS DECIMAL(38,0)) * 1000000) div n_sessions"))
         .withColumn("purchase_ppm",
-          expr("(n_full_funnel * 1000000) div n_sessions"))
+          expr("(CAST(n_full_funnel AS DECIMAL(38,0)) * 1000000) div n_sessions"))
     }),
 
     // Median/MAD anomaly detection (the robust z-score): per group,
@@ -250,7 +254,12 @@ object AggWindowQueries {
           // is never hash-compared across engines — summation order
           // diverges at some grouping cell (dataset_card precedent)
           sum(round(col("v") * 100).cast("long")).as("vsum_x100"))
-        .withColumn("vmean_x1e4", expr("(vsum_x100 * 100) div n_rows"))
+        // 128-bit product: vsum_x100 approaches BIGINT on its own at
+        // ~1e12 high-value rows, so vsum·100 would wrap long before
+        // the sum column itself overflows its (honest, ANSI-loud)
+        // BIGINT output cap.
+        .withColumn("vmean_x1e4",
+          expr("(CAST(vsum_x100 AS DECIMAL(38,0)) * 100) div n_rows"))
     }),
 
     // Profiling, scale form: NDV via HyperLogLog sketch instead of the
@@ -289,12 +298,18 @@ object AggWindowQueries {
           approx_count_distinct(col("v")).as("andv"),
           round(min(col("v")), 4).as("vmin"),
           round(max(col("v")), 4).as("vmax"),
-          sum(round(col("v") * 100).cast("long") * col("cnt")).as("vsum_x100"))
+          // per-term value·count products run 128-bit (a 1e7-cent
+          // value times a 1e12 duplicate count wraps long); the sum
+          // lands back in the BIGINT output column with an ANSI-loud
+          // cast at its honest representability cap
+          sum(round(col("v") * 100).cast("decimal(38,0)") * col("cnt"))
+            .cast("long").as("vsum_x100"))
         .select(col("column"), col("n_rows"), col("ndv"),
           (abs(col("andv") - col("ndv")) <=
             greatest(col("ndv") * 0.1, lit(2.0))).as("ndv_in_tolerance"),
           col("vmin"), col("vmax"), col("vsum_x100"),
-          expr("(vsum_x100 * 100) div n_rows").as("vmean_x1e4"))
+          expr("(CAST(vsum_x100 AS DECIMAL(38,0)) * 100) div n_rows")
+            .as("vmean_x1e4"))
     }),
 
     // Ordered string aggregation (listagg): deterministic via numeric
@@ -621,9 +636,14 @@ object AggWindowQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top
         .withColumn("rank", row_number().over(ord).cast("long"))
-        .withColumn("share_ppm", expr(s"(c * 1000000) div ${total}L"))
+        // the whole point of this query is a pathologically hot key —
+        // exactly the input where c·1e6 (and the cumulative sum ×1e6)
+        // passes BIGINT at a 1e13-event table, so the ppm products
+        // run 128-bit; quotients are ≤ 1e6 by construction
+        .withColumn("share_ppm",
+          expr(s"(CAST(c AS DECIMAL(38,0)) * 1000000) div ${total}L"))
         .withColumn("cum_ppm",
-          (sum(col("c")).over(cum) * lit(1000000L)).cast("long"))
+          sum(col("c")).over(cum).cast("decimal(38,0)") * lit(1000000L))
         .withColumn("cum_ppm", expr(s"cum_ppm div ${total}L"))
         .select(col("rank"), col("user_id"), col("c"),
           col("share_ppm"), col("cum_ppm"))
@@ -729,8 +749,11 @@ object AggWindowQueries {
       touched.where(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
         .agg(count(lit(1)).as("n_purchases"))
+        // global purchase tallies: the ·1e6 product runs 128-bit so a
+        // 1e13-event corpus can't wrap it (quotient ≤ 1e6 always)
         .withColumn("share_ppm",
-          expr("n_purchases * 1000000 div sum(n_purchases) OVER ()"))
+          expr("CAST(n_purchases AS DECIMAL(38,0)) * 1000000" +
+            " div sum(n_purchases) OVER ()"))
     }),
 
     // Retention cohort matrix: users grouped by first-active week,
@@ -835,7 +858,11 @@ object AggWindowQueries {
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          // try_element_at: ANSI element_at ABORTS on an empty array
+          // while DuckDB's list index yields NULL — try_ aligns the
+          // engines on a zero-length (corrupt) embedding row
+          round(try_element_at(col("embedding"), lit(1)).cast("double"), 4)
+            .as("first_val"),
           round(aggregate(slice(col("embedding"), 1, 8).cast("array<double>"),
             lit(0.0), (acc, v) => acc + v), 4).as("head8_sum"),
           round(aggregate(
@@ -1226,8 +1253,8 @@ object AggWindowQueries {
         |  FROM c
         |)
         |SELECT CAST(rank AS BIGINT) AS rank, user_id, c,
-        |  CAST((c * 1000000) // (SELECT n FROM t) AS BIGINT) AS share_ppm,
-        |  CAST((cum * 1000000) // (SELECT n FROM t) AS BIGINT) AS cum_ppm
+        |  CAST((c::HUGEINT * 1000000) // (SELECT n FROM t) AS BIGINT) AS share_ppm,
+        |  CAST((cum::HUGEINT * 1000000) // (SELECT n FROM t) AS BIGINT) AS cum_ppm
         |FROM r WHERE rank <= 10""".stripMargin,
 
     "events_rare_transitions" ->
@@ -1286,7 +1313,7 @@ object AggWindowQueries {
         |  FROM t WHERE event_type = 'purchase' GROUP BY 1
         |)
         |SELECT touch_type, n_purchases,
-        |  CAST(n_purchases * 1000000 // sum(n_purchases) OVER ()
+        |  CAST(n_purchases::HUGEINT * 1000000 // sum(n_purchases) OVER ()
         |    AS BIGINT) AS share_ppm
         |FROM conv""".stripMargin,
 

@@ -409,10 +409,13 @@ object JoinQueries {
     // quality score community detection is judged by (Newman Q).
     // Per community: intra-edge count, degree sum, and the Q
     // contribution in STAGED fixed-point ppm — a = (1e6·D_c) div
-    // (2m) ≤ 1e6, deg term = a² div 1e6 — so no intermediate
-    // exceeds ~1e12 at ANY graph size (the naive 4m·L − D² form
-    // overflows BIGINT past ~3e9-degree communities). One edge pass
-    // + one node pass over the converged labels.
+    // (2m) ≤ 1e6, deg term = a² div 1e6 — so nothing DOWNSTREAM of
+    // the divisions exceeds ~1e12 at any graph size (the naive
+    // 4m·L − D² form overflows BIGINT past ~3e9-degree communities).
+    // The ·1e6 numerators themselves still grow with the graph
+    // (intra_edges ≤ m, deg_sum ≤ 2m → past BIGINT at ~1e13 edges),
+    // so those two products run 128-bit; their quotients are ≤ 2e6.
+    // One edge pass + one node pass over the converged labels.
     "graph_modularity" -> ((spark, dir) => {
       import graft.operators.GraphRank
       import graft.core.GraftSession.LineageOps
@@ -438,8 +441,10 @@ object JoinQueries {
         .select(col("label"), col("n_nodes"),
           coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
           col("deg_sum"))
-        .withColumn("intra_ppm", expr(s"(intra_edges * 1000000) div ${m}L"))
-        .withColumn("__a", expr(s"(deg_sum * 1000000) div ${2 * m}L"))
+        .withColumn("intra_ppm",
+          expr(s"(CAST(intra_edges AS DECIMAL(38,0)) * 1000000) div ${m}L"))
+        .withColumn("__a",
+          expr(s"(CAST(deg_sum AS DECIMAL(38,0)) * 1000000) div ${2 * m}L"))
         .withColumn("contrib_ppm",
           expr("intra_ppm - (__a * __a) div 1000000"))
         .drop("__a")
@@ -887,9 +892,9 @@ object JoinQueries {
        |SELECT label, CAST(n_nodes AS BIGINT) AS n_nodes,
        |  CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
        |  CAST(deg_sum AS BIGINT) AS deg_sum,
-       |  CAST((coalesce(intra_edges, 0) * 1000000) // (SELECT m FROM m)
+       |  CAST((coalesce(intra_edges, 0)::HUGEINT * 1000000) // (SELECT m FROM m)
        |    AS BIGINT) AS intra_ppm,
-       |  CAST((coalesce(intra_edges, 0) * 1000000) // (SELECT m FROM m)
+       |  CAST((coalesce(intra_edges, 0)::HUGEINT * 1000000) // (SELECT m FROM m)
        |    - (((deg_sum * 1000000) // (SELECT 2 * m FROM m))
        |       * ((deg_sum * 1000000) // (SELECT 2 * m FROM m))) // 1000000
        |    AS BIGINT) AS contrib_ppm

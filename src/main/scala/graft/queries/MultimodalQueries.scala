@@ -52,7 +52,10 @@ object MultimodalQueries {
       import org.apache.spark.sql.functions._
       val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, dir))
         .where(col("media_type") === "image")
-      val offset = assets.agg(max(col("asset_id"))).head().getLong(0) + 1L
+      val maxRow = assets.agg(max(col("asset_id"))).head()
+      require(!maxRow.isNullAt(0),
+        "mm_phash_dedup needs at least one image asset to derive the planted-copy offset")
+      val offset = maxRow.getLong(0) + 1L
       val planted = assets.select((col("asset_id") + lit(offset)).as("asset_id"),
         col("media_type"), col("payload"), col("declared_len"))
       val hashes = Multimodal
@@ -79,7 +82,10 @@ object MultimodalQueries {
         .where(col("media_type") === "image")
       val hashes0 = Multimodal.imagePerceptualHashes(spark, assets).toDF()
         .select(col("asset_id"), col("ahash64"))
-      val offset = hashes0.agg(max(col("asset_id"))).head().getLong(0) + 1L
+      val maxRow = hashes0.agg(max(col("asset_id"))).head()
+      require(!maxRow.isNullAt(0),
+        "mm_phash_clusters needs at least one image asset to derive the planted-copy offset")
+      val offset = maxRow.getLong(0) + 1L
       val uni = hashes0.unionByName(hashes0.select(
         (col("asset_id") + lit(offset)).as("asset_id"), col("ahash64")))
       val pairs = graft.operators.Dedup.signatureBandPairs(

@@ -126,7 +126,12 @@ object RelationalQueries {
           substring(col("text"), 1, 10).as("prefix10"),
           length(col("text")).cast("long").as("text_len"),
           upper(col("lang")).as("lang_uc"),
-          regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("source_num"))
+          // try_cast: regexp_extract yields '' when source carries no
+          // digits, and ANSI CAST('' AS INT) aborts the job — a
+          // dirty-source crash the fixture can't reach (oracle
+          // mirrors with TRY_CAST → NULL on both engines)
+          expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT)")
+            .as("source_num"))
     }),
 
     // Extended string family: edit distance, padding, reverse, repeat.
@@ -146,7 +151,9 @@ object RelationalQueries {
       Tables.events(spark, dir)
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          // try_cast: one non-numeric props value would abort the
+          // whole scan under ANSI (the FriendRecsJob precedent)
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
     }),
 
     // Semi-structured VARIANT path (Spark 4): parse once, then typed
@@ -173,9 +180,11 @@ object RelationalQueries {
     // F4: per-row timezone conversion (tz is a COLUMN, collector.py:361-366).
     "f4_from_utc_timestamp" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        // pmod, not %: a negative user_id would index ≤ 0 and ANSI
+        // element_at aborts on index 0 (identity for positive ids)
         .withColumn("tz", element_at(
           array(lit("Australia/Sydney"), lit("Asia/Tokyo"), lit("UTC")),
-          (col("user_id") % 3 + 1).cast("int")))
+          (pmod(col("user_id"), lit(3L)) + 1).cast("int")))
         .select(
           col("event_id"), col("tz"),
           date_format(from_utc_timestamp(col("ts"), col("tz")),
@@ -359,7 +368,7 @@ object RelationalQueries {
         |  substring(text, 1, 10) AS prefix10,
         |  length(text) AS text_len,
         |  upper(lang) AS lang_uc,
-        |  CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS source_num
+        |  TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS source_num
         |FROM documents""".stripMargin,
 
     "f7b_string_family" ->
@@ -372,7 +381,7 @@ object RelationalQueries {
 
     "f_json_extract" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
 
     "f_variant" ->
@@ -388,9 +397,9 @@ object RelationalQueries {
 
     "f4_from_utc_timestamp" ->
       """SELECT event_id,
-        |  (['Australia/Sydney', 'Asia/Tokyo', 'UTC'])[(user_id % 3) + 1] AS tz,
+        |  (['Australia/Sydney', 'Asia/Tokyo', 'UTC'])[((user_id % 3) + 3) % 3 + 1] AS tz,
         |  strftime(timezone(
-        |    (['Australia/Sydney', 'Asia/Tokyo', 'UTC'])[(user_id % 3) + 1],
+        |    (['Australia/Sydney', 'Asia/Tokyo', 'UTC'])[((user_id % 3) + 3) % 3 + 1],
         |    timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS local_time
         |FROM events""".stripMargin,
 

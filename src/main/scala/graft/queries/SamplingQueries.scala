@@ -93,7 +93,8 @@ object SamplingQueries {
     // engine-wide row_number rewrite, so only k rows per key per
     // partition ever move.
     "sample_reservoir_per_key" -> ((spark, dir) => {
-      val h = pmod(col("event_id") * lit(Sampling.KnuthMultiplier), lit(1000000007L))
+      val h = pmod(pmod(col("event_id"), lit(Sampling.KnuthFold))
+        * lit(Sampling.KnuthMultiplier), lit(1000000007L))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(h.asc, col("event_id").asc)
       Tables.events(spark, dir)
@@ -335,8 +336,12 @@ object SamplingQueries {
       docs.select(col("doc_id"),
           explode(array((0 until 3).map(lit): _*)).as("slot"))
         .withColumn("cand",
-          pmod(col("doc_id") * lit(Sampling.KnuthMultiplier) + col("slot") * lit(2654435769L),
-            lit(n)))
+          // fold before the multiply (the modBucket envelope rule):
+          // raw doc_id·K throws under ANSI past ids ~3.4e9; folded,
+          // the product stays ≤ ~5.7e18 for any id, and the fold is
+          // the identity below 2^31−1
+          pmod(pmod(col("doc_id"), lit(Sampling.KnuthFold)) * lit(Sampling.KnuthMultiplier)
+            + col("slot") * lit(2654435769L), lit(n)))
         .withColumn("neg_id",
           when(col("cand") === col("doc_id"), pmod(col("cand") + 1, lit(n)))
             .otherwise(col("cand")))
@@ -437,7 +442,8 @@ object SamplingQueries {
        |), j AS (
        |  SELECT d.doc_id, d.lang,
        |    p.full_epochs + CASE
-       |      WHEN (d.doc_id * ${Sampling.KnuthMultiplier}) % 1000000
+       |      WHEN ((d.doc_id % ${Sampling.KnuthFold}) * ${Sampling.KnuthMultiplier})
+       |           % 1000000
        |           < p.accept_ppm THEN 1 ELSE 0 END AS n_ep
        |  FROM documents d JOIN p ON d.lang = p.lang
        |)
@@ -584,7 +590,7 @@ object SamplingQueries {
         |SELECT lang, n_docs, c_tokens, w_x1e4,
         |  CAST((w_x1e4 * 1000000) // (SELECT sum(w_x1e4) FROM q) AS BIGINT)
         |    AS share_ppm,
-        |  CAST((c_tokens * 1000000) // (SELECT sum(c_tokens) FROM q) AS BIGINT)
+        |  CAST((c_tokens::HUGEINT * 1000000) // (SELECT sum(c_tokens) FROM q) AS BIGINT)
         |    AS raw_ppm,
         |  CAST((50000 * w_x1e4) // (SELECT sum(w_x1e4) FROM q) AS BIGINT)
         |    AS target_tokens
@@ -594,7 +600,8 @@ object SamplingQueries {
       s"""WITH n AS (SELECT count(*) AS n FROM documents),
          |c AS (
          |  SELECT doc_id, s.slot,
-         |    (doc_id * ${Sampling.KnuthMultiplier} + s.slot * 2654435769)
+         |    ((doc_id % ${Sampling.KnuthFold}) * ${Sampling.KnuthMultiplier}
+         |      + s.slot * 2654435769)
          |      % (SELECT n FROM n) AS cand
          |  FROM documents, (SELECT unnest([0, 1, 2]) AS slot) s
          |)
@@ -615,7 +622,8 @@ object SamplingQueries {
       s"""SELECT event_type, rn, event_id FROM (
          |  SELECT event_type, event_id, row_number() OVER (
          |    PARTITION BY event_type
-         |    ORDER BY (event_id * ${Sampling.KnuthMultiplier}) % 1000000007 ASC,
+         |    ORDER BY ((event_id % ${Sampling.KnuthFold}) * ${Sampling.KnuthMultiplier})
+         |      % 1000000007 ASC,
          |      event_id ASC) AS rn
          |  FROM events
          |) WHERE rn <= 20""".stripMargin,
@@ -682,7 +690,7 @@ object SamplingQueries {
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
         |), b AS (
         |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
-        |    (doc_id * 2654435761) % 4 AS shard
+        |    ((doc_id % 2147483647) * 2654435761) % 4 AS shard
         |  FROM t
         |), r AS (
         |  SELECT *, row_number() OVER (

@@ -87,7 +87,10 @@ object TextQueries {
       // planted-copy offset DERIVED from the corpus (one tiny agg) —
       // a hardcoded offset silently collides with real ids the day
       // the corpus outgrows it, voiding the invariant being checked
-      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      require(!maxRow.isNullAt(0),
+        "dedup_simhash_pairs needs a non-empty corpus to derive the planted-copy offset")
+      val offset = maxRow.getLong(0) + 1L
       val planted = docs.select((col("doc_id") + lit(offset)).as("doc_id"), col("text"))
       val pairs = Dedup.simhashBandPairs(docs.union(planted), "doc_id", "text",
         nBands = 4, maxHamming = 3)
@@ -150,10 +153,13 @@ object TextQueries {
           sum(col("nw")).as("n_words"),
           sum(col("nc")).as("n_nonspace_chars"),
           sum(col("nb")).as("__nb"))
-        .withColumn("__f", expr("(__nb * 10000) div n_words"))
+        // nullif: a language whose documents are all empty has
+        // n_words = 0 — ANSI integral division would abort the job;
+        // the invariant is vacuous there, so bounds_ok goes NULL.
+        .withColumn("__f", expr("(__nb * 10000) div nullif(n_words, 0)"))
         .withColumn("bounds_ok",
           col("__f") >= 10000L &&
-            col("__f") <= expr("(n_nonspace_chars * 10000) div n_words"))
+            col("__f") <= expr("(n_nonspace_chars * 10000) div nullif(n_words, 0)"))
         .drop("__nb", "__f")
     }),
 
@@ -214,8 +220,26 @@ object TextQueries {
         (acc, v) => acc + v).cast("long")
       val stopc = size(filter(toks,
         t => t.isin(Seq("the", "a").map(s => s: Any): _*))).cast("long")
-      val maxc = array_max(transform(array_distinct(toks),
-        d => size(filter(toks, e => e === d)))).cast("long")
+      // Top-token count as a sort + run-length fold: O(n log n) per
+      // document. The distinct×filter form this replaces re-scanned
+      // the token array once per DISTINCT token — O(u·n) per row,
+      // ~1e10 comparisons for a single 100k-token document with a
+      // wide vocabulary, all inside one task. Max run length over the
+      // sorted array equals max multiplicity, so the predicate value
+      // is unchanged (run starts at 0, so a leading ""-token matching
+      // the "" seed still counts 1). NULL text stays NULL through the
+      // fold, matching array_max-over-NULL before.
+      val maxc = aggregate(
+        array_sort(toks),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, t) => {
+          val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(1L)
+          struct(t.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => when(acc.getField("best") === 0L, lit(null).cast("long"))
+          .otherwise(acc.getField("best")))
       graft.operators.FilterFunnel.audit(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")),
         Seq(
@@ -362,10 +386,15 @@ object TextQueries {
     // co-occur far above chance, ranked by the integer-exact score
     // c_xy·1e6 div (c_x·c_y) — the PMI argument with its corpus-
     // constant factors dropped (ranking-invariant), kept in integral
-    // arithmetic so both engines agree bit for bit. Unigram table is
-    // vocabulary-sized → broadcast twice; top-20 rides
-    // TakeOrderedAndProject (no full sort). Ties broken by the
-    // (w1, w2) total order so the cutoff is engine-deterministic.
+    // arithmetic so both engines agree bit for bit. The products run
+    // in 128-bit (DECIMAL(38,0) here, HUGEINT in the oracle): c_x·c_y
+    // reaches ~1e23 for two stop words at a 1e13-token corpus — far
+    // past BIGINT — while the quotient is ≤ 1e6 by construction, so
+    // only the intermediates need width (the vec_power_iteration
+    // precedent). Unigram table is vocabulary-sized → broadcast
+    // twice; top-20 rides TakeOrderedAndProject (no full sort). Ties
+    // broken by the (w1, w2) total order so the cutoff is
+    // engine-deterministic.
     "text_pmi_collocations" -> ((spark, dir) => {
       val toks = Tables.documents(spark, dir).select(split(col("text"), " ").as("t"))
       val uni = toks.select(explode(col("t")).as("w")).where(col("w") =!= "")
@@ -377,7 +406,9 @@ object TextQueries {
         .withColumn("w2", split(col("bg"), " ").getItem(1))
       bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
         .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
-        .withColumn("score_x1e6", expr("(c_xy * 1000000L) div (c_x * c_y)"))
+        .withColumn("score_x1e6",
+          expr("(CAST(c_xy AS DECIMAL(38,0)) * 1000000)" +
+            " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"))
         .orderBy(col("score_x1e6").desc, col("w1"), col("w2"))
         .limit(20)
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
@@ -443,7 +474,11 @@ object TextQueries {
     // uses distinct-predecessor counts (the KN insight: "how many
     // contexts does w2 complete", not raw frequency). Per-transition
     // p_x1e6 = (4c2−3)·1e6 div (4·ctx) + ((3·N1f·1e6) div (4·ctx))
-    // ·N1b div B — no intermediate above ~3e15 at a 1e9 vocabulary.
+    // ·N1b div B. The continuation term is vocabulary-bounded (N1f ≤
+    // |V| → ≤ 3e15 at a 1e9 vocabulary), but the discount term's
+    // numerator 4·c2·1e6 grows with the TOP BIGRAM's corpus count —
+    // a hot bigram at a 1e13-token corpus pushes it past BIGINT — so
+    // that one product runs in 128-bit (DECIMAL(38,0) / HUGEINT).
     // Count tables are vocabulary-sized → broadcast; one doc-keyed
     // aggregation, engine-exact by construction.
     "text_kn_bigram_lm" -> ((spark, dir) => {
@@ -464,7 +499,7 @@ object TextQueries {
         .join(broadcast(ctx), Seq("w1"))
         .join(broadcast(back), Seq("w2"))
         .withColumn("p_x1e6",
-          expr("((4 * c2 - 3) * 1000000) div (4 * ctx)") +
+          expr("((4 * CAST(c2 AS DECIMAL(38,0)) - 3) * 1000000) div (4 * ctx)") +
             expr(s"(((3 * n1f * 1000000) div (4 * ctx)) * n1b) div ${nB}L"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_trans"), sum(col("p_x1e6")).as("sum_p_x1e6"))
@@ -538,7 +573,11 @@ object TextQueries {
       val edges = Tables.events(spark, dir)
         .where(col("event_type") === "click")
         .select(col("user_id"),
-          (get_json_object(col("props"), "$.k").cast("long") % 100L).as("partner"))
+          // try_cast: a single non-numeric props value must degrade to
+          // a NULL partner (dropped by the isNotNull guard below), not
+          // abort the whole graph build under ANSI
+          (expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") % 100L)
+            .as("partner"))
         .where(col("partner").isNotNull && col("partner") =!= col("user_id"))
         .distinct()
       Dedup.connectedComponents(edges, "user_id", "partner")
@@ -842,7 +881,7 @@ object TextQueries {
          |  SELECT count(*) AS b FROM bi
          |), t AS (
          |  SELECT bg.doc_id,
-         |    ((4 * bi.c2 - 3) * 1000000) // (4 * ctx.ctx)
+         |    ((4 * bi.c2::HUGEINT - 3) * 1000000) // (4 * ctx.ctx)
          |      + (((3 * ctx.n1f * 1000000) // (4 * ctx.ctx)) * back.n1b)
          |        // (SELECT b FROM nb) AS p
          |  FROM bg
@@ -1436,7 +1475,8 @@ object TextQueries {
          |  FROM bi
          |)
          |SELECT s.w1, s.w2, s.c_xy, x.c AS c_x, y.c AS c_y,
-         |  CAST((s.c_xy * 1000000) // (x.c * y.c) AS BIGINT) AS score_x1e6
+         |  CAST((s.c_xy::HUGEINT * 1000000) // (x.c::HUGEINT * y.c)
+         |    AS BIGINT) AS score_x1e6
          |FROM s JOIN uni x ON s.w1 = x.w JOIN uni y ON s.w2 = y.w
          |ORDER BY score_x1e6 DESC, s.w1, s.w2 LIMIT 20""".stripMargin
     },
@@ -1464,11 +1504,11 @@ object TextQueries {
     "graph_components" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT user_id AS a,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS b
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS b
         |  FROM events
         |  WHERE event_type = 'click'
-        |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 IS NOT NULL
-        |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 <> user_id
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 IS NOT NULL
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 <> user_id
         |), sym AS (
         |  SELECT a, b FROM e UNION SELECT b, a FROM e
         |), reach(a, b) AS (
@@ -1533,7 +1573,7 @@ object TextQueries {
        |  SELECT bg, count(*) AS cb FROM bg GROUP BY 1
        |), t AS MATERIALIZED (
        |  SELECT bg.doc_id,
-       |    (7 * bi.cb * 100000) // u1.cu
+       |    (7 * bi.cb::HUGEINT * 100000) // u1.cu
        |      + (3 * u2.cu * 100000) // (SELECT nt FROM n) AS p
        |  FROM bg
        |  JOIN bi USING (bg)
@@ -1563,8 +1603,14 @@ object TextQueries {
       .join(broadcast(bi), Seq("bg"))
       .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
+      // the bigram-count product runs 128-bit like text_kn_bigram_lm's
+      // discount term: 7·cb·1e5 crosses BIGINT at cb ≈ 1.3e13 — a
+      // degenerate single-phrase corpus at exactly the 100 TB token
+      // count this engine targets; the unigram term's c2 ≤ n keeps
+      // 3·c2·1e5 ≤ ~4e18 even then
       .withColumn("p_x1e6",
-        expr(s"(7 * cb * 100000) div c1 + (3 * c2 * 100000) div ${nTotal}L"))
+        expr(s"(7 * CAST(cb AS DECIMAL(38,0)) * 100000) div c1" +
+          s" + (3 * c2 * 100000) div ${nTotal}L"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"),
         sum(col("p_x1e6")).as("sum_p_x1e6"))

@@ -368,16 +368,21 @@ object VectorQueries {
     // corpus, then each vector's standardized L2 norm. The stats frame
     // is dimension-sized (64 rows) → broadcast back; both aggregations
     // are partial-combinable, so the plan is two narrow shuffles
-    // regardless of corpus size.
+    // regardless of corpus size. A ZERO-VARIANCE dimension (real
+    // embedding corpora pad with constant dims) contributes 0 — its
+    // every value equals the mean, and the unguarded (v−m)/sd would
+    // abort the job under ANSI double division-by-zero.
     "vec_standardize" -> ((spark, dir) => {
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .withColumn("v", col("v").cast("double"))
       val stats = e.groupBy("pos")
         .agg(avg(col("v")).as("m"), stddev_samp(col("v")).as("sd"))
+      val term = when(col("sd") === 0.0, lit(0.0))
+        .otherwise(pow((col("v") - col("m")) / col("sd"), 2))
       e.join(broadcast(stats), Seq("pos"))
         .groupBy("vec_id")
-        .agg(round(sqrt(sum(pow((col("v") - col("m")) / col("sd"), 2))), 4).as("znorm"))
+        .agg(round(sqrt(sum(term)), 4).as("znorm"))
     })
   )
 
@@ -737,7 +742,9 @@ object VectorQueries {
         |), s AS (
         |  SELECT pos, avg(v) AS m, stddev_samp(v) AS sd FROM e GROUP BY 1
         |)
-        |SELECT vec_id, round(sqrt(sum(pow((v - m) / sd, 2))), 4) AS znorm
+        |SELECT vec_id,
+        |  round(sqrt(sum(CASE WHEN sd = 0 THEN 0
+        |                      ELSE pow((v - m) / sd, 2) END)), 4) AS znorm
         |FROM e JOIN s USING (pos) GROUP BY 1""".stripMargin
   )
 
