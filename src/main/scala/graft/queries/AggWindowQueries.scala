@@ -14,6 +14,19 @@ object AggWindowQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Dirty-measurement guard for the value-statistics family: a
+    * statistic has no bucket for NaN/±Infinity, and Spark's floor()
+    * SILENTLY saturates non-finite doubles to 0 / ±Long.MaxValue —
+    * the saturated sentinel then poisons every downstream sum or
+    * difference into an ANSI ARITHMETIC_OVERFLOW abort (found by
+    * EventsDirtySpec: winsorized/MAD/equi-depth/EWMA all died on one
+    * NaN row). Contract: only FINITE, NON-NULL measurements enter a
+    * value statistic; oracles mirror with `WHERE isfinite(value)`
+    * (NULL is not finite on either engine).
+    */
+  private def finiteMeasure(c: org.apache.spark.sql.Column) =
+    !isnan(c) && abs(c) =!= Double.PositiveInfinity
+
   val queries: Map[String, Q] = Map(
     // A1+A2: per-user ordered collect_list + size (travel_array analog).
     "a1_collect_list" -> ((spark, dir) => {
@@ -81,6 +94,7 @@ object AggWindowQueries {
     // the value range, never by row count.
     "agg_histogram" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 4).as("bucket_sum"))
@@ -153,6 +167,7 @@ object AggWindowQueries {
           .agg(min(when(col("cum") * 2 >= col("n"), col(valCol))).as(out))
       }
       val v = Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .select(col("event_type").as("g"),
           floor(col("value") * 10000).cast("long").as("vq"))
       val med = groupMedian(v, "vq", "med")
@@ -178,6 +193,7 @@ object AggWindowQueries {
     "agg_winsorized" -> ((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val v = Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .select(col("event_type").as("g"),
           floor(col("value") * 10000).cast("long").as("vq"))
       val hist = v.groupBy("g", "vq").agg(count(lit(1)).as("c"))
@@ -211,6 +227,7 @@ object AggWindowQueries {
     "profile_equidepth" -> ((spark, dir) => {
       import graft.operators.Quantiles
       val v = Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .select(floor(col("value") * 10000).cast("long").as("vq"))
       val n = v.count() // corpus scalar, known pre-plan
       val b = 8
@@ -719,6 +736,7 @@ object AggWindowQueries {
     // streaming (where mapGroupsWithState holds it incrementally).
     "ts_ewma" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("s"),
           floor(col("value") * 10000).cast("long").as("vq"))
@@ -964,7 +982,7 @@ object AggWindowQueries {
     "agg_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS bucket_sum
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE isfinite(value) GROUP BY 1""".stripMargin,
 
     // Same gap-sessionization and time-respecting conditional mins.
     "events_session_funnel" ->
@@ -1017,7 +1035,7 @@ object AggWindowQueries {
       """WITH v AS MATERIALIZED (
         |  SELECT event_type AS g,
         |    CAST(floor(value * 10000) AS BIGINT) AS vq
-        |  FROM events
+        |  FROM events WHERE isfinite(value)
         |), med AS (
         |  SELECT g, min(CASE WHEN cum * 2 >= n THEN vq END) AS med FROM (
         |    SELECT g, vq,
@@ -1050,7 +1068,7 @@ object AggWindowQueries {
       """WITH v AS MATERIALIZED (
         |  SELECT event_type AS g,
         |    CAST(floor(value * 10000) AS BIGINT) AS vq
-        |  FROM events
+        |  FROM events WHERE isfinite(value)
         |), cum AS (
         |  SELECT g, vq,
         |    sum(count(*)) OVER (PARTITION BY g ORDER BY vq) AS cum,
@@ -1292,7 +1310,7 @@ object AggWindowQueries {
         |        ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
         |                 event_id)),
         |    (acc, v) -> (acc + v) // 2) AS BIGINT) AS ewma_x1e4
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE isfinite(value) GROUP BY 1""".stripMargin,
 
     // Same (s, event_id)-ordered preceding-frame last-touch window.
     "events_attribution" ->
@@ -1473,7 +1491,8 @@ object AggWindowQueries {
     val hiCase = (0 until b - 1)
       .map(i => s"WHEN $i THEN (SELECT c$i FROM cuts)").mkString(" ")
     s"""WITH v AS MATERIALIZED (
-       |  SELECT CAST(floor(value * 10000) AS BIGINT) AS vq FROM events
+       |  SELECT CAST(floor(value * 10000) AS BIGINT) AS vq
+       |  FROM events WHERE isfinite(value)
        |), n AS (
        |  SELECT count(*) AS n FROM v
        |), cum AS (

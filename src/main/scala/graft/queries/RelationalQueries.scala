@@ -158,13 +158,19 @@ object RelationalQueries {
 
     // Semi-structured VARIANT path (Spark 4): parse once, then typed
     // path extraction — the shredded-at-scan lakehouse pattern. A
-    // missing path through try_variant_get yields NULL, not an error.
+    // missing path through try_variant_get yields NULL, not an error
+    // — and try_parse_json extends the same contract to the PARSE:
+    // one malformed props row must degrade to a NULL variant, not
+    // abort the scan (parse_json is FAILFAST; found by
+    // EventsDirtySpec). Oracle mirrors via json_valid.
     "f_variant" -> ((spark, dir) => {
       Tables.events(spark, dir)
-        .withColumn("vr", parse_json(col("props")))
+        .withColumn("vr", expr("try_parse_json(props)"))
         .select(
           col("event_id"),
-          expr("variant_get(vr, '$.k', 'bigint')").as("k"),
+          // try_ on the typed read too: a string-valued k must null
+          // out, not throw INVALID_VARIANT_CAST
+          expr("try_variant_get(vr, '$.k', 'bigint')").as("k"),
           expr("try_variant_get(vr, '$.missing', 'bigint')").as("missing_k"))
     }),
 
@@ -381,13 +387,17 @@ object RelationalQueries {
 
     "f_json_extract" ->
       """SELECT event_id,
-        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  CASE WHEN json_valid(props) THEN
+        |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
         |FROM events""".stripMargin,
 
     "f_variant" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_k
+        |  CASE WHEN json_valid(props) THEN
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN json_valid(props) THEN
+        |    TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) END
+        |    AS missing_k
         |FROM events""".stripMargin,
 
     "f9_explode_words" ->

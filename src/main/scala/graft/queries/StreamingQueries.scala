@@ -26,8 +26,15 @@ object StreamingQueries {
     // final open sessions; sentinels themselves stay in state.
     "stream_sessionize" -> ((spark, dir) => {
       import spark.implicits._
+      // null-ts events cannot be placed on the session timeline →
+      // dropped; a null value still counts as activity with 0 mass
+      // (the typed Ev's primitive Double would otherwise abort with
+      // NOT_NULL_ASSERT_VIOLATION on the first dirty row — found by
+      // EventsDirtySpec). The oracle mirrors both choices.
       val ev = Tables.events(spark, dir)
-        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value"))
       val sentinels = ev.groupBy("user_id")
         .agg(max(col("ts")).as("mx"))
         .select(col("user_id"),
@@ -49,8 +56,15 @@ object StreamingQueries {
     // state surfaces are pinned to the identical relation.
     "stream_tws_sessionize" -> ((spark, dir) => {
       import spark.implicits._
+      // null-ts events cannot be placed on the session timeline →
+      // dropped; a null value still counts as activity with 0 mass
+      // (the typed Ev's primitive Double would otherwise abort with
+      // NOT_NULL_ASSERT_VIOLATION on the first dirty row — found by
+      // EventsDirtySpec). The oracle mirrors both choices.
       val ev = Tables.events(spark, dir)
-        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value"))
       val sentinels = ev.groupBy("user_id")
         .agg(max(col("ts")).as("mx"))
         .select(col("user_id"),
@@ -200,7 +214,9 @@ object StreamingQueries {
   // to match Spark.
   private val sessionizeSql: String =
     s"""WITH e AS (
-         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    coalesce(value, 0) AS value
+         |  FROM events WHERE ts IS NOT NULL
          |), flagged AS (
          |  SELECT user_id, ts, value,
          |    CASE WHEN lag(ts) OVER w IS NULL

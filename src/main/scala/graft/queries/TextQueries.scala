@@ -1504,11 +1504,14 @@ object TextQueries {
     "graph_components" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT user_id AS a,
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS b
+        |    TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) % 100 AS b
         |  FROM events
         |  WHERE event_type = 'click'
-        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 IS NOT NULL
-        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 <> user_id
+        |    AND TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) % 100 IS NOT NULL
+        |    AND TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) % 100 <> user_id
         |), sym AS (
         |  SELECT a, b FROM e UNION SELECT b, a FROM e
         |), reach(a, b) AS (
