@@ -51,7 +51,32 @@ object Tables {
     else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Declared dimensionality of the embeddings collection. Every
+    * vector store pins one dimension per collection; the fixture
+    * tables ship 64. A deployment with a different model sets its own
+    * constant — the point is that dimensionality is a SCHEMA fact,
+    * not a per-row observation.
+    */
+  val EmbeddingDim = 64
+
+  /** Embeddings scan behind the admissibility quarantine (the geo
+    * coordinate-quarantine precedent, applied to vectors): NULL
+    * vectors, dimension drift (a model-version mix-up), and NaN /
+    * ±Infinity / NULL components cannot be allowed into a vector
+    * operator — EmbeddingsDirtySpec showed each one either aborts
+    * the job (codebook Seq indexing NPE / IndexOutOfBounds, ANSI
+    * overflow after fixed-point floor() silently saturates non-finite
+    * to ±Long.MaxValue) or corrupts results silently. The guard is
+    * one codegen'd forall per row and the identity on admissible
+    * corpora. Zero vectors PASS (a legitimate padding row — cosine
+    * ops null them out at their divisions instead).
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings").where(
+      col("embedding").isNotNull &&
+        size(col("embedding")) === EmbeddingDim &&
+        forall(col("embedding"), c =>
+          c.isNotNull && !isnan(c) && abs(c) =!= Float.PositiveInfinity))
 
   /** Split a coarse-grained scan for CPU-bound downstream work (gram
     * explosion, hashing): a single-row-group parquet file cannot be

@@ -39,7 +39,7 @@ object Similarity {
     * instead of three.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** DuckDB twin of [[cosine]] (embedding lists cast to DOUBLE[]). */
   def cosineSql(a: String, b: String): String =
@@ -76,7 +76,7 @@ object Similarity {
       .withColumn("c_nrm", norm(col("embedding")))
       .join(q, col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored
@@ -98,7 +98,7 @@ object Similarity {
       .withColumn("c_nrm", norm(col("embedding")))
       .join(q, col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
       .groupBy("query_id")
       .agg(topk(col("vec_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -264,7 +264,7 @@ object Similarity {
     atRest.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -294,7 +294,7 @@ object Similarity {
     cells.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -451,7 +451,7 @@ object Similarity {
         Seq("neighbor_id"))
       .join(q, Seq("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("c_emb")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -542,7 +542,7 @@ object Similarity {
     val nrm = norm(col(embCol))
     def band(axis: Int): Column = floor(acos(
       least(lit(1.0), greatest(lit(-1.0),
-        element_at(col(embCol), axis + 1) / nrm))) / theta).cast("long")
+        element_at(col(embCol), axis + 1) / nullif(nrm, lit(0.0))))) / theta).cast("long")
     val base = points.select(col(idCol).as("id"), col(embCol).as("emb"),
       nrm.as("nrm"), band(0).as("b0"), band(1).as("b1"))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
@@ -559,7 +559,7 @@ object Similarity {
     l.join(r, Seq("b0", "b1"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
-        dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
+        dot(col("e_a"), col("e_b")) / nullif(col("n_a") * col("n_b"), lit(0.0)), 4))
       .where(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -623,7 +623,7 @@ object Similarity {
     c.join(q, Seq("sig"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -646,7 +646,7 @@ object Similarity {
     c.join(q, Seq("sig"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+        round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

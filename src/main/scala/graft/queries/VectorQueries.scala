@@ -164,7 +164,7 @@ object VectorQueries {
         .join(q, col("cd") =!= col("qd"))
         .withColumn("cos_x1e6",
           floor(lit(1000000.0) * Similarity.dot(col("q_emb"), col("c_emb")) /
-            (col("q_nrm") * col("c_nrm"))).cast("long"))
+            nullif(col("q_nrm") * col("c_nrm"), lit(0.0))).cast("long"))
         .groupBy("qd", "cd", "qt").agg(max(col("cos_x1e6")).as("mx"))
         .groupBy("qd", "cd").agg(sum(col("mx")).as("score_x1e6"))
         .withColumn("rank", row_number().over(w))
@@ -272,9 +272,14 @@ object VectorQueries {
           (aggregate(zip_with(ed, col("deq"), (x, d) => abs(x - d)),
             lit(0.0), (acc, e) => greatest(acc, e)) <=
             col("scale") * 0.5 + lit(1e-12)).as("err_ok"),
-          (Similarity.dot(ed, col("deq")) /
-            (sqrt(Similarity.dot(ed, ed)) * sqrt(Similarity.dot(col("deq"), col("deq"))))
-            >= 0.999).as("cos_ok"))
+          // a zero vector quantizes and reconstructs exactly — its
+          // cosine is 0/0, so assert the contract directly instead of
+          // dividing by a zero norm (ANSI aborts on it)
+          when(Similarity.dot(ed, ed) === 0.0,
+            forall(col("codes"), c => c === 0))
+            .otherwise(Similarity.dot(ed, col("deq")) /
+              (sqrt(Similarity.dot(ed, ed)) * sqrt(Similarity.dot(col("deq"), col("deq"))))
+              >= 0.999).as("cos_ok"))
     }),
 
     // Corpus-scale integer-exact k-means (k=8, 3 Lloyd rounds + final

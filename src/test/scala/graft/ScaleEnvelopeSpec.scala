@@ -77,14 +77,18 @@ class ScaleEnvelopeSpec extends SparkSpec {
   test("vec_standardize tolerates a zero-variance (padded) dimension") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zerovar").toString
-    // dim 0 varies, dim 1 is the constant pad that crashed the
-    // unguarded (v-m)/sd under ANSI double division-by-zero
-    Seq((1L, Array(1.0f, 5.0f)), (2L, Array(2.0f, 5.0f)), (3L, Array(3.0f, 5.0f)))
+    // dim 0 varies; every OTHER dimension is a constant pad — the
+    // shape that crashed the unguarded (v-m)/sd under ANSI double
+    // division-by-zero. Vectors are full EmbeddingDim-width so they
+    // pass the admissibility quarantine.
+    def v(x: Float) =
+      Array.tabulate(graft.core.Tables.EmbeddingDim)(i => if (i == 0) x else 5.0f)
+    Seq((1L, v(1.0f)), (2L, v(2.0f)), (3L, v(3.0f)))
       .toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = graft.queries.VectorQueries.queries("vec_standardize")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // zero-variance dim contributes 0 → znorm is |z| of dim 0 alone
+    // zero-variance dims contribute 0 → znorm is |z| of dim 0 alone
     assert(out(1L) === 1.0)
     assert(out(2L) === 0.0)
     assert(out(3L) === 1.0)
