@@ -261,6 +261,10 @@ object AggWindowQueries {
         .select(cols.map(col): _*)
         .unpivot(Array.empty[org.apache.spark.sql.Column],
           cols.map(col).toArray, "column", "v")
+        // finite measurements only (the events-profile contract): a
+        // NaN measure aborted the exact fixed-point sum with ANSI
+        // CAST_OVERFLOW (RelationalDirtySpec)
+        .where(finiteMeasure(col("v")))
         .groupBy("column")
         .agg(
           count(lit(1)).as("n_rows"),
@@ -305,7 +309,9 @@ object AggWindowQueries {
         // semantics (and DuckDB's UNPIVOT, which excludes nulls) on
         // nullable columns — latent on the all-non-null fixture, but
         // the profiler must not change meaning the day it meets one
-        .where(col("v").isNotNull)
+        // (finiteMeasure also drops NaN/±Inf, the events-profile
+        // contract — its exact twin above does the same)
+        .where(finiteMeasure(col("v")))
         .groupBy("column", "v")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("column")
@@ -1098,6 +1104,7 @@ object AggWindowQueries {
         |  SELECT measure AS "column", v FROM (
         |    SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
         |  ) UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |  WHERE isfinite(v)
         |)
         |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
         |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax,
@@ -1111,6 +1118,7 @@ object AggWindowQueries {
         |  SELECT measure AS "column", v FROM (
         |    SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
         |  ) UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |  WHERE isfinite(v)
         |)
         |SELECT "column", count(*) AS n_rows, count(DISTINCT v) AS ndv,
         |  true AS ndv_in_tolerance,
