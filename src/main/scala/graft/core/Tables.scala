@@ -78,6 +78,18 @@ object Tables {
         forall(col("embedding"), c =>
           c.isNotNull && !isnan(c) && abs(c) =!= Float.PositiveInfinity))
 
+  /** DuckDB twin of the [[embeddings]] admissibility quarantine —
+    * interpolated into every vector oracle's embeddings read by
+    * SparkEntry.oracleSql, so both engines see the same admissible
+    * rows (isfinite is false for NaN and ±Inf; NULL components fail
+    * the explicit IS-NULL arm).
+    */
+  val embeddingsAdmissibleSql: String =
+    s"embedding IS NOT NULL AND len(embedding) = $EmbeddingDim" +
+      " AND coalesce(list_aggregate(list_transform(embedding," +
+      " x -> CASE WHEN x IS NULL THEN false ELSE isfinite(x) END)," +
+      " 'bool_and'), false)"
+
   /** Split a coarse-grained scan for CPU-bound downstream work (gram
     * explosion, hashing): a single-row-group parquet file cannot be
     * split by the reader, so everything narrow behind it runs in ONE

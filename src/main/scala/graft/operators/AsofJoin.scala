@@ -48,7 +48,13 @@ object AsofJoin {
     // null-key left rows — diverging from the oracle's `l.k = r.k`.
     // Dropping null-key right rows suffices: null-key left rows then
     // sit alone in the null partition and keep the left-outer null.
-    val taggedRight = right.where(col(key).isNotNull).select(
+    // Null-TIME right rows drop for the same reason: Spark sorts a
+    // null __t FIRST, so an undated version would carry onto every
+    // probe, while ASOF's `l.t >= r.t` can never match it. A
+    // null-time LEFT row then has nothing before it and keeps the
+    // left-outer null on both engines.
+    val taggedRight = right
+      .where(col(key).isNotNull && col(rightTime).isNotNull).select(
       col(key).as("__k"), col(rightTime).cast("timestamp").as("__t"),
       lit(0).as("__side"),
       lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"),

@@ -44,8 +44,8 @@ object Similarity {
   /** DuckDB twin of [[cosine]] (embedding lists cast to DOUBLE[]). */
   def cosineSql(a: String, b: String): String =
     s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+      s"nullif(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])), 0))"
 
   final case class Scored(id: Long, score: Double)
 

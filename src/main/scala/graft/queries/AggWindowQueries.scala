@@ -34,7 +34,10 @@ object AggWindowQueries {
         .groupBy("user_id")
         .agg(
           concat_ws(",", array_sort(collect_list(col("event_type")))).as("types_sorted"),
-          size(collect_list(col("event_type"))).cast("long").as("n_events"))
+          // count(*), not size(collect_list): collect_list SKIPS null
+          // elements, so a type-less event silently vanished from
+          // n_events while the oracle's count(*) kept it
+          count(lit(1)).as("n_events"))
     }),
 
     // A3+W6: weekly counts with monthly totals replicated per week
@@ -112,7 +115,11 @@ object AggWindowQueries {
     // 1-row funnel with exact ppm conversion rates.
     "events_session_funnel" -> ((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
+        // time-ordered analytics exclude timestamp-less rows: Spark
+        // sorts null ts FIRST, DuckDB LAST, so an unguarded window
+        // silently diverges across engines on exactly one dirty row
       val ev = Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_timestamp(col("ts")).as("s"))
       val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
@@ -464,6 +471,10 @@ object AggWindowQueries {
       // sort-based percentiles plans an Expand over every column —
       // 2× the shuffled rows for no benefit.
       val ev = Tables.events(spark, dir)
+        // per-type report: unlabeled events can't be attributed, and
+        // the two-agg equi-join would silently drop the null group
+        // the oracle's single GROUP BY keeps
+        .where(col("event_type").isNotNull && finiteMeasure(col("value")))
       val users = ev.groupBy("event_type").agg(
         count_distinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("au"))
@@ -488,6 +499,10 @@ object AggWindowQueries {
     // default lgK=12 has rsd ~1.6%; 5% + small-count slack is safe.
     "sketch_hll_union" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
+        // weekly partials are time-keyed: a timestamp-less row has no
+        // partial (count(DISTINCT wk) in the oracle skips NULL weeks
+        // while the engine's groupBy would mint a null-week partial)
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
         .select(col("event_type"),
           date_trunc("week", col("ts")).cast("date").as("wk"), col("user_id"))
       val weekly = ev.groupBy("event_type", "wk")
@@ -517,6 +532,8 @@ object AggWindowQueries {
       import graft.operators.QuantileSketch
       import graft.operators.QuantileSketch.Kll
       val ev = Tables.events(spark, dir)
+        .where(col("event_type").isNotNull && col("ts").isNotNull &&
+          finiteMeasure(col("value")))
         .select(col("event_type"),
           date_trunc("week", col("ts")).cast("date").as("wk"), col("value"))
       val kllAgg = udaf(new QuantileSketch.KllAgg(256))
@@ -572,6 +589,7 @@ object AggWindowQueries {
     // accumulation error on both engines.
     "agg_stats" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .withColumn("days",
           datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("double"))
         .groupBy("event_type")
@@ -585,6 +603,7 @@ object AggWindowQueries {
     // Exact percentiles (interpolated, matches quantile_cont).
     "agg_percentile" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .groupBy("event_type")
         .agg(
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -619,6 +638,7 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("maybe_val",
           when(col("event_type") === "error", lit(null).cast("double"))
             .otherwise(col("value")))
@@ -636,10 +656,14 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .withColumn("changed",
-          when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
-            .otherwise(0))
+          // null-SAFE inequality: a null event_type must register as a
+          // change exactly like the oracle's IS DISTINCT FROM (the
+          // null-unsafe =!= evaluated NULL -> 0 against a typed
+          // neighbor); <=> also covers the first-row null-lag arm
+          when(!(col("prev_type") <=> col("event_type")), 1).otherwise(0))
         .groupBy("user_id")
         .agg(sum(col("changed")).as("n_changes"))
     }),
@@ -683,6 +707,7 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       val tr = Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .where(col("prev_type").isNotNull)
         .select(col("user_id"), col("prev_type"), col("event_type"))
@@ -711,6 +736,7 @@ object AggWindowQueries {
     "events_interval_coalesce" -> ((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val iv = Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("s"))
         .withColumn("e", col("s") + 300L)
@@ -742,7 +768,7 @@ object AggWindowQueries {
     // streaming (where mapGroupsWithState holds it incrementally).
     "ts_ewma" -> ((spark, dir) => {
       Tables.events(spark, dir)
-        .where(finiteMeasure(col("value")))
+        .where(col("ts").isNotNull && finiteMeasure(col("value")))
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("s"),
           floor(col("value") * 10000).cast("long").as("vq"))
@@ -763,7 +789,11 @@ object AggWindowQueries {
     // then a touch-type-cardinality rollup with fixed-point share.
     "events_attribution" -> ((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
+        // time-ordered analytics exclude timestamp-less rows: Spark
+        // sorts null ts FIRST, DuckDB LAST, so an unguarded window
+        // silently diverges across engines on exactly one dirty row
       val ev = Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_timestamp(col("ts")).as("s"))
       val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
@@ -813,6 +843,7 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       val counts = Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .where(col("prev_type").isNotNull)
         .groupBy("prev_type", "event_type")
@@ -829,6 +860,7 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("reg_date",
           date_format(first(col("ts")).over(w), "yyyy-MM-dd"))
         .groupBy("user_id", "reg_date")
@@ -853,7 +885,11 @@ object AggWindowQueries {
     "w11_distribution" -> ((spark, dir) => {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value").asc, col("event_id").asc)
+      // value-ORDERED stats: a null value sorts FIRST in Spark asc and
+      // LAST in DuckDB, shifting every ntile/percent_rank/nth_value in
+      // the partition — the finite-measure contract excludes it
       Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .withColumn("quartile", ntile(4).over(w).cast("long"))
         .withColumn("pct_rank", round(percent_rank().over(w), 4))
         .withColumn("cume", round(cume_dist().over(w), 4))
@@ -870,6 +906,7 @@ object AggWindowQueries {
         .orderBy(col("epoch_s"))
         .rangeBetween(-3600, 0)
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("epoch_s", unix_timestamp(col("ts")))
         .withColumn("rolling_1h", round(sum(col("value")).over(w), 4))
         .groupBy("user_id")
@@ -901,6 +938,7 @@ object AggWindowQueries {
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .withColumn("running_value", round(sum(col("value")).over(w), 4))
         .select(col("event_id"), col("user_id"), col("running_value"))
     }),
@@ -909,6 +947,10 @@ object AggWindowQueries {
     // partial-aggregable moment sketches, per return flag.
     "agg_regr" -> ((spark, dir) => {
       Tables.lineitem(spark, dir)
+        // regression moments need FINITE regressors on both axes (one
+        // Inf price overflows DuckDB's VARPOP and NaNs Spark's slope)
+        .where(finiteMeasure(col("l_extendedprice")) &&
+          finiteMeasure(col("l_quantity")))
         .groupBy("l_returnflag")
         .agg(
           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
@@ -921,6 +963,7 @@ object AggWindowQueries {
     // interpolated median — all map-side-combinable.
     "agg_bool_median" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        .where(finiteMeasure(col("value")))
         .groupBy("event_type")
         .agg(
           count_if(col("value") > 50).as("n_gt50"),
@@ -982,7 +1025,7 @@ object AggWindowQueries {
         |FROM (
         |  SELECT event_type, value,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS days
-        |  FROM events
+        |  FROM events WHERE isfinite(value)
         |) GROUP BY 1""".stripMargin,
 
     "agg_histogram" ->
@@ -995,7 +1038,7 @@ object AggWindowQueries {
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), g AS (
         |  SELECT user_id, event_id, event_type, s,
         |    CASE WHEN lag(s) OVER w IS NULL
@@ -1199,7 +1242,9 @@ object AggWindowQueries {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  true AS ndv_in_tolerance,
         |  true AS p50_in_tolerance
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events
+        |WHERE event_type IS NOT NULL AND isfinite(value)
+        |GROUP BY 1""".stripMargin,
 
     "sketch_hll_intersection" ->
       """WITH m AS (
@@ -1219,7 +1264,9 @@ object AggWindowQueries {
         |  count(DISTINCT user_id) AS exact_users,
         |  count(DISTINCT date_trunc('week', ts)) AS n_partials,
         |  true AS est_in_tolerance
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events
+        |WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "sketch_quantiles" ->
       """SELECT event_type,
@@ -1228,13 +1275,16 @@ object AggWindowQueries {
         |  true AS mass_exact,
         |  true AS r25_ok, true AS r50_ok, true AS r75_ok, true AS r95_ok,
         |  true AS monotone
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events
+        |WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  AND isfinite(value)
+        |GROUP BY 1""".stripMargin,
 
     "agg_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE isfinite(value) GROUP BY 1""".stripMargin,
 
     "f9_arrays_zip" ->
       """SELECT length(word) AS wlen, count(*) AS n, count(DISTINCT word) AS n_words
@@ -1254,7 +1304,7 @@ object AggWindowQueries {
         |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS maybe_val,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
-        |  WHERE event_type <> 'error'
+        |  WHERE event_type <> 'error' AND ts IS NOT NULL
         |) WHERE rn = 1""".stripMargin,
 
     "w3_lag_changes" ->
@@ -1263,7 +1313,7 @@ object AggWindowQueries {
         |    CASE WHEN lag(event_type) OVER (
         |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS DISTINCT FROM event_type
         |    THEN 1 ELSE 0 END AS changed
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |) GROUP BY 1""".stripMargin,
 
     "diag_key_skew" ->
@@ -1290,7 +1340,7 @@ object AggWindowQueries {
         |      PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type,
         |    event_type
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), tr AS (
         |  SELECT user_id, prev_type, event_type FROM t
         |  WHERE prev_type IS NOT NULL
@@ -1318,14 +1368,15 @@ object AggWindowQueries {
         |        ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
         |                 event_id)),
         |    (acc, v) -> (acc + v) // 2) AS BIGINT) AS ewma_x1e4
-        |FROM events WHERE isfinite(value) GROUP BY 1""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL AND isfinite(value)
+        |GROUP BY 1""".stripMargin,
 
     // Same (s, event_id)-ordered preceding-frame last-touch window.
     "events_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), t AS (
         |  SELECT user_id, event_type,
         |    last_value(CASE WHEN event_type <> 'purchase'
@@ -1351,7 +1402,7 @@ object AggWindowQueries {
         |  SELECT user_id, event_id,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS e
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), m AS (
         |  SELECT user_id, event_id, s, e,
         |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
@@ -1404,7 +1455,7 @@ object AggWindowQueries {
         |      PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type,
         |    event_type
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), c AS (
         |  SELECT prev_type, event_type, count(*) AS n
         |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
@@ -1420,7 +1471,7 @@ object AggWindowQueries {
       """SELECT user_id,
         |  strftime(min(ts), '%Y-%m-%d') AS reg_date,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin,
 
     "w8_rank_lead" ->
       """SELECT event_type, rnk, drnk, event_id, next_event FROM (
@@ -1440,7 +1491,7 @@ object AggWindowQueries {
         |  nth_value(event_id, 3) OVER (
         |    PARTITION BY event_type ORDER BY value ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_id
-        |FROM events
+        |FROM events WHERE isfinite(value)
         |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin,
 
     "w10_range_frame" ->
@@ -1449,7 +1500,7 @@ object AggWindowQueries {
         |    round(sum(value) OVER (
         |      PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
         |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |) GROUP BY 1""".stripMargin,
 
     "f_array_family" ->
@@ -1465,7 +1516,7 @@ object AggWindowQueries {
         |  round(sum(value) OVER (
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
-        |FROM events""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL""".stripMargin,
 
     "agg_regr" ->
       """SELECT l_returnflag,
@@ -1473,7 +1524,9 @@ object AggWindowQueries {
         |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
         |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-        |FROM lineitem GROUP BY 1""".stripMargin,
+        |FROM lineitem
+        |WHERE isfinite(l_extendedprice) AND isfinite(l_quantity)
+        |GROUP BY 1""".stripMargin,
 
     "agg_bool_median" ->
       """SELECT event_type,
@@ -1481,7 +1534,7 @@ object AggWindowQueries {
         |  bool_and(value >= 0) AS all_nonneg,
         |  bool_or(value > 99) AS any_gt99,
         |  round(median(value), 4) AS med_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events WHERE isfinite(value) GROUP BY 1""".stripMargin
   )
 
   /** Generated twin of profile_equidepth: 7 exact rank cuts at

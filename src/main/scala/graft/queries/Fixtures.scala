@@ -46,11 +46,17 @@ object Fixtures {
   // lat spans ~[-44, -26.7], lon ~[113, 152.6] — the cities' bounding box.
   def geoEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // the geo world is TIME-windowed end to end (last position,
+      // travel chronology, week/month rollups) — a timestamp-less
+      // event has no place on any of those timelines, and Spark/
+      // DuckDB order null ts at opposite ends of every window
+      .where(col("ts").isNotNull)
       .withColumn("lat", lit(-44.0) + (col("event_id") % 97) * 0.18)
       .withColumn("lon", lit(113.0) + (col("event_id") % 89) * 0.45)
 
   /** DuckDB CTE body for the identical geo-events relation. */
   val geoEventsCte: String =
     "geo_events AS (SELECT *, -44.0 + (event_id % 97) * 0.18 AS lat, " +
-      "113.0 + (event_id % 89) * 0.45 AS lon FROM events)"
+      "113.0 + (event_id % 89) * 0.45 AS lon FROM events " +
+      "WHERE ts IS NOT NULL)"
 }

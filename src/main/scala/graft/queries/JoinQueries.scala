@@ -155,7 +155,12 @@ object JoinQueries {
     // plan (graft.operators.AsofJoin), oracled by DuckDB's native
     // ASOF LEFT JOIN.
     "j10_asof_join" -> ((spark, dir) => {
+      // as-of probes need a probe TIME: Spark's union+carry yields the
+      // honest left-outer null for a null ts, but DuckDB's ASOF
+      // deviates from its own predicate and matches the LATEST
+      // version — exclude timestamp-less probes on both sides
       val ev = Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"))
       // (key, time) made unique on the right: one row per customer-day.
       val ord = Tables.orders(spark, dir)
@@ -600,7 +605,8 @@ object JoinQueries {
         |SELECT e.event_id, e.user_id, o.order_date AS last_order_date,
         |  o.n_day_orders, o.max_price
         |FROM events e ASOF LEFT JOIN ord o
-        |  ON e.user_id = o.user_id AND e.ts >= o.o_ts""".stripMargin,
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_ts
+        |WHERE e.ts IS NOT NULL""".stripMargin,
 
     "geo_blocked_pairs" -> {
       s"""WITH ${Fixtures.geoEventsCte},

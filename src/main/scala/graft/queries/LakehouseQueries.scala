@@ -42,7 +42,8 @@ object LakehouseQueries {
       val band = when(col("value") > 100, lit("high"))
         .when(col("value") > 50, lit("mid"))
         .otherwise(lit("low"))
-      Lakehouse.scd2(Tables.events(spark, dir), "user_id", "ts", "event_id", band)
+      Lakehouse.scd2(Tables.events(spark, dir).where(col("ts").isNotNull),
+          "user_id", "ts", "event_id", band)
         .select(col("user_id"), col("attr_value").as("band"),
           unix_timestamp(col("valid_from")).as("from_s"),
           unix_timestamp(col("valid_to")).as("to_s"),
@@ -63,12 +64,17 @@ object LakehouseQueries {
         .when(col("value") > 50, lit("mid"))
         .otherwise(lit("low"))
       val versions = Lakehouse.scd2(
-        Tables.events(spark, dir), "user_id", "ts", "event_id", band)
+        Tables.events(spark, dir).where(col("ts").isNotNull),
+        "user_id", "ts", "event_id", band)
         .select(col("user_id"), col("valid_from").as("v_ts"),
           col("attr_value").as("band"))
-      val probes = Tables.orders(spark, dir).select(
-        col("o_orderkey"), col("o_custkey").as("user_id"),
-        col("o_orderdate").cast("timestamp").as("o_ts"))
+      val probes = Tables.orders(spark, dir)
+        // as-of probes need a probe time (the j10 DuckDB-ASOF-quirk
+        // rule): an undated order cannot read a versioned dimension
+        .where(col("o_orderdate").isNotNull)
+        .select(
+          col("o_orderkey"), col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
       graft.operators.AsofJoin.backward(probes, versions,
         key = "user_id", leftTime = "o_ts", rightTime = "v_ts",
         payloadCols = Seq("band"))
@@ -225,7 +231,12 @@ object LakehouseQueries {
       Privacy.kAnonymityAudit(Tables.customer(spark, dir),
         quasi = Seq(col("c_nationkey"),
           col("c_mktsegment"),
-          floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+          // a non-finite balance has no band: floor() would silently
+          // saturate it into band 0 while the oracle's CAST aborts —
+          // both sides generalize it to a NULL band instead
+          when(!isnan(col("c_acctbal")) &&
+              abs(col("c_acctbal")) =!= Double.PositiveInfinity,
+            floor(col("c_acctbal") / 2000)).cast("long").as("bal_band")),
         sensitive = col("c_acctbal"), k = 5, l = 3)
     }),
 
@@ -276,7 +287,7 @@ object LakehouseQueries {
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN value > 100 THEN 'high'
         |         WHEN value > 50 THEN 'mid' ELSE 'low' END AS band
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), c AS (
         |  SELECT user_id, event_id, ts, band,
         |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -297,7 +308,7 @@ object LakehouseQueries {
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN value > 100 THEN 'high'
         |         WHEN value > 50 THEN 'mid' ELSE 'low' END AS band
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), c AS (
         |  SELECT user_id, event_id, ts, band,
         |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -310,7 +321,8 @@ object LakehouseQueries {
         |  coalesce(ch.band, 'none') AS band_at_order
         |FROM orders o ASOF LEFT JOIN ch
         |  ON o.o_custkey = ch.user_id
-        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= ch.v_ts""".stripMargin,
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= ch.v_ts
+        |WHERE o.o_orderdate IS NOT NULL""".stripMargin,
 
     "lake_diff" ->
       """WITH o AS (
@@ -498,7 +510,8 @@ object LakehouseQueries {
 
     "privacy_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
-        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  CASE WHEN isfinite(c_acctbal)
+        |       THEN CAST(floor(c_acctbal / 2000) AS BIGINT) END AS bal_band,
         |  count(*) AS class_size,
         |  count(DISTINCT c_acctbal) AS l_diversity,
         |  count(*) >= 5 AS meets_k,

@@ -82,7 +82,12 @@ object RelationalQueries {
           col("event_id").cast("int").as("event_id_i32"),
           // floor-then-cast, not bare cast: cast("long") truncates toward
           // zero while the oracle floors toward -inf; differs on negatives.
-          floor(col("value")).cast("long").as("value_floor"),
+          // Non-finite guard: floor() silently saturates NaN/±Inf to
+          // 0/±Long.MaxValue while the oracle's CAST aborts — both
+          // sides emit NULL instead.
+          when(!isnan(col("value")) &&
+              abs(col("value")) =!= Double.PositiveInfinity,
+            floor(col("value"))).cast("long").as("value_floor"),
           col("ts").cast("date").cast("string").as("event_date"),
           lit(1).as("batch_flag"))
     }),
@@ -168,9 +173,13 @@ object RelationalQueries {
         .withColumn("vr", expr("try_parse_json(props)"))
         .select(
           col("event_id"),
-          // try_ on the typed read too: a string-valued k must null
-          // out, not throw INVALID_VARIANT_CAST
-          expr("try_variant_get(vr, '$.k', 'bigint')").as("k"),
+          // extract as STRING then try_cast: a string/boolean/decimal
+          // k nulls out IDENTICALLY on both engines (a direct
+          // 'bigint' variant_get would truncate 12.5 to 12 where the
+          // oracle's TRY_CAST('12.5') is NULL — silent divergence;
+          // and the strict form throws INVALID_VARIANT_CAST)
+          expr("try_cast(try_variant_get(vr, '$.k', 'string') AS bigint)")
+            .as("k"),
           expr("try_variant_get(vr, '$.missing', 'bigint')").as("missing_k"))
     }),
 
@@ -343,7 +352,8 @@ object RelationalQueries {
 
     "p7_cast_lit" ->
       """SELECT CAST(event_id AS INTEGER) AS event_id_i32,
-        |  CAST(floor(value) AS BIGINT) AS value_floor,
+        |  CASE WHEN isfinite(value) THEN CAST(floor(value) AS BIGINT)
+        |       END AS value_floor,
         |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
         |  1 AS batch_flag
         |FROM events""".stripMargin,
@@ -352,7 +362,7 @@ object RelationalQueries {
       """SELECT coalesce(nullif(event_type, 'view'), 'unknown') AS maybe_type,
         |  count(*) AS n,
         |  round(sum(value), 4) AS sum_val
-        |FROM events WHERE value >= 20
+        |FROM events WHERE value >= 20 AND NOT isnan(value)
         |GROUP BY 1""".stripMargin,
 
     "f1_haversine" ->
@@ -415,9 +425,11 @@ object RelationalQueries {
 
     "f6_parse_timestamp" ->
       """SELECT event_id,
-        |  CAST(epoch(strptime(
-        |    split_part(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || '.123', '.', 1),
-        |    '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s
+        |  CASE WHEN ts IS NOT NULL THEN
+        |    CAST(epoch(strptime(
+        |      split_part(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || '.123', '.', 1),
+        |      '%Y-%m-%d %H:%M:%S')) AS BIGINT)
+        |  END AS epoch_s
         |FROM events""".stripMargin,
 
     "f_map_family" ->

@@ -686,11 +686,11 @@ object SamplingQueries {
     "sample_stratified" -> stratifiedSql,
     "pack_sequences" -> packSequencesSql,
     "pack_length_buckets" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
         |), b AS (
         |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
-        |    ((doc_id % 2147483647) * 2654435761) % 4 AS shard
+        |    ${Sampling.modBucketSql("doc_id", 4)} AS shard
         |  FROM t
         |), r AS (
         |  SELECT *, row_number() OVER (

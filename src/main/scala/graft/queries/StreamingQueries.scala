@@ -117,6 +117,7 @@ object StreamingQueries {
     // run streaming-or-batch. 30-min gap, same session grain.
     "stream_session_window" -> ((spark, dir) => {
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
         .select(
@@ -186,6 +187,9 @@ object StreamingQueries {
     "stream_trending_topk" -> ((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.events(spark, dir)
+        // time-windowed trending is time-ordered analytics: a null-ts
+        // event has no window on either engine
+        .where(col("ts").isNotNull)
         .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("win.start")).as("win_start_s"),
@@ -246,6 +250,7 @@ object StreamingQueries {
     "stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE ts IS NOT NULL
         |), flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
@@ -331,7 +336,7 @@ object StreamingQueries {
       """WITH c AS (
         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)
         |    AS win_start_s, event_type, count(*) AS n
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT win_start_s, rank, event_type, n FROM (
         |  SELECT win_start_s, event_type, n,
@@ -343,6 +348,7 @@ object StreamingQueries {
     "stream_windowed_counts" ->
       """WITH e AS (
         |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |  WHERE ts IS NOT NULL
         |), expanded AS (
         |  SELECT CAST(floor(epoch(ts) / 300) * 300 - s.off AS BIGINT) AS win_start_s,
         |    event_type, value

@@ -1024,7 +1024,9 @@ object TextQueries {
         |    AS BIGINT) AS n_words,
         |  CAST(sum(strlen(replace(text, ' ', ''))) AS BIGINT)
         |    AS n_nonspace_chars,
-        |  true AS bounds_ok
+        |  CASE WHEN sum(len(list_filter(string_split(text, ' '),
+        |                                w -> w <> ''))) = 0
+        |       THEN NULL ELSE true END AS bounds_ok
         |FROM documents GROUP BY 1""".stripMargin,
 
     // Invariant harness: the companions are DuckDB-exact; the bounds

@@ -554,6 +554,10 @@ object TpchQueries {
     }),
 
     // Typed Dataset API: case-class encoder + typed filter/groupByKey.
+    // NaN seam: the typed filter runs JVM IEEE semantics (NaN > 30 is
+    // FALSE) while Spark SQL and DuckDB both treat NaN as the largest
+    // double (NaN > 30 is TRUE) — the oracle carries an explicit
+    // `AND NOT isnan` so both sides exclude NaN rows like the lambda.
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
       final case class Li(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
@@ -730,7 +734,9 @@ object TpchQueries {
 
     "typed_ops" ->
       """SELECT l_returnflag, count(*) AS n_big
-        |FROM lineitem WHERE l_quantity > 30 GROUP BY 1""".stripMargin,
+        |FROM lineitem
+        |WHERE l_quantity > 30 AND NOT isnan(l_quantity)
+        |GROUP BY 1""".stripMargin,
 
     "tpch_q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count

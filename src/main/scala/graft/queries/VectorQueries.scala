@@ -272,10 +272,14 @@ object VectorQueries {
           (aggregate(zip_with(ed, col("deq"), (x, d) => abs(x - d)),
             lit(0.0), (acc, e) => greatest(acc, e)) <=
             col("scale") * 0.5 + lit(1e-12)).as("err_ok"),
-          // a zero vector quantizes and reconstructs exactly — its
-          // cosine is 0/0, so assert the contract directly instead of
-          // dividing by a zero norm (ANSI aborts on it)
-          when(Similarity.dot(ed, ed) === 0.0,
+          // a zero-norm side makes the cosine 0/0 — a zero input
+          // vector, OR a sub-quantum one whose codes all round to 0
+          // through the clamped scale floor (deq = 0 while ed ≠ 0) —
+          // so assert the contract directly instead of dividing by a
+          // zero norm (ANSI aborts on it): in both cases the honest
+          // statement is "the codes are exactly zero"
+          when(Similarity.dot(ed, ed) === 0.0 ||
+              Similarity.dot(col("deq"), col("deq")) === 0.0,
             forall(col("codes"), c => c === 0))
             .otherwise(Similarity.dot(ed, col("deq")) /
               (sqrt(Similarity.dot(ed, ed)) * sqrt(Similarity.dot(col("deq"), col("deq"))))
