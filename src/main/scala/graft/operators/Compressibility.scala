@@ -49,7 +49,11 @@ object Compressibility {
               textCol: String, level: Int = 6): Dataset[Signal] = {
     require(level >= 0 && level <= 9, s"deflate level must be 0..9, got $level")
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // A null body has no bytes to compress — no signal row (the typed
+    // kernel would NPE on getBytes otherwise). Mirrored in the
+    // registered oracle with `WHERE text IS NOT NULL`.
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .where(col(textCol).isNotNull).as[(Long, String)]
       .mapPartitions { it =>
         val d = new Deflater(level)
         new Iterator[Signal] {

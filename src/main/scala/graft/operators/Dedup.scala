@@ -54,6 +54,18 @@ object Dedup {
     // Jaccard modulo 64-bit collisions, and both shingling and the
     // k-min signature are native one-pass codegen'd expressions.
     val withSig = df
+      // A document with NO shingles (null text, or fewer than shingleN
+      // tokens) has no set to compare: its Jaccard against anything is
+      // 0/0. Dropping such docs is also a SCALE guard — their all-
+      // identical empty-set signatures would otherwise collide in
+      // every band and form one degenerate quadratic bucket (millions
+      // of tiny docs at corpus scale). The guard reads the RAW text
+      // (tokens >= shingleN ⟺ at least one shingle), never the
+      // computed shingle column: a filter on the projected array makes
+      // projection collapsing evaluate the shingle kernel TWICE per
+      // row (measured 1.8× on the blocked-jaccard path).
+      .where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= shingleN)
       .select(col(idCol).as("doc"),
         array_sort(array_distinct(
           graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN))).as("sh"))
@@ -141,6 +153,9 @@ object Dedup {
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val withSig = sigs
       .select(col(idCol).as("doc"), col(sigCol).as("sig"))
+      // a null signature (null text / undecodable raster) matches no
+      // band value anyway — drop it BEFORE the shuffle, not after
+      .where(col("sig").isNotNull)
       .repartition(col("doc"))
     val banded = withSig.select(
       col("doc"), col("sig"),
@@ -337,7 +352,14 @@ object Dedup {
     // corpora the inverted-index shape would win instead.
     // Sorted once per row here so the per-pair intersection is a native
     // merge scan (SortedIntersectCount) instead of a hash-set build.
-    val base = df.select(
+    val base = df
+      // no-shingle docs (null text / < shingleN tokens) have no set to
+      // compare — and two of them in one block would divide 0/0. Guard
+      // on the raw text, not the projected array (see minhashLshPairs:
+      // a computed-column filter doubles the shingle kernel work).
+      .where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= shingleN)
+      .select(
       (blockCols.map(col) :+ col(idCol).as("doc") :+
         array_sort(array_distinct(
           graft.expressions.GraftFunctions.hashedShingles(col(textCol), shingleN))).as("sh")): _*)

@@ -218,9 +218,27 @@ object Multimodal {
     * documents too short for one row are skipped; the oracles mirror
     * the same predicate).
     */
+  /** Admissibility quarantine for the documents-as-assets fixture: a
+    * body must EXIST (null text would NPE the typed builders) and be
+    * single-byte clean (UTF-8 bytes == chars). The byte-level oracles
+    * reproduce the raster arithmetic per CHARACTER (`ascii(substring)`),
+    * so a multi-byte body would diverge silently — and a real media
+    * ingest reads binary columns, not text; text-as-bytes is only the
+    * oracle-checkable stand-in. Decode robustness on arbitrary (and
+    * corrupt) BYTES is exercised separately in FormatsSpec.
+    * SQL twin: [[docsAdmissibleSql]].
+    */
+  def admissibleDocs(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull &&
+      octet_length(col("text")) === length(col("text")))
+
+  /** DuckDB twin of [[admissibleDocs]] (strlen is bytes, length chars). */
+  val docsAdmissibleSql: String =
+    "text IS NOT NULL AND strlen(text) = length(text)"
+
   def imageAssetsFromDocuments(docs: DataFrame, format: String): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"), col("n_chars"))
+    admissibleDocs(docs).select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.flatMap { case (id, text, nChars) =>
         val w = widthOf(id)
@@ -239,7 +257,7 @@ object Multimodal {
     */
   def assetsFromDocuments(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"), col("n_chars"))
+    admissibleDocs(docs).select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, nChars) =>
         val body = text.getBytes("UTF-8")
@@ -464,7 +482,7 @@ object Multimodal {
     */
   def jpegRoundtrip(docs: DataFrame, tol: Double): Dataset[JpegRoundtrip] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"))
+    admissibleDocs(docs).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val w = widthOf(id)

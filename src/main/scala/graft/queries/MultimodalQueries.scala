@@ -200,7 +200,19 @@ object MultimodalQueries {
       |  FROM a LEFT JOIN h ON a.doc_id = h.doc_id
       |)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Every oracle read of `documents` is rewritten through the asset
+    * builders' admissibility quarantine ([[graft.operators.Multimodal
+    * .admissibleDocs]]): the oracle runs on raw parquet views, so
+    * without the mirror a quarantined doc (null text, multi-byte body)
+    * would appear on the DuckDB side only. Centralized here so a
+    * future mm oracle can't forget it.
+    */
+  lazy val oracles: Map[String, String] = rawOracles.view.mapValues(sql =>
+    sql.replace("FROM documents",
+      "FROM (SELECT * FROM documents WHERE " +
+        graft.operators.Multimodal.docsAdmissibleSql + ") documents")).toMap
+
+  private val rawOracles: Map[String, String] = Map(
     "mm_decode_features" ->
       s"""SELECT doc_id AS asset_id,
         |  $mediaSql AS media_type,
@@ -210,7 +222,10 @@ object MultimodalQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id % 32) AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id % 17) AS BIGINT) END AS height,
         |  strlen(text) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  -- the engine reports -1 for an EMPTY frame; DuckDB's
+        |  -- ascii('') is 0, which would invent a NUL byte
+        |  CASE WHEN strlen(text) = 0 THEN -1
+        |       ELSE ascii(substring(text, 1, 1)) END AS first_byte,
         |  list_reduce(
         |    list_prepend(0::BIGINT,
         |      list_transform(range(1, strlen(text) + 1),

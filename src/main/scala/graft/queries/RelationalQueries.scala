@@ -145,7 +145,12 @@ object RelationalQueries {
         .withColumn("w1", split(col("text"), " ").getItem(0))
         .select(
           col("doc_id"),
-          levenshtein(col("w1"), lit("spark")).cast("long").as("dist_spark"),
+          // char-level distance is only cross-engine checkable where
+          // bytes == chars (DuckDB's levenshtein is byte-granular on
+          // multi-byte input, Spark's char-granular) — the contract
+          // reports NULL for multi-byte words on both engines
+          when(octet_length(col("w1")) === length(col("w1")),
+            levenshtein(col("w1"), lit("spark"))).cast("long").as("dist_spark"),
           lpad(col("w1"), 8, "_").as("padded"),
           reverse(col("w1")).as("reversed"),
           concat(col("w1"), lit("|"), col("w1")).as("doubled"))
@@ -380,7 +385,10 @@ object RelationalQueries {
 
     "f7_string_ops" ->
       """SELECT doc_id,
-        |  split_part(text, ' ', 1) AS first_word,
+        |  -- DuckDB's split_part is NOT null-propagating (NULL in,
+        |  -- '' out) — the CASE restores the Spark/SQL convention
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE split_part(text, ' ', 1) END AS first_word,
         |  substring(text, 1, 10) AS prefix10,
         |  length(text) AS text_len,
         |  upper(lang) AS lang_uc,
@@ -388,12 +396,26 @@ object RelationalQueries {
         |FROM documents""".stripMargin,
 
     "f7b_string_family" ->
-      """SELECT doc_id,
-        |  levenshtein(split_part(text, ' ', 1), 'spark') AS dist_spark,
-        |  lpad(split_part(text, ' ', 1), 8, '_') AS padded,
-        |  reverse(split_part(text, ' ', 1)) AS reversed,
-        |  split_part(text, ' ', 1) || '|' || split_part(text, ' ', 1) AS doubled
-        |FROM documents""".stripMargin,
+      """WITH fw AS (
+        |  -- split_part is not null-propagating in DuckDB (NULL → '');
+        |  -- the CASE restores null-in-null-out so every derived
+        |  -- column below propagates like the engine's split().getItem
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         ELSE split_part(text, ' ', 1) END AS w1
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  -- char-level edit distance only where bytes == chars:
+        |  -- DuckDB's levenshtein counts BYTES on multi-byte input
+        |  -- while Spark's counts CHARS — the engine carries the same
+        |  -- single-byte predicate so both report NULL there
+        |  CASE WHEN strlen(w1) = length(w1)
+        |       THEN levenshtein(w1, 'spark') END AS dist_spark,
+        |  lpad(w1, 8, '_') AS padded,
+        |  reverse(w1) AS reversed,
+        |  w1 || '|' || w1 AS doubled
+        |FROM fw""".stripMargin,
 
     "f_json_extract" ->
       """SELECT event_id,

@@ -68,7 +68,12 @@ object SamplingQueries {
     // runs the naive global cumsum and must match exactly.
     "sample_token_budget" -> ((spark, dir) => {
       val toks = split(col("text"), " ")
+      // a bodyless doc has no token count: it can neither be selected
+      // nor charged against the budget — excluded on BOTH engines
+      // (the null score would otherwise vanish implicitly in the
+      // bucket join, diverging from the oracle's kept-null row)
       val scored = Tables.documents(spark, dir)
+        .where(col("text").isNotNull)
         .select(col("doc_id"), size(toks).as("n0"),
           size(array_distinct(toks)).as("u0"))
         .select(col("doc_id"), col("n0").cast("long").as("n_tok"),
@@ -674,7 +679,7 @@ object SamplingQueries {
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
          |      // len(string_split(text, ' ')) AS BIGINT) AS score
-         |  FROM documents
+         |  FROM documents WHERE text IS NOT NULL
          |), c AS (
          |  SELECT doc_id, n_tok, score,
          |    sum(n_tok) OVER (ORDER BY score DESC, doc_id ASC
@@ -713,15 +718,20 @@ object SamplingQueries {
         |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""".stripMargin,
     "dataset_card_values" ->
       """WITH u AS (
-        |  SELECT "column", value FROM (SELECT lang, source FROM documents)
-        |  UNPIVOT (value FOR "column" IN (lang, source))
+        |  -- UNION ALL, not UNPIVOT: DuckDB's UNPIVOT silently DROPS
+        |  -- null-valued rows while Spark's unpivot keeps them — and a
+        |  -- composition card must surface the null bucket (an
+        |  -- unlabeled lang IS a composition fact a curator wants)
+        |  SELECT 'lang' AS "column", lang AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source' AS "column", source AS value FROM documents
         |), f AS (
         |  SELECT "column", value, count(*) AS freq FROM u GROUP BY 1, 2
         |), r AS (
         |  SELECT "column", value, freq,
         |    count(*) OVER (PARTITION BY "column") AS ndv,
         |    row_number() OVER (PARTITION BY "column"
-        |                       ORDER BY freq DESC, value) AS rank
+        |                       ORDER BY freq DESC, value NULLS FIRST) AS rank
         |  FROM f
         |)
         |SELECT "column", CAST(ndv AS BIGINT) AS ndv, value, freq,

@@ -44,7 +44,9 @@ object TextQueries {
     // every document (id+1e6) in the corpus and run the full
     // shingle→signature→band→bucket-join pipeline. An exact copy has an
     // identical signature, so EVERY band collides — the planted pair
-    // must surface with Jaccard 1.0 for every doc_id. That makes the
+    // must surface with Jaccard 1.0 for every doc with at least one
+    // shingle (no-shingle docs — null text or a single token — have no
+    // set to compare and report false/-1 by contract). That makes the
     // recall floor of the approximate pipeline oracle-checkable (the
     // probabilistic near-dup pairs remain covered by DedupSpec's
     // recall/precision tests against blocked exact Jaccard).
@@ -79,7 +81,8 @@ object TextQueries {
     // SimHash-banded near-dup pairs, planted-copy guarantee harness
     // (dedup_minhash pattern): an exact copy has an identical
     // signature, so it collides in EVERY band and must surface with
-    // hamming 0 for every doc — the pigeonhole completeness of the
+    // hamming 0 for every doc with a signature (null text has none,
+    // and reports false/-1) — the pigeonhole completeness of the
     // band join, oracle-stated as an invariant. Probabilistic near-dup
     // recall is pinned separately in DedupSpec against brute force.
     "dedup_simhash_pairs" -> ((spark, dir) => {
@@ -938,13 +941,18 @@ object TextQueries {
     // planted exact copy MUST be found / the native kernel MUST match
     // its declarative rebuild); Spark computes the evidence.
     "dedup_minhash" ->
-      """SELECT doc_id, true AS planted_dup_found,
-        |  CAST(1.0 AS DOUBLE) AS jaccard
+      """SELECT doc_id,
+        |  text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+        |    AS planted_dup_found,
+        |  CAST(CASE WHEN text IS NOT NULL
+        |              AND len(string_split(text, ' ')) >= 2
+        |       THEN 1.0 ELSE -1.0 END AS DOUBLE) AS jaccard
         |FROM documents""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      """SELECT doc_id, true AS planted_dup_found,
-        |  CAST(0 AS BIGINT) AS hamming
+      """SELECT doc_id, text IS NOT NULL AS planted_dup_found,
+        |  CAST(CASE WHEN text IS NOT NULL THEN 0 ELSE -1 END
+        |       AS BIGINT) AS hamming
         |FROM documents""".stripMargin,
 
     // Exact DuckDB rebuild of the native simhash64 expression
@@ -961,9 +969,17 @@ object TextQueries {
         |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
         |), hashed AS (
         |  SELECT doc_id,
+        |    -- the '' filter drops the PHANTOM char DuckDB mints for an
+        |    -- empty token (string_split('','') = [''] and unicode('')
+        |    -- = -1 would fold a byte that doesn't exist); a nonempty
+        |    -- token's single-char pieces are never '', so this leaves
+        |    -- real tokens untouched and hashes '' to the FNV basis
+        |    -- exactly like the JVM kernel
         |    list_reduce(
         |      list_prepend(14695981039346656037::HUGEINT,
-        |                   [unicode(c)::HUGEINT for c in string_split(tok, '')]),
+        |                   [unicode(c)::HUGEINT
+        |                    for c in list_filter(string_split(tok, ''),
+        |                                         c -> c <> '')]),
         |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
         |                  % 18446744073709551616::HUGEINT) AS h
         |  FROM toks
@@ -979,11 +995,11 @@ object TextQueries {
         |             ELSE 0::HUGEINT END) AS u
         |  FROM bits GROUP BY 1
         |)
-        |SELECT doc_id,
+        |SELECT d.doc_id,
         |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
         |            THEN u - 18446744073709551616::HUGEINT
         |            ELSE u END AS BIGINT) AS simhash64
-        |FROM sig""".stripMargin,
+        |FROM documents d LEFT JOIN sig USING (doc_id)""".stripMargin,
 
     "text_repetition" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
@@ -1001,8 +1017,12 @@ object TextQueries {
          |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS r FROM bc GROUP BY 1
          |)
          |SELECT d.doc_id,
-         |  coalesce(wr.r, -1.0) AS top_word_ratio,
-         |  coalesce(br.r, -1.0) AS top_bigram_ratio
+         |  -- -1 means "no grams to measure" (sub-n-gram doc); NULL
+         |  -- means "no text at all" — distinct states on both engines
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(wr.r, -1.0) END AS top_word_ratio,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(br.r, -1.0) END AS top_bigram_ratio
          |FROM documents d
          |LEFT JOIN wr ON d.doc_id = wr.doc_id
          |LEFT JOIN br ON d.doc_id = br.doc_id""".stripMargin
@@ -1022,7 +1042,10 @@ object TextQueries {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
         |    AS BIGINT) AS n_words,
-        |  CAST(sum(strlen(replace(text, ' ', ''))) AS BIGINT)
+        |  -- length(), NOT strlen(): the engine counts CHARS
+        |  -- (Spark length(translate)); strlen counts UTF-8 bytes and
+        |  -- diverges on any multi-byte document
+        |  CAST(sum(length(replace(text, ' ', ''))) AS BIGINT)
         |    AS n_nonspace_chars,
         |  CASE WHEN sum(len(list_filter(string_split(text, ' '),
         |                                w -> w <> ''))) = 0
@@ -1036,8 +1059,11 @@ object TextQueries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |    AS BIGINT) AS n_words,
-        |  strlen(replace(text, ' ', '')) AS n_nonspace_chars,
-        |  true AS bounds_ok
+        |  -- length(), not strlen(): chars, matching the engine
+        |  length(replace(text, ' ', '')) AS n_nonspace_chars,
+        |  -- a bodyless doc has no token count to bound (engine: the
+        |  -- null-propagating BPE kernel makes the conjunction NULL)
+        |  CASE WHEN text IS NULL THEN NULL ELSE true END AS bounds_ok
         |FROM documents""".stripMargin,
 
     "dedup_exact" ->
@@ -1088,7 +1114,10 @@ object TextQueries {
     "dedup_ngram_jaccard" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
       s"""WITH base AS (
-         |  SELECT lang, source, doc_id AS doc, list_distinct($sh) AS sh FROM documents
+         |  SELECT lang, source, doc_id AS doc, list_distinct($sh) AS sh
+         |  FROM documents
+         |  -- no-shingle docs have no set to compare (engine guard twin)
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
          |)
          |SELECT l.lang, l.source, l.doc AS doc_a, r.doc AS doc_b,
          |  round(${TextFns.jaccardSql("l.sh", "r.sh")}, 4) AS jaccard
@@ -1455,9 +1484,9 @@ object TextQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "text_zlib_signal" ->
-      """SELECT doc_id, length(text) AS n_raw,
+      """SELECT doc_id, strlen(text) AS n_raw,
         |  true AS within_bound, true AS doubled_better
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "text_pmi_collocations" -> {
       val sh = TextFns.shinglesSql("toks", 2)
@@ -1524,7 +1553,13 @@ object TextQueries {
         |SELECT a AS user_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
-      s"""SELECT doc_id, ${TextFns.fingerprintSql("string_split(text, ' ')")} AS fp
+      s"""SELECT doc_id,
+         |  -- null text has no fingerprint (the engine kernel is
+         |  -- null-propagating; DuckDB's fold would yield 0 — the
+         |  -- fingerprint of a real empty token list)
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE ${TextFns.fingerprintSql("string_split(text, ' ')")}
+         |  END AS fp
          |FROM documents""".stripMargin,
 
     "text_pii_redact" ->

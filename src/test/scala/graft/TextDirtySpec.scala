@@ -80,4 +80,58 @@ class TextDirtySpec extends SparkSpec {
       .where(col("doc_id").isin(6L, 7L)).collect()
     assert(bpe.length === 2)
   }
+
+  // The cross-engine dirty-docs program's crash class, pinned in-repo:
+  // pair generators divided 0/0 on no-shingle docs, typed byte kernels
+  // NPE'd on null text. Each contract below is ALSO oracle-mirrored
+  // (the /tmp dirty-corpus sweep); this spec keeps the guards from
+  // regressing without the external harness.
+
+  test("no-shingle docs are excluded from near-dup pair generation, not 0/0") {
+    // null text (1), empty (2), single token (4, 7) have no 2-shingles:
+    // minhash must report planted_dup_found = false for them and true
+    // for every shingleable doc — and never throw DIVIDE_BY_ZERO.
+    val rows = graft.queries.TextQueries.queries("dedup_minhash")(spark, dirtyDir)
+      .select("doc_id", "planted_dup_found").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // doc 8 is one token too (its whitespace is tabs/newlines, not
+    // the space delimiter), doc 3 is four EMPTY tokens — 3 shingles
+    for (id <- Seq(1L, 2L, 4L, 7L, 8L))
+      assert(!rows(id), s"doc $id has no shingles; planted dup must be unfindable")
+    for (id <- Seq(3L, 5L, 6L, 9L, 10L))
+      assert(rows(id), s"doc $id is shingleable; planted dup must surface")
+    // blocked jaccard: two no-shingle docs share a (lang, source) block
+    // — without the guard their Jaccard is 0/0 under ANSI
+    val jac = graft.queries.TextQueries.queries("dedup_ngram_jaccard")(spark, dirtyDir)
+    assert(jac.where(col("doc_a").isin(1L, 2L, 4L, 7L) ||
+      col("doc_b").isin(1L, 2L, 4L, 7L)).count() === 0L)
+  }
+
+  test("null signatures drop before the band shuffle") {
+    val sigs = graft.queries.TextQueries.queries("dedup_simhash")(spark, dirtyDir)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sigs(1L).isEmpty, "null text must carry a null simhash")
+    assert(sigs(2L).nonEmpty && sigs(2L) === sigs(3L),
+      "all-empty-token docs share the FNV-basis signature")
+    val pairs = graft.queries.TextQueries.queries("dedup_simhash_pairs")(spark, dirtyDir)
+      .select("doc_id", "planted_dup_found").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!pairs(1L), "a signature-less doc cannot surface a planted pair")
+    assert(pairs(7L), "every signed doc must surface its planted copy")
+  }
+
+  test("byte kernels quarantine inadmissible bodies instead of failing tasks") {
+    // deflate: null body has no signal row; everything else emits one
+    val z = graft.queries.TextQueries.queries("text_zlib_signal")(spark, dirtyDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!z.contains(1L) && z.contains(2L) && z.contains(7L))
+    // asset builders: null text AND multi-byte bodies (doc 6 — the
+    // per-char oracle arithmetic can't express UTF-8 bytes) quarantine
+    val mm = graft.queries.MultimodalQueries.queries("mm_decode_features")(spark, dirtyDir)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(!mm.contains(1L) && !mm.contains(6L),
+      "null-text and multi-byte docs are inadmissible as byte assets")
+    assert(mm.contains(7L) && mm.contains(8L),
+      "single-byte bodies (incl. control chars) remain admissible")
+  }
 }
