@@ -4,9 +4,11 @@
 Usage: python3 tools/dirty_corpus.py [src_sf_dir] [dst_root]
        (defaults: /root/testdata/sf0.001  /tmp/dirty_gates)
 
-Builds FOUR corpora under <dst_root>/{events,embeddings,star,docs},
-each a full copy of the clean sf dir with ONE tier's table(s) replaced
-by clean-rows + appended pathological rows. The parity claim
+Builds FIVE corpora under <dst_root>/{events,embeddings,star,docs,all}
+— one per tier, each a full copy of the clean sf dir with that tier's
+table(s) replaced by clean-rows + appended pathological rows, plus
+`all` with EVERY dirty table at once (cross-tier interactions). The
+parity claim
 (docs/NOTES.md "cross-engine parity ON dirty data") is then one
 command per corpus:
 
@@ -140,7 +142,20 @@ con.execute(f"""COPY (
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
-for tier in ["events", "embeddings", "star", "docs"]:
+# ---- combined tier: every dirty table at once ------------------------
+# Catches cross-tier interactions the per-tier sweeps can't see (e.g.
+# a dirty doc joined against a dirty event in the xmodal queries).
+d = os.path.join(DST, "all")
+os.makedirs(d, exist_ok=True)
+for t in ALL:
+    src_tier = {"events": "events", "embeddings": "embeddings",
+                "customer": "star", "orders": "star", "lineitem": "star",
+                "documents": "docs"}.get(t)
+    frm = os.path.join(DST, src_tier, f"{t}.parquet") if src_tier \
+        else os.path.join(SRC, f"{t}.parquet")
+    shutil.copy(frm, os.path.join(d, f"{t}.parquet"))
+
+for tier in ["events", "embeddings", "star", "docs", "all"]:
     n = {}
     for t in ALL:
         p = os.path.join(DST, tier, f"{t}.parquet")
