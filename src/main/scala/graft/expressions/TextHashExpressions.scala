@@ -35,14 +35,22 @@ object TextHash {
     k
   }
 
-  /** FNV-1a 64 over a char range of s. */
+  /** FNV-1a 64 over the CODE POINTS of a char range of s — not UTF-16
+    * units: the DuckDB oracle twin folds `unicode(c)` per code point,
+    * and an astral-plane char (emoji, U+10000+) is one code point but
+    * two Java chars, so a per-charAt fold would diverge exactly there.
+    * BMP text is unaffected (charCount = 1). A surrogate pair never
+    * straddles a token boundary (the delimiter ' ' is BMP), so
+    * codePointAt inside [from, until) is always whole.
+    */
   @inline private def tokenHash(s: String, from: Int, until: Int): Long = {
     var h = FnvOffset
     var i = from
     while (i < until) {
-      h ^= s.charAt(i).toLong
+      val cp = s.codePointAt(i)
+      h ^= cp.toLong
       h *= FnvPrime
-      i += 1
+      i += Character.charCount(cp)
     }
     h
   }

@@ -27,10 +27,26 @@ object Bpe {
     * frequency (ties: lexicographically smallest pair), stopping
     * early when no pair repeats.
     */
+  /** Seed symbols of a word: one per CODE POINT (an astral char is a
+    * single symbol, not two surrogate halves) — coherent with
+    * [[wordTokens]], [[distributedFit]] (Java regex `(.)` matches a
+    * full code point), and the DuckDB oracle's per-code-point split.
+    */
+  private def symbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + cc)
+      i += cc
+    }
+    out.result()
+  }
+
   def fit(wordCounts: Seq[(String, Long)], nMerges: Int): Vector[(String, String)] = {
     var words: Vector[(Array[String], Long)] =
       wordCounts.iterator.filter(_._1.nonEmpty)
-        .map { case (w, c) => (w.map(_.toString).toArray, c) }.toVector
+        .map { case (w, c) => (symbols(w), c) }.toVector
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var done = false
@@ -81,9 +97,15 @@ object Bpe {
     val n = word.length
     if (n == 0) return 0
     if (n == 1) return 1
-    val syms = new java.util.ArrayList[String](n)
+    // seed symbols are CODE POINTS (see [[symbols]]): an astral char
+    // (one code point, two Java chars) split into surrogate halves
+    // would make n_bpe exceed the code-point char count and violate
+    // the published n_words <= n_bpe <= n_nonspace_chars bound
+    val seed = symbols(word)
+    if (seed.length == 1) return 1
+    val syms = new java.util.ArrayList[String](seed.length)
     var i = 0
-    while (i < n) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    while (i < seed.length) { syms.add(seed(i)); i += 1 }
     var merging = true
     while (merging && syms.size > 1) {
       var bestRank = Int.MaxValue
@@ -132,7 +154,7 @@ object Bpe {
     text.split(" ", -1).foldLeft(0L) { (acc, word) =>
       if (word.isEmpty) acc
       else {
-        var syms: Array[String] = word.map(_.toString).toArray
+        var syms: Array[String] = symbols(word)
         merges.foreach(p => syms = mergeOnce(syms, p))
         acc + syms.length
       }

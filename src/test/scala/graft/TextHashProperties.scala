@@ -53,4 +53,41 @@ object TextHashProperties extends Properties("TextHash") {
       val f = TokenFingerprint.compute(s)
       f >= 0 && f < TokenFingerprint.Mod && f == TokenFingerprint.compute(s)
     }
+
+  // ---- code-point granularity (the astral-plane seam) ----
+  // The DuckDB twins fold per CODE POINT (unicode(c) / regex `(.)`);
+  // an astral char is one code point but TWO Java chars, so any
+  // per-charAt kernel silently diverges exactly on emoji-bearing text.
+
+  private val anyChar: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerChar.map(_.toString),
+    Gen.oneOf("東", "ß", "я", "ü").map(_.toString),
+    Gen.oneOf("🚀", "😀", "𝄞", "🧪").map(_.toString)) // astral (2 Java chars)
+  private val astralToken: Gen[String] =
+    Gen.nonEmptyListOf(anyChar).map(_.mkString)
+
+  property("token hash folds per code point, not per UTF-16 unit") =
+    forAll(astralToken) { w =>
+      // reference fold straight over the code-point stream
+      var h = TextHash.FnvOffset
+      w.codePoints().forEach { cp => h ^= cp.toLong; h *= TextHash.FnvPrime }
+      TextHash.tokenHashes(w).toSeq == Seq(h)
+    }
+
+  property("simhash of astral text is stable and code-point-determined") =
+    forAll(Gen.nonEmptyListOf(astralToken)) { toks =>
+      val s = toks.mkString(" ")
+      // a UTF-16 twin that differs only in surrogate pairing cannot
+      // exist for a well-formed string; determinism + the per-token
+      // fold property above pin the granularity
+      TextHash.simhash64(s) == TextHash.simhash64(s) &&
+        TextHash.tokenHashes(s).length == s.split(" ", -1).length
+    }
+
+  property("BPE seed symbols are code points: n_bpe <= code-point length") =
+    forAll(astralToken) { w =>
+      val empty = new java.util.HashMap[String, Integer]()
+      val n = graft.functions.Bpe.wordTokens(w, empty)
+      n == w.codePointCount(0, w.length)
+    }
 }

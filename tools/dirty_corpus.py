@@ -138,7 +138,8 @@ con.execute(f"""COPY (
     (9008, 'tab' || chr(9) || 'and' || chr(10) || 'newline' || chr(13) || 'chars', 'en', 'crawl', 21),
     (9009, 'a  b   c', 'en', 'crawl', 8),
     (9010, 'select from where join the a', NULL, NULL, 28),
-    (9011, 'the quick brown fox jumps over the lazy dog again', 'en', 'crawl', 49)
+    (9011, 'the quick brown fox jumps over the lazy dog again', 'en', 'crawl', 49),
+    (9012, '🚀 rocket 🧪 science a𝄞b 😀😀', 'xx', 'crawl', 16)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
