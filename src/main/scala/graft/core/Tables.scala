@@ -84,6 +84,18 @@ object Tables {
     * rows (isfinite is false for NaN and ±Inf; NULL components fail
     * the explicit IS-NULL arm).
     */
+  /** DuckDB twin of the engine's strict integer parse
+    * `try_cast(get_json_object(col, path) AS long)`: DuckDB's
+    * TRY_CAST(VARCHAR AS BIGINT) goes through the numeric path and
+    * ROUNDS a decimal string ('36.97' → 37) where Spark's try_cast is
+    * NULL — the integral-string regexp restores strict semantics.
+    * Used by every oracle that derives integer keys from JSON props.
+    */
+  def jsonBigintSql(col: String, path: String): String =
+    s"CASE WHEN json_valid($col) AND regexp_matches(" +
+      s"coalesce(json_extract_string($col, '$path'), ''), '^-?[0-9]+$$')" +
+      s" THEN TRY_CAST(json_extract_string($col, '$path') AS BIGINT) END"
+
   val embeddingsAdmissibleSql: String =
     s"embedding IS NOT NULL AND len(embedding) = $EmbeddingDim" +
       " AND coalesce(list_aggregate(list_transform(embedding," +

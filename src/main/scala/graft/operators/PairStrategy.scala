@@ -58,11 +58,18 @@ object PairStrategy {
     */
   def sharedKeyPairs(entityKeys: DataFrame, entityCol: String, keyCol: String,
                      maxBroadcastEntities: Long = DefaultMaxBroadcastEntities): DataFrame = {
+    // A null key is NO key: the equi-join regime drops it naturally,
+    // but the set-intersect regime would hash it into a REAL set
+    // element (xxhash64 of an all-null input returns the seed hash) —
+    // the two regimes must produce the identical relation, so nulls
+    // are excluded up front on both paths.
+    val cleanKeys = entityKeys
+      .where(col(entityCol).isNotNull && col(keyCol).isNotNull)
     val nEntities =
-      entityKeys.agg(count_distinct(col(entityCol))).collect()(0).getLong(0)
+      cleanKeys.agg(count_distinct(col(entityCol))).collect()(0).getLong(0)
     choose(nEntities, maxBroadcastEntities) match {
       case SetIntersectTheta =>
-        val perEntity = entityKeys
+        val perEntity = cleanKeys
           .groupBy(col(entityCol))
           .agg(array_sort(collect_set(xxhash64(col(keyCol)))).as("keys"))
         val l = perEntity.select(col(entityCol).as("left"), col("keys").as("k_l"))
@@ -73,8 +80,8 @@ object PairStrategy {
           .where(col("shared") >= 1)
           .select("left", "right", "shared")
       case PerKeyEquiJoin =>
-        val l = entityKeys.select(col(entityCol).as("left"), col(keyCol).as("k"))
-        val r = entityKeys.select(col(entityCol).as("right"), col(keyCol).as("k"))
+        val l = cleanKeys.select(col(entityCol).as("left"), col(keyCol).as("k"))
+        val r = cleanKeys.select(col(entityCol).as("right"), col(keyCol).as("k"))
         l.join(r, Seq("k"))
           .where(col("left") < col("right"))
           .groupBy("left", "right")

@@ -1300,11 +1300,17 @@ object AggWindowQueries {
 
     "w2_first_ignorenulls" ->
       """SELECT user_id, round(maybe_val, 4) AS last_good_val FROM (
-        |  SELECT user_id,
-        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS maybe_val,
+        |  -- the engine's first(ignoreNulls) SKIPS null values: the
+        |  -- candidate set is rows with a non-null value that are not
+        |  -- 'error'-typed (null-TYPED rows stay candidates — the
+        |  -- engine's === 'error' is false for null). rn=1 over only
+        |  -- those rows is the exact mirror; the old <> 'error' form
+        |  -- dropped null-typed rows and kept null-valued firsts.
+        |  SELECT user_id, value AS maybe_val,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
-        |  WHERE event_type <> 'error' AND ts IS NOT NULL
+        |  WHERE event_type IS DISTINCT FROM 'error' AND ts IS NOT NULL
+        |    AND value IS NOT NULL
         |) WHERE rn = 1""".stripMargin,
 
     "w3_lag_changes" ->

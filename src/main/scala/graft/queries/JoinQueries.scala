@@ -242,17 +242,26 @@ object JoinQueries {
       val oT = s"graft_o_bkt_$sfx"
       bucketed(liT, Tables.lineitem(spark, dir), "l_orderkey")
       bucketed(oT, Tables.orders(spark, dir), "o_orderkey")
-      // quantities are small integral doubles: their sum is exact and
-      // engine-stable (q1_agg pattern), unlike a rounded price sum
       // hint("merge") pins the SortMergeJoin path: without it the
       // fixture-sized orders side broadcasts and the bucketed layout
       // is never exercised (at lake scale SMJ is what AQE picks anyway)
       spark.table(liT)
+        // finite-measure guard: one NaN quantity makes the sum NaN and
+        // the BIGINT cast ABORTS under ANSI (CAST_OVERFLOW); the count
+        // keeps every joined row — only the quantity sum is finite-only.
+        // Fixed-point per-ROW quantization (floor(q·100) before the
+        // sum): a fractional-double SUM cast to BIGINT truncates on
+        // Spark but rounds on DuckDB, and its shuffle accumulation
+        // order isn't stable — the integral centi-quantity sum is
+        // order-free and engine-exact at any magnitude.
         .join(spark.table(oT).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
+          sum(when(!isnan(col("l_quantity")) &&
+              abs(col("l_quantity")) =!= Double.PositiveInfinity,
+            floor(col("l_quantity") * 100).cast("long")))
+            .as("sum_qty_x100"))
     }),
 
     // Blocked fuzzy entity matching: near-identical customer records
@@ -529,7 +538,9 @@ object JoinQueries {
 
     "bucketed_join_colocated" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  CAST(sum(CASE WHEN isfinite(l_quantity)
+        |           THEN CAST(floor(l_quantity * 100) AS BIGINT) END)
+        |       AS BIGINT) AS sum_qty_x100
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
 
@@ -712,7 +723,12 @@ object JoinQueries {
         |  ON a.c_nationkey = b.c_nationkey
         |  AND a.c_mktsegment = b.c_mktsegment
         |  AND a.c_custkey < b.c_custkey
-        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |-- EQUAL length, not ±1: the engine is banded HAMMING — a
+        |-- substitution-only distance defined on same-length records;
+        |-- an insertion pair (lev 1, lengths differing by 1) is outside
+        |-- its semantics by construction (the fixture's fixed-width
+        |-- names made the two relations coincide; fuzz names don't)
+        |WHERE length(a.c_name) = length(b.c_name)
         |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     // Bloom pruning is invisible to semantics (no false negatives +

@@ -137,8 +137,14 @@ object LakehouseQueries {
         .withColumnRenamed("_change_type", "change_type")
         .groupBy("lang")
         .agg(sum(sign).as("dn"), sum(sign * col("n_chars")).as("dchars"))
-      base.join(delta, Seq("lang"), "full_outer")
-        .select(col("lang"),
+      // null-SAFE reconciliation join: a change feed carries null
+      // dimension values, and a plain equi-join on lang would split
+      // the null group into two output rows (base-only + delta-only)
+      // instead of reconciling them — the invariant base+delta = new
+      // must hold for the null bucket too
+      base.alias("b").join(delta.alias("d"),
+          col("b.lang") <=> col("d.lang"), "full_outer")
+        .select(coalesce(col("b.lang"), col("d.lang")).as("lang"),
           (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
           (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
         .where(col("n_docs") > 0)

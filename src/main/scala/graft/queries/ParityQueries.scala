@@ -113,8 +113,7 @@ object ParityQueries {
       s"""$prelude,
          |msgs AS (
          |  SELECT user_id,
-         |    TRY_CAST(CASE WHEN json_valid(props)
-         |      THEN json_extract_string(props, '$$.k') END AS BIGINT) % 100 AS partner
+         |    ${graft.core.Tables.jsonBigintSql("props", "$.k")} % 100 AS partner
          |  FROM geo_events WHERE event_type = 'click'),
          |msgs2 AS (SELECT * FROM msgs WHERE partner IS NOT NULL AND partner <> user_id),
          |contacts AS (

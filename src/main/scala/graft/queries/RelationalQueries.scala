@@ -417,15 +417,26 @@ object RelationalQueries {
         |  w1 || '|' || w1 AS doubled
         |FROM fw""".stripMargin,
 
+    // Integral-string guard on BOTH json oracles: DuckDB's
+    // TRY_CAST(VARCHAR AS INTEGER) goes through the numeric path and
+    // ROUNDS a decimal string ('36.97' → 37) where Spark's try_cast
+    // is a strict integer parse (NULL) — a float-valued k is not an
+    // integer k on either engine.
     "f_json_extract" ->
       """SELECT event_id,
-        |  CASE WHEN json_valid(props) THEN
+        |  CASE WHEN json_valid(props)
+        |        AND regexp_matches(
+        |          coalesce(json_extract_string(props, '$.k'), ''),
+        |          '^-?[0-9]+$') THEN
         |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
         |FROM events""".stripMargin,
 
     "f_variant" ->
       """SELECT event_id,
-        |  CASE WHEN json_valid(props) THEN
+        |  CASE WHEN json_valid(props)
+        |        AND regexp_matches(
+        |          coalesce(json_extract_string(props, '$.k'), ''),
+        |          '^-?[0-9]+$') THEN
         |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
         |  CASE WHEN json_valid(props) THEN
         |    TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) END

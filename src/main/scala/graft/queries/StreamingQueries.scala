@@ -188,8 +188,11 @@ object StreamingQueries {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.events(spark, dir)
         // time-windowed trending is time-ordered analytics: a null-ts
-        // event has no window on either engine
-        .where(col("ts").isNotNull)
+        // event has no window on either engine. Null event_type is
+        // excluded too (per-type report contract) — and it would sit
+        // on the rank tie-break, where the engines order nulls at
+        // opposite ends.
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
         .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("win.start")).as("win_start_s"),
@@ -336,7 +339,9 @@ object StreamingQueries {
       """WITH c AS (
         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)
         |    AS win_start_s, event_type, count(*) AS n
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
         |)
         |SELECT win_start_s, rank, event_type, n FROM (
         |  SELECT win_start_s, event_type, n,

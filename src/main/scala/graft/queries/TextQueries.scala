@@ -1128,11 +1128,18 @@ object TextQueries {
 
     "dedup_pipeline" ->
       """WITH g AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    min(doc_id) OVER (PARTITION BY substring(text, 1, 40)) AS comp
         |  FROM documents
         |)
-        |SELECT doc_id, comp AS component, doc_id = comp AS keep FROM g""".stripMargin,
+        |-- a null-text doc has no prefix to witness duplication: the
+        |-- engine's equi-join drops null keys so each such doc is its
+        |-- own component — the window's null partition must not merge
+        |-- them (SQL PARTITION BY groups nulls TOGETHER)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN doc_id ELSE comp END AS component,
+        |  CASE WHEN text IS NULL THEN true ELSE doc_id = comp END AS keep
+        |FROM g""".stripMargin,
 
     "dedup_segments" ->
       """WITH toks AS (
@@ -1168,8 +1175,12 @@ object TextQueries {
 
     "dedup_canonical_quality" ->
       """WITH g AS (
+        |  -- null-text docs are their own singleton components (the
+        |  -- dedup_pipeline null-prefix rule)
         |  SELECT doc_id,
-        |    min(doc_id) OVER (PARTITION BY substring(text, 1, 40)) AS comp,
+        |    CASE WHEN text IS NULL THEN doc_id ELSE
+        |      min(doc_id) OVER (PARTITION BY substring(text, 1, 40))
+        |    END AS comp,
         |    len(list_distinct(string_split(text, ' ')))::DOUBLE
         |      / len(string_split(text, ' ')) AS q
         |  FROM documents
@@ -1533,16 +1544,15 @@ object TextQueries {
         |) WHERE rn <= 3""".stripMargin,
 
     "graph_components" ->
-      """WITH RECURSIVE e AS (
+      s"""WITH RECURSIVE e AS (
         |  SELECT DISTINCT user_id AS a,
-        |    TRY_CAST(CASE WHEN json_valid(props)
-        |      THEN json_extract_string(props, '$.k') END AS BIGINT) % 100 AS b
+        |    ${graft.core.Tables.jsonBigintSql("props", "$.k")} % 100 AS b
         |  FROM events
         |  WHERE event_type = 'click'
-        |    AND TRY_CAST(CASE WHEN json_valid(props)
-        |      THEN json_extract_string(props, '$.k') END AS BIGINT) % 100 IS NOT NULL
-        |    AND TRY_CAST(CASE WHEN json_valid(props)
-        |      THEN json_extract_string(props, '$.k') END AS BIGINT) % 100 <> user_id
+        |    AND ${graft.core.Tables.jsonBigintSql("props", "$.k")} % 100
+        |        IS NOT NULL
+        |    AND ${graft.core.Tables.jsonBigintSql("props", "$.k")} % 100
+        |        <> user_id
         |), sym AS (
         |  SELECT a, b FROM e UNION SELECT b, a FROM e
         |), reach(a, b) AS (

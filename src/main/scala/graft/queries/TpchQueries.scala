@@ -558,11 +558,18 @@ object TpchQueries {
     // FALSE) while Spark SQL and DuckDB both treat NaN as the largest
     // double (NaN > 30 is TRUE) — the oracle carries an explicit
     // `AND NOT isnan` so both sides exclude NaN rows like the lambda.
+    // Null seam: primitive encoder fields (Long/Double) REQUIRE
+    // non-null columns — a null quantity/flag row throws
+    // NOT_NULL_ASSERT_VIOLATION at encoding, so the typed view
+    // excludes such rows up front (mirrored: null quantity fails
+    // `> 30` in SQL anyway; the flag guard is explicit).
     "typed_ops" -> ((spark, dir) => {
       import spark.implicits._
       final case class Li(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .where(col("l_orderkey").isNotNull && col("l_quantity").isNotNull &&
+          col("l_returnflag").isNotNull)
         .as[(Long, Double, String)]
         .filter(_._2 > 30.0)
         .groupByKey(_._3)
@@ -736,6 +743,7 @@ object TpchQueries {
       """SELECT l_returnflag, count(*) AS n_big
         |FROM lineitem
         |WHERE l_quantity > 30 AND NOT isnan(l_quantity)
+        |  AND l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
     "tpch_q4_priority" ->

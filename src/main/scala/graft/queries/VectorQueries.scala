@@ -473,7 +473,12 @@ object VectorQueries {
   private val lshMultiProbeOracle: String = {
     val sig = (e: String) => lshSigSql(e, 64, 8)
     val flips = (0L +: (0 until 8).map(b => 1L << b)).mkString("[", ", ", "]")
-    s"""WITH sigs AS (
+    // sigs MATERIALIZED: DuckDB 1.0 inlines plain CTEs and reorders
+    // the dot-product projection BELOW the embeddings admissibility
+    // filter, evaluating list_dot_product on quarantined (null-
+    // component) rows — the graph_kcore inlining hazard in filter-
+    // ordering form
+    s"""WITH sigs AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${sig("embedding")} AS sig FROM embeddings
        |), q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb,
@@ -495,7 +500,8 @@ object VectorQueries {
 
   private val lshOracle: String = {
     val sig = (e: String) => lshSigSql(e, 64, 8)
-    s"""WITH sigs AS (
+    // sigs MATERIALIZED: same inlining hazard as lshMultiProbeOracle
+    s"""WITH sigs AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${sig("embedding")} AS sig FROM embeddings
        |), q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, sig FROM sigs

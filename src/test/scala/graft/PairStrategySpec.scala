@@ -18,6 +18,24 @@ class PairStrategySpec extends SparkSpec {
     assert(theta.exceptAll(equi).isEmpty && equi.exceptAll(theta).isEmpty)
   }
 
+  test("a null key is no key — in BOTH regimes") {
+    // without the up-front exclusion the regimes DISAGREE: the theta
+    // regime hashes a null key into a real set element (xxhash64 of
+    // an all-null input is the seed hash) while the equi regime's
+    // join drops it — fuzz-corpus finding, pinned here
+    import spark.implicits._
+    val withNulls = Seq(
+      (1L, "a"), (2L, "a"), // a real shared key
+      (1L, null), (3L, null), (4L, null) // null "keys" must NOT pair
+    ).toDF("user_id", "event_type")
+    for (bound <- Seq(Long.MaxValue, 0L)) {
+      val pairs = PairStrategy.sharedKeyPairs(
+        withNulls, "user_id", "event_type", maxBroadcastEntities = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.toSeq === Seq((1L, 2L, 1L)), s"bound=$bound")
+    }
+  }
+
   test("past the DEFAULT bound a skewed distribution rides the equi regime exactly") {
     import spark.implicits._
     // 200,100 entities — past DefaultMaxBroadcastEntities (200k) on

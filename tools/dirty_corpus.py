@@ -143,6 +143,140 @@ con.execute(f"""COPY (
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
+# ---- fuzz tier: seeded-random pathology at VOLUME ---------------------
+# The hand-picked rows choose one pathology each; a crawl delivers
+# combinations. A seeded generator (reproducible) appends hundreds of
+# rows whose fields go pathological INDEPENDENTLY — the cross-engine
+# twin of DirtyFuzzSpec's in-repo no-crash barrier.
+import random
+import pandas as pd
+
+R = random.Random(0xD127F)
+
+def fuzz_text():
+    k = R.randint(0, 9)
+    if k == 0: return None
+    if k == 1: return ""
+    if k == 2: return " " * R.randint(1, 5)
+    if k == 3: return "x" * R.randint(100, 3000)
+    if k == 4:
+        pool = ["東京", "straße", "ταχύς", "naïve", "таблица", "🚀🧪", "a𝄞b"]
+        return " ".join(R.choice(pool) for _ in range(R.randint(1, 8)))
+    if k == 5: return "tab\tand\nnewline\rchars" + " " * R.randint(0, 2)
+    if k == 6:
+        return " ".join(R.choice(["a", "", "bb", "", "c"])
+                        for _ in range(R.randint(1, 6)))
+    pool = ["spark", "query", "table", "scan", "the", "fast", "row"]
+    return " ".join(R.choice(pool) for _ in range(R.randint(1, 30)))
+
+def fuzz_value():
+    k = R.randint(0, 7)
+    if k == 0: return None
+    if k == 1: return float("nan")
+    if k == 2: return float("inf")
+    if k == 3: return float("-inf")
+    # magnitude cap 1e4: above ~4.5e11 a double's ulp exceeds the
+    # 1e-4 grid and the engines' round(x, 4) legitimately differ in
+    # the last ulp (documented numeric envelope, ROBUSTNESS.md)
+    if k == 4: return -1e4 + R.random()
+    return R.random() * 200 - 50
+
+def fuzz_props():
+    k = R.randint(0, 5)
+    if k == 0: return None
+    if k == 1: return "not json"
+    if k == 2: return '{"k": "str"}'
+    if k == 3: return f'{{"k": {R.random() * 100}}}'
+    if k == 4: return "{"
+    return f'{{"k": {R.randint(0, 100)}}}'
+
+def fuzz_vec():
+    k = R.randint(0, 7)
+    if k == 0: return None
+    if k == 1: return []
+    if k == 2: return [float(i) for i in range(R.choice([8, 16, 128]))]
+    if k == 3: return [0.0] * 64
+    if k == 4:
+        v = [0.1] * 64; v[R.randint(0, 63)] = float("nan"); return v
+    if k == 5:
+        v = [0.1] * 64; v[R.randint(0, 63)] = float("inf"); return v
+    if k == 6:
+        v = [0.2] * 64; v[R.randint(0, 63)] = None; return v
+    return [R.random() for _ in range(64)]
+
+d = os.path.join(DST, "fuzz")
+copy_clean(d, {"documents", "events", "embeddings", "customer",
+               "orders", "lineitem"})
+
+docs = pd.DataFrame([{
+    "doc_id": 20000 + i, "text": (t := fuzz_text()),
+    "lang": None if R.randint(0, 5) == 0 else R.choice(["en", "de", "xx"]),
+    "source": None if R.randint(0, 5) == 0 else f"src{R.randint(0, 4)}",
+    "n_chars": len(t) if t is not None else 0,
+} for i in range(300)])
+events = pd.DataFrame([{
+    "event_id": 920000 + i,
+    "ts": None if R.randint(0, 4) == 0 else
+        pd.Timestamp(1704067200 + R.randint(0, 5000000), unit="s"),
+    "user_id": R.randint(1, 40),
+    "event_type": None if R.randint(0, 6) == 0 else
+        R.choice(["view", "click", "purchase", "error"]),
+    "value": fuzz_value(), "props": fuzz_props(),
+} for i in range(600)])
+emb = pd.DataFrame([{
+    "vec_id": 930000 + i, "embedding": fuzz_vec(),
+    "label": None if R.randint(0, 6) == 0 else R.randint(0, 9),
+} for i in range(200)])
+cust = pd.DataFrame([{
+    "c_custkey": 940000 + i,
+    "c_name": None if R.randint(0, 5) == 0 else f"Customer#fuzz{i}",
+    "c_nationkey": R.choice([R.randint(0, 24), 99, -1]),
+    "c_acctbal": fuzz_value(),
+    "c_mktsegment": None if R.randint(0, 5) == 0 else
+        R.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"]),
+} for i in range(150)])
+orders = pd.DataFrame([{
+    "o_orderkey": 950000 + i,
+    "o_custkey": R.choice([940000 + R.randint(0, 149), None,
+                           77777777, R.randint(1, 150)]),
+    "o_orderstatus": R.choice(["O", "F", "P", None, "X"]),
+    "o_totalprice": fuzz_value(),
+    "o_orderdate": None if R.randint(0, 5) == 0 else
+        pd.Timestamp(820454400 + R.randint(0, 100000000), unit="s"),
+    "o_orderpriority": R.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", None]),
+} for i in range(300)])
+line = pd.DataFrame([{
+    "l_orderkey": R.choice([950000 + R.randint(0, 299), 99999999,
+                            R.randint(1, 1500)]),
+    "l_partkey": R.randint(1, 200), "l_suppkey": R.randint(1, 10),
+    "l_linenumber": R.randint(1, 4),
+    "l_quantity": fuzz_value(), "l_extendedprice": fuzz_value(),
+    "l_discount": R.choice([0.05, 0.0, 1.5, -0.2, None]),
+    "l_tax": R.choice([0.02, 0.0, None]),
+    "l_returnflag": R.choice(["N", "R", "A", None]),
+    "l_linestatus": R.choice(["O", "F", None]),
+    "l_shipdate": None if R.randint(0, 5) == 0 else
+        pd.Timestamp(820454400 + R.randint(0, 100000000), unit="s"),
+} for i in range(600)])
+
+for tbl, df in [("documents", docs), ("events", events),
+                ("embeddings", emb), ("customer", cust),
+                ("orders", orders), ("lineitem", line)]:
+    con.register("fuzz_rows", df)
+    # TRY_CAST key columns back to BIGINT: pandas None-promotion
+    # makes them float64, and a cross-typed correlation key silently
+    # EMPTIES Spark's decorrelated LATERAL (ROBUSTNESS.md seam)
+    cast = {"events": "SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM fuzz_rows",
+            "embeddings": "SELECT vec_id, embedding::FLOAT[] AS embedding, TRY_CAST(label AS BIGINT) AS label FROM fuzz_rows",
+            "orders": "SELECT o_orderkey, TRY_CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, o_totalprice, o_orderdate::TIMESTAMP AS o_orderdate, o_orderpriority FROM fuzz_rows",
+            "lineitem": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate::TIMESTAMP AS l_shipdate FROM fuzz_rows",
+            }.get(tbl, "SELECT * FROM fuzz_rows")
+    con.execute(f"""COPY (
+      SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')
+      UNION ALL BY NAME {cast}
+    ) TO '{d}/{tbl}.parquet' (FORMAT PARQUET)""")
+    con.unregister("fuzz_rows")
+
 # ---- combined tier: every dirty table at once ------------------------
 # Catches cross-tier interactions the per-tier sweeps can't see (e.g.
 # a dirty doc joined against a dirty event in the xmodal queries).
@@ -156,7 +290,7 @@ for t in ALL:
         else os.path.join(SRC, f"{t}.parquet")
     shutil.copy(frm, os.path.join(d, f"{t}.parquet"))
 
-for tier in ["events", "embeddings", "star", "docs", "all"]:
+for tier in ["events", "embeddings", "star", "docs", "all", "fuzz"]:
     n = {}
     for t in ALL:
         p = os.path.join(DST, tier, f"{t}.parquet")
