@@ -99,6 +99,11 @@ object Similarity {
       .join(q, col("vec_id") =!= col("query_id"))
       .withColumn("score",
         round(dot(col("q_emb"), col("embedding")) / nullif(col("q_nrm") * col("c_nrm"), lit(0.0)), 6))
+      // a null (zero-norm) score is not rankable: the typed
+      // aggregator's primitive Double field would silently coerce it
+      // to 0.0, while the window form and the oracle sort nulls last —
+      // excluding it keeps all three forms identical
+      .where(col("score").isNotNull)
       .groupBy("query_id")
       .agg(topk(col("vec_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -364,8 +369,10 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id").asc)
     encoded.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("score", round(
+        // zero-norm contract: a zero query or zero-reconstructing code
+        // word makes the cosine 0/0 — null score (ANSI aborts on /0)
         wrap(PqAdcScore(exprOf(col("tables")), exprOf(col("codes")), nCodes)) /
-          (col("q_nrm") * col("recon_nrm")), 6))
+          nullif(col("q_nrm") * col("recon_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -405,8 +412,10 @@ object Similarity {
     encoded.join(broadcast(probed), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("score", round(
+        // zero-norm contract: a zero query or zero-reconstructing code
+        // word makes the cosine 0/0 — null score (ANSI aborts on /0)
         wrap(PqAdcScore(exprOf(col("tables")), exprOf(col("codes")), nCodes)) /
-          (col("q_nrm") * col("recon_nrm")), 6))
+          nullif(col("q_nrm") * col("recon_nrm"), lit(0.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -384,6 +384,10 @@ object AggWindowQueries {
     // partitions per user (≤ span-days rows each) — nothing global.
     "ts_resample_ffill" -> ((spark, dir) => {
       val ev = Tables.events(spark, dir)
+        // result-identity (a null day never matches a spine day), but
+        // it drops a useless null window partition and mirrors the
+        // oracle's determinism guard (DuckDB null-partition bug)
+        .where(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("value"),
           date_trunc("day", col("ts")).cast("date").as("day"))
       val lastPerDay = ev
@@ -1191,7 +1195,13 @@ object AggWindowQueries {
       """WITH e AS (
         |  SELECT user_id, event_id, value,
         |    CAST(date_trunc('day', ts) AS DATE) AS day
-        |  FROM events
+        |  -- ts IS NOT NULL is result-identity here (a null day never
+        |  -- matches a spine day; min/max skip nulls) — but it is
+        |  -- REQUIRED for determinism: DuckDB 1.0's parallel window
+        |  -- splits a NULL partition key across threads, emitting
+        |  -- MULTIPLE rn=1 rows per null partition (measured: 812 true
+        |  -- groups, 812-844 returned, varying run to run)
+        |  FROM events WHERE ts IS NOT NULL
         |), l AS (
         |  SELECT user_id, day, value AS day_value FROM (
         |    SELECT *, row_number() OVER (
@@ -1206,12 +1216,22 @@ object AggWindowQueries {
         |    CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
         |  FROM b
         |)
+        |, lv AS (
+        |  SELECT user_id, day, day_value FROM l WHERE day_value IS NOT NULL
+        |)
+        |-- ASOF ffill, NO window: forward-fill IS an as-of lookup (the
+        |-- latest observed day <= the spine day). DuckDB 1.0's parallel
+        |-- windows returned UNSTABLE results over this (inf-bearing,
+        |-- join-produced) input — 17/19 repeat runs differed; stable
+        |-- only at SET threads=1. Both window forms (last_value IGNORE
+        |-- NULLS and gaps-and-islands count+max) flapped; the ASOF plan
+        |-- avoids the parallel window operator entirely.
         |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
-        |  round(last_value(l.day_value IGNORE NULLS) OVER (
-        |    PARTITION BY g.user_id ORDER BY g.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill,
+        |  round(lv.day_value, 4) AS value_ffill,
         |  l.day_value IS NOT NULL AS observed
-        |FROM g LEFT JOIN l ON g.user_id = l.user_id AND g.day = l.day""".stripMargin,
+        |FROM g
+        |ASOF LEFT JOIN lv ON g.user_id = lv.user_id AND g.day >= lv.day
+        |LEFT JOIN l ON g.user_id = l.user_id AND g.day = l.day""".stripMargin,
 
     "funnel_stages" ->
       """WITH v AS (

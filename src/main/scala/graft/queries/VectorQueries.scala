@@ -24,8 +24,23 @@ object VectorQueries {
     */
   val QueryMod = 200
 
+  /** DuckDB twin of the zero-norm query exclusion in [[queriesDf]].
+    * Deliberately ARITHMETIC-FREE: DuckDB reorders WHERE conjuncts, so
+    * this predicate can be evaluated on rows the embeddings quarantine
+    * has not yet excluded — a list_dot_product here errored on
+    * null-component vectors. For admissible (all-finite) vectors,
+    * "some component is non-zero" ⟺ norm > 0.
+    */
+  private val qAdmissibleSql: String =
+    "len(list_filter(embedding, x -> x IS NOT NULL AND x <> 0)) > 0"
+
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).where(col("vec_id") % QueryMod === 0)
+    Tables.embeddings(spark, dir).where(col("vec_id") % QueryMod === 0 &&
+      // a zero-norm QUERY has no cosine ranking at all: every
+      // candidate scores 0/0 (null) — the window forms would emit k
+      // arbitrary null-score rows while the typed aggregator emits
+      // none. Inadmissible as a query on both engines (fuzz finding).
+      graft.operators.Similarity.dot(col("embedding"), col("embedding")) > 0)
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce_topk" -> ((spark, dir) => {
@@ -484,7 +499,7 @@ object VectorQueries {
        |  SELECT vec_id AS query_id, embedding AS q_emb,
        |    xor(sig::BIGINT, f.flip) AS sig
        |  FROM sigs, (SELECT unnest($flips::BIGINT[]) AS flip) f
-       |  WHERE vec_id % $QueryMod = 0
+       |  WHERE vec_id % $QueryMod = 0 AND $qAdmissibleSql
        |), scored AS (
        |  SELECT q.query_id, s.vec_id,
        |    round(${Similarity.cosineSql("q.q_emb", "s.embedding")}, 6) AS score
@@ -505,7 +520,7 @@ object VectorQueries {
        |  SELECT vec_id, embedding, ${sig("embedding")} AS sig FROM embeddings
        |), q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, sig FROM sigs
-       |  WHERE vec_id % $QueryMod = 0
+       |  WHERE vec_id % $QueryMod = 0 AND $qAdmissibleSql
        |), scored AS (
        |  SELECT q.query_id, s.vec_id,
        |    round(${Similarity.cosineSql("q.q_emb", "s.embedding")}, 6) AS score
@@ -522,7 +537,7 @@ object VectorQueries {
   private val topkOracle: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-       |  WHERE vec_id % $QueryMod = 0
+       |  WHERE vec_id % $QueryMod = 0 AND $qAdmissibleSql
        |), scored AS (
        |  SELECT q.query_id, e.vec_id,
        |    round(${Similarity.cosineSql("q.q_emb", "e.embedding")}, 6) AS score
@@ -538,7 +553,7 @@ object VectorQueries {
   private val recallHarnessOracle: String =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
        |  true AS recall_ok, true AS ranks_ok
-       |FROM embeddings WHERE vec_id % $QueryMod = 0""".stripMargin
+       |FROM embeddings WHERE vec_id % $QueryMod = 0 AND $qAdmissibleSql""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> topkOracle,
@@ -553,7 +568,7 @@ object VectorQueries {
     "ann_ivfpq_rerank" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  true AS recall_ok, true AS ranks_ok, true AS rerank_dominates
-         |FROM embeddings WHERE vec_id % $QueryMod = 0""".stripMargin,
+         |FROM embeddings WHERE vec_id % $QueryMod = 0 AND $qAdmissibleSql""".stripMargin,
 
     "ann_matryoshka_topk" -> recallHarnessOracle,
 

@@ -151,7 +151,10 @@ con.execute(f"""COPY (
 import random
 import pandas as pd
 
-R = random.Random(0xD127F)
+# default seed 0xD127F is the committed record; pass a third arg to
+# probe a fresh pathology mix (any seed must stay 243/243)
+FUZZ_SEED = int(sys.argv[3], 0) if len(sys.argv) > 3 else 0xD127F
+R = random.Random(FUZZ_SEED)
 
 def fuzz_text():
     k = R.randint(0, 9)
