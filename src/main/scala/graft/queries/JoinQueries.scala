@@ -505,8 +505,14 @@ object JoinQueries {
       BloomJoin.pruneFact(Tables.lineitem(spark, dir), "l_suppkey", bloom)
         .join(dim.hint("shuffle_hash"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
+        // fixed-point finite-only sum (the bucketed_join_colocated
+        // pattern): NaN would abort the BIGINT cast under ANSI, and a
+        // fractional-double sum truncates vs rounds across engines
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
+          sum(when(!isnan(col("l_quantity")) &&
+              abs(col("l_quantity")) =!= Double.PositiveInfinity,
+            floor(col("l_quantity") * 100).cast("long")))
+            .as("sum_qty_x100"))
     })
   )
 
@@ -736,7 +742,9 @@ object JoinQueries {
     "join_bloom_pruned" ->
       """SELECT s.s_name,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |  CAST(sum(CASE WHEN isfinite(l.l_quantity)
+        |           THEN CAST(floor(l.l_quantity * 100) AS BIGINT) END)
+        |       AS BIGINT) AS sum_qty_x100
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |WHERE s.s_suppkey % 10 = 0
         |GROUP BY s.s_name""".stripMargin
