@@ -122,7 +122,11 @@ object ParityQueries {
          |    UNION ALL
          |    SELECT partner AS left_user, user_id AS right_user FROM msgs2)),
          |subs AS (
-         |  SELECT DISTINCT event_type AS channel, user_id FROM events
+         |  -- geo_events, not raw events: the engine derives channel
+         |  -- flags from the same per-user aggregate over the
+         |  -- time-windowed geo world, so a timestamp-less signup/view
+         |  -- must not subscribe a user on the oracle side only
+         |  SELECT DISTINCT event_type AS channel, user_id FROM geo_events
          |  WHERE event_type IN ('signup', 'view')),
          |pairs AS (
          |  SELECT DISTINCT l.user_id AS left_user, r.user_id AS right_user
