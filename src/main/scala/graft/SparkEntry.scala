@@ -32,11 +32,40 @@ object SparkEntry {
       TpchQueries.oracles ++ LakehouseQueries.oracles ++ SamplingQueries.oracles)
       .view.mapValues(mirrorEmbeddingsQuarantine).toMap
 
+  /** SQL keywords that can directly follow a table reference — an
+    * identifier in this set is NOT an alias of the embeddings read.
+    */
+  private val postTableKeywords: Set[String] = Set(
+    "where", "group", "order", "having", "join", "on", "left", "right",
+    "inner", "full", "cross", "union", "except", "intersect", "limit",
+    "qualify", "window", "using", "natural", "anti", "semi", "asof",
+    "positional", "when", "then", "else", "end", "and", "or", "not")
+
+  /** Matches every table-reference read of `embeddings` — FROM, any
+    * JOIN, and the comma form — with its optional alias. The trailing
+    * lookahead rejects `embeddings.` / `embeddings(` so a qualified
+    * column reference or function call never matches.
+    */
+  private val embeddingsRef =
+    """(?is)\b(FROM|JOIN|,)(\s+)embeddings\b(?![.(])(\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?""".r
+
   private def mirrorEmbeddingsQuarantine(sql: String): String = {
     val sub = s"(SELECT * FROM embeddings WHERE ${graft.core.Tables.embeddingsAdmissibleSql})"
-    // the one aliased read keeps its own alias; bare reads keep the
-    // table name as the subquery alias so column references resolve
-    sql.replace("FROM embeddings e ", s"FROM $sub e ")
-      .replace("FROM embeddings", s"FROM $sub embeddings")
+    // Rewrite on table-reference boundaries (FROM / JOIN / comma), not
+    // raw text: a `JOIN embeddings e` read must hit the quarantine just
+    // like `FROM embeddings`, or a corrupt row entering through the
+    // join side silently diverges from the engine. Aliased reads keep
+    // their alias; bare reads keep the table name as the subquery
+    // alias so column references resolve unchanged.
+    embeddingsRef.replaceAllIn(sql, m => {
+      val kw = m.group(1); val ws = m.group(2)
+      val alias = Option(m.group(4)).filterNot(a =>
+        postTableKeywords.contains(a.toLowerCase))
+      val tail = alias match {
+        case Some(_) => m.group(3) // genuine alias: keep it verbatim
+        case None    => " embeddings" + Option(m.group(3)).getOrElse("")
+      }
+      scala.util.matching.Regex.quoteReplacement(s"$kw$ws$sub$tail")
+    })
   }
 }

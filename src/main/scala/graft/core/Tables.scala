@@ -78,12 +78,6 @@ object Tables {
         forall(col("embedding"), c =>
           c.isNotNull && !isnan(c) && abs(c) =!= Float.PositiveInfinity))
 
-  /** DuckDB twin of the [[embeddings]] admissibility quarantine —
-    * interpolated into every vector oracle's embeddings read by
-    * SparkEntry.oracleSql, so both engines see the same admissible
-    * rows (isfinite is false for NaN and ±Inf; NULL components fail
-    * the explicit IS-NULL arm).
-    */
   /** DuckDB twin of the engine's strict integer parse
     * `try_cast(get_json_object(col, path) AS long)`: DuckDB's
     * TRY_CAST(VARCHAR AS BIGINT) goes through the numeric path and
@@ -96,6 +90,12 @@ object Tables {
       s"coalesce(json_extract_string($col, '$path'), ''), '^-?[0-9]+$$')" +
       s" THEN TRY_CAST(json_extract_string($col, '$path') AS BIGINT) END"
 
+  /** DuckDB twin of the [[embeddings]] admissibility quarantine —
+    * interpolated into every vector oracle's embeddings read by
+    * SparkEntry.oracleSql, so both engines see the same admissible
+    * rows (isfinite is false for NaN and ±Inf; NULL components fail
+    * the explicit IS-NULL arm).
+    */
   val embeddingsAdmissibleSql: String =
     s"embedding IS NOT NULL AND len(embedding) = $EmbeddingDim" +
       " AND coalesce(list_aggregate(list_transform(embedding," +

@@ -52,13 +52,16 @@ object AsofJoin {
     // null __t FIRST, so an undated version would carry onto every
     // probe, while ASOF's `l.t >= r.t` can never match it. A
     // null-time LEFT row then has nothing before it and keeps the
-    // left-outer null on both engines.
-    val taggedRight = right
-      .where(col(key).isNotNull && col(rightTime).isNotNull).select(
-      col(key).as("__k"), col(rightTime).cast("timestamp").as("__t"),
-      lit(0).as("__side"),
-      lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"),
-      payload.as("__p"))
+    // left-outer null on both engines. The filter runs on the CAST
+    // column (not the raw one): a non-null value that casts to null
+    // would otherwise slip through and become exactly the
+    // sorts-first-carries-everywhere row the guard exists to drop.
+    val taggedRight = right.select(
+        col(key).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"),
+        payload.as("__p"))
+      .where(col("__k").isNotNull && col("__t").isNotNull)
 
     // Right rows (__side 0) sort before left rows at equal __t, so the
     // carried payload includes a right row timestamped exactly at the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Record linkage / entity resolution: find near-identical records
@@ -14,8 +14,24 @@ import org.apache.spark.sql.functions._
   * difference bound (|len a − len b| > k can never pass) and Spark's
   * THRESHOLDED levenshtein, which abandons a pair once its running
   * distance exceeds k (O(n·k) per pair, not O(n²)).
+  *
+  * Three forms, by noise model:
+  *  - [[blockedEditDistancePairs]] — exact block-quadratic reference.
+  *  - [[bandedHammingPairs]] — substitution noise (equal lengths);
+  *    candidate-complete for Hamming <= k at ANY k.
+  *  - [[passJoinPairs]] — full edit distance (insert/delete/sub);
+  *    PassJoin-style shifted-segment candidates, complete at ANY k.
   */
 object EntityResolution {
+
+  /** Band keys concatenate kept segments with NO separator: `__len`
+    * rides in the join key and every boundary is floor(i*len/nSeg) --
+    * a pure function of (len, nSeg) -- so for two names under the
+    * same key the segment boundaries coincide and concat equality is
+    * EXACTLY segment-wise equality. No separator byte is needed (and
+    * none could collide).
+    */
+  private val Sep = ""
 
   /** All within-block record pairs with edit distance <= maxDist. */
   def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
@@ -36,40 +52,76 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("__d").cast("long").as("dist"))
   }
 
+  /** Segment-boundary SQL: the array of `nSeg` even substrings of
+    * `nm` under the floor(i·len/nSeg) split used by both banded forms
+    * (and mirrored by the probe-side windows in [[passJoinPairs]]).
+    */
+  private def segmentsExpr(nm: String, len: String, nSeg: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${nSeg - 1}),
+         |  i -> substring($nm, cast(i * $len / $nSeg as int) + 1,
+         |    cast((i + 1) * $len / $nSeg as int)
+         |      - cast(i * $len / $nSeg as int)))""".stripMargin)
+
+  /** Largest segment count in [k+1, 4·(k+1)] whose key fan-out
+    * C(nSeg, k) stays <= 64 — more segments means each band key keeps
+    * more of the string (higher entropy, smaller buckets) at the cost
+    * of more keys per row.
+    */
+  private def defaultSegments(k: Int): Int =
+    (4 * (k + 1) to (k + 1) by -1)
+      .find(n => binomial(n, k) <= 64).getOrElse(k + 1)
+
+  private def binomial(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
   /** The SCALE form of fuzzy matching for substitution-style noise:
-    * split each name into `maxDist + 1` segments — a pair of
-    * equal-length names within hamming distance `maxDist` must agree
-    * EXACTLY on at least one segment (pigeonhole), so candidates come
-    * from a (block, length, segment-index, segment) equi-join instead
-    * of a block-quadratic loop, and only candidates pay the exact
-    * verify. Same banding argument as simhash band pairs, applied to
-    * strings. Semantics note: completeness is for HAMMING (equal
-    * lengths, substitutions); at maxDist = 1 that coincides exactly
-    * with levenshtein <= 1 on equal-length records (a single indel
-    * always changes the length), which is why [[blockedEditDistancePairs]]
-    * and this form agree there. Insert/delete-shifted pairs at
-    * maxDist >= 2 need PassJoin-style shifted segments — out of scope.
+    * split each name into `nSeg` segments and emit one band key per
+    * way of OMITTING `maxDist` segments (the key is the concatenation
+    * of the kept `nSeg − maxDist` segments). A pair within Hamming
+    * distance `maxDist` has its mismatches confined to at most
+    * `maxDist` segments, so the combination omitting exactly those
+    * segments agrees (pigeonhole) — candidates come from a
+    * (block, length, combo, key) equi-join instead of a
+    * block-quadratic loop, and only DISTINCT candidate pairs pay the
+    * exact verify.
     *
-    * Bucket sizes follow SEGMENT entropy: a constant shared prefix
-    * (the fixture's "Customer#") makes that band one block-sized hot
-    * bucket and candidate volume degrades to the quadratic form's
-    * (measured: parity on the fixture). Real registries with
-    * high-entropy names get the asymptotic win; for known dead
-    * prefixes, strip them into the blocking key first.
+    * With nSeg = maxDist + 1 this degenerates to the classic
+    * one-segment-per-band scheme; the default (nSeg = 0 → auto) uses
+    * MORE segments so each key carries nearly the whole string. That
+    * is the dead-prefix mitigation: under the classic scheme a
+    * constant shared prefix ("Customer#…") makes the prefix band one
+    * block-sized hot bucket and candidate volume degrades to the
+    * quadratic form's; an omit-k key still contains the high-entropy
+    * tail, so bucket sizes track near-duplicate group sizes, not
+    * block sizes (ErSpec pins this on a planted constant prefix).
+    *
+    * Semantics note: completeness is for HAMMING (equal lengths,
+    * substitutions); at maxDist = 1 that coincides exactly with
+    * levenshtein <= 1 on equal-length records (a single indel always
+    * changes the length). Insert/delete-shifted pairs at maxDist >= 2
+    * are OUTSIDE this operator's semantics — use [[passJoinPairs]],
+    * which is candidate-complete for full edit distance.
     */
   def bandedHammingPairs(df: DataFrame, idCol: String, nameCol: String,
-                         blockCols: Seq[String], maxDist: Int): DataFrame = {
+                         blockCols: Seq[String], maxDist: Int,
+                         nSeg: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val nSeg = maxDist + 1
+    val k = maxDist
+    val segs = if (nSeg > 0) nSeg else defaultSegments(k)
+    require(segs > k, s"need more segments ($segs) than edits ($k)")
+    // kept-segment index sets, one band key each; C(segs, k) of them
+    val combos: Seq[Seq[Int]] =
+      (0 until segs).combinations(segs - k).map(_.toSeq).toSeq
+    require(combos.size <= 256,
+      s"band fan-out C($segs,$k) = ${combos.size} > 256; lower nSeg")
     val base = df.select(
         (blockCols.map(col) :+ col(idCol).as("__id") :+ col(nameCol).as("__nm")): _*)
       .withColumn("__len", length(col("__nm")))
+      .withColumn("__segs", segmentsExpr("__nm", "__len", segs))
       .select((blockCols.map(col) :+ col("__id") :+ col("__nm") :+ col("__len") :+
-        posexplode(expr(
-          s"""transform(sequence(0, ${nSeg - 1}),
-             |  i -> substring(__nm, cast(i * __len / $nSeg as int) + 1,
-             |    cast((i + 1) * __len / $nSeg as int)
-             |      - cast(i * __len / $nSeg as int)))""".stripMargin))
+        posexplode(array(combos.map(keep =>
+          concat_ws(Sep, keep.map(i => col("__segs").getItem(i)): _*)): _*))
           .as(Seq("__band", "__seg"))): _*)
     val keys = blockCols ++ Seq("__len", "__band", "__seg")
     val l = base.select((keys.map(col) :+
@@ -82,8 +134,92 @@ object EntityResolution {
       x => x.isNotNull))
     l.join(r, keys)
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("nm_a"), col("nm_b"))
+      .distinct() // dedup candidates BEFORE paying the verify
       .select(col("id_a"), col("id_b"), hamming.cast("long").as("dist"))
       .where(col("dist") <= maxDist)
+  }
+
+  /** Full-edit-distance fuzzy matching at scale: PassJoin-style
+    * shifted-segment candidates (Li, Deng, Feng — "PassJoin: a
+    * partition-based method for similarity joins", VLDB 2011; public
+    * algorithm), complete for levenshtein <= maxDist INCLUDING
+    * insert/delete noise at any k.
+    *
+    * Index side: each record's name of length L splits into k+1 even
+    * segments (same floor boundaries as [[bandedHammingPairs]]),
+    * keyed by (block, L, segIdx, segment). Probe side: each record
+    * generates, for every hypothetical partner length
+    * L ∈ [len−k, len+k] and segment index i, the substrings of its
+    * OWN name with segment i's length at start positions shifted by
+    * d ∈ [−k, k] around segment i's boundary. If ed(a, b) <= k, an
+    * optimal alignment spends 0 edits on at least one of b's k+1
+    * segments (pigeonhole), and the net indel shift before that
+    * segment is at most k — so that exact segment occurs in `a`
+    * inside the probe window and the equi-join surfaces the pair.
+    * Only DISTINCT candidates pay the thresholded-levenshtein verify.
+    *
+    * Cost per record: k+1 index keys and O(k³) probe keys (bounded,
+    * tiny for the k <= 3 regime record linkage runs at) — against the
+    * block-quadratic loop this is the same segment-equi-join shape as
+    * the Hamming form, shuffle on (block, L, segIdx, segment).
+    * Zero-length segments (names shorter than k+1 chars) keep their
+    * trivially-matching keys: dropping them would lose tiny-string
+    * pairs; their buckets are bounded by the per-block count of such
+    * tiny names.
+    */
+  def passJoinPairs(df: DataFrame, idCol: String, nameCol: String,
+                    blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val k = maxDist
+    val nSeg = k + 1
+    val base = df.select(
+        (blockCols.map(col) :+ col(idCol).as("__id") :+ col(nameCol).as("__nm")): _*)
+      .withColumn("__len", length(col("__nm")))
+
+    // Index: (block, L = own length, segIdx, exact segment)
+    val indexSide = base
+      .withColumn("__segs", segmentsExpr("__nm", "__len", nSeg))
+      .select((blockCols.map(col) :+ col("__id").as("id_i") :+
+        col("__nm").as("nm_i") :+ col("__len").as("__L") :+
+        posexplode(col("__segs")).as(Seq("__band", "__seg"))): _*)
+
+    // Probe: for each partner length L in [len−k, len+k], segment i,
+    // and shift d in [−k, k], the own-name substring at the shifted
+    // boundary with segment i's length under L. struct-distinct kills
+    // the duplicate keys different shifts of a repetitive name emit.
+    val probeKeys = expr(
+      s"""array_distinct(flatten(flatten(
+         |  transform(sequence(greatest(__len - $k, 0), __len + $k), L ->
+         |    transform(sequence(0, $k), i ->
+         |      filter(transform(sequence(-$k, $k), d ->
+         |        named_struct(
+         |          'L', L, 'band', i,
+         |          'st', cast(i * L / $nSeg as int) + d,
+         |          'ln', cast((i + 1) * L / $nSeg as int)
+         |                  - cast(i * L / $nSeg as int))),
+         |        w -> w.st >= 0 AND w.st + w.ln <= __len))))))""".stripMargin)
+    val probeSide = base
+      .withColumn("__w", explode(probeKeys))
+      .select((blockCols.map(col) :+ col("__id").as("id_p") :+
+        col("__nm").as("nm_p") :+ col("__w.L").as("__L") :+
+        col("__w.band").as("__band") :+
+        expr("substring(__nm, __w.st + 1, __w.ln)").as("__seg")): _*)
+
+    val keys = blockCols ++ Seq("__L", "__band", "__seg")
+    val cand = indexSide.join(probeSide, keys)
+      .where(col("id_i") =!= col("id_p"))
+      // normalize orientation so (a,b) found in either direction
+      // collapses under one distinct
+      .select(
+        least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"),
+        when(col("id_i") < col("id_p"), col("nm_i")).otherwise(col("nm_p")).as("nm_a"),
+        when(col("id_i") < col("id_p"), col("nm_p")).otherwise(col("nm_i")).as("nm_b"))
       .distinct()
+    cand
+      .withColumn("__d", levenshtein(col("nm_a"), col("nm_b"), maxDist))
+      .where(col("__d") >= 0)
+      .select(col("id_a"), col("id_b"), col("__d").cast("long").as("dist"))
   }
 }

@@ -88,7 +88,7 @@ object Packing {
       // exists for — a boundary doc would land in the wrong chunk
       .withColumn("chunk_id",
         explode(sequence(expr(s"tok_offset div $budget"),
-          expr(s"(tok_offset + $nTokCol - 1) div $budget"))))
+          expr(s"(tok_offset + `$nTokCol` - 1) div $budget"))))
       .withColumn("tok_in_chunk",
         least(end, (col("chunk_id") + 1) * budget) -
           greatest(start, col("chunk_id") * budget))

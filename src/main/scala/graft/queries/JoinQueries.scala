@@ -271,12 +271,28 @@ object JoinQueries {
     // segment equi-join — candidates only, never block-quadratic);
     // at maxDist 1 its hamming semantics coincide exactly with
     // levenshtein <= 1 on equal-length records, and ErSpec pins
-    // equality with the quadratic reference form.
+    // equality with the quadratic reference form. The auto segment
+    // count (omit-k-of-8 keys) keeps the high-entropy name tail in
+    // every band key, so the constant "Customer#" prefix no longer
+    // degenerates one band into a block-sized hot bucket.
     "er_fuzzy_pairs" -> ((spark, dir) => {
       import graft.operators.EntityResolution
       EntityResolution.bandedHammingPairs(
         Tables.customer(spark, dir), "c_custkey", "c_name",
         Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
+    }),
+
+    // Full edit-distance matching at maxDist 2 over a fixture with
+    // PLANTED insert/delete/double-substitution variants — the indel
+    // regime the Hamming band is blind to by construction. Engine is
+    // the PassJoin shifted-segment form (candidate-complete for
+    // levenshtein <= k at any k); the oracle replays the quadratic
+    // levenshtein join over the identical SQL-derived fixture.
+    "er_fuzzy_pairs_k2" -> ((spark, dir) => {
+      import graft.operators.EntityResolution
+      EntityResolution.passJoinPairs(
+        erIndelFixture(spark, dir), "rid", "nm",
+        Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
     }),
 
     // Integer-exact PageRank over the supplier⇄customer supply graph
@@ -538,6 +554,38 @@ object JoinQueries {
       .select(col("a"), col("b"))
   }
 
+  /** Indel fixture for er_fuzzy_pairs_k2: every 17th customer plus
+    * ONE planted variant each — an insertion, a deletion, or an
+    * adjacent double substitution selected by c_custkey % 3. Both
+    * engines derive it from the same substr/concat arithmetic over
+    * the customer table, so the fixture is bit-identical and the
+    * oracle can replay the quadratic levenshtein join over it.
+    */
+  private def erIndelFixture(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .where(col("c_custkey") % 17 === 0)
+      .selectExpr("c_custkey * 4 AS rid", "c_name AS nm",
+        "c_nationkey", "c_mktsegment",
+        "c_custkey AS ck", "length(c_name) AS ln")
+    val orig = base.selectExpr("rid", "nm", "c_nationkey", "c_mktsegment")
+    val ins = base.where(expr("ck % 3 = 0")).selectExpr(
+      "rid + 1 AS rid",
+      "substr(nm, 1, cast(ck % (ln + 1) AS INT)) || 'x' || " +
+        "substr(nm, cast(ck % (ln + 1) AS INT) + 1) AS nm",
+      "c_nationkey", "c_mktsegment")
+    val del = base.where(expr("ck % 3 = 1 AND ln >= 1")).selectExpr(
+      "rid + 2 AS rid",
+      "substr(nm, 1, cast(ck % ln AS INT)) || " +
+        "substr(nm, cast(ck % ln AS INT) + 2) AS nm",
+      "c_nationkey", "c_mktsegment")
+    val sub2 = base.where(expr("ck % 3 = 2 AND ln >= 2")).selectExpr(
+      "rid + 3 AS rid",
+      "substr(nm, 1, cast(ck % (ln - 1) AS INT)) || 'xy' || " +
+        "substr(nm, cast(ck % (ln - 1) AS INT) + 3) AS nm",
+      "c_nationkey", "c_mktsegment")
+    orig.unionByName(ins).unionByName(del).unionByName(sub2)
+  }
+
   val oracles: Map[String, String] = Map(
     "j1_cross_nearest_city" -> nearestCityOracle,
     "geo_nearest_city_minby" -> nearestCityOracle,
@@ -736,6 +784,44 @@ object JoinQueries {
         |-- names made the two relations coincide; fuzz names don't)
         |WHERE length(a.c_name) = length(b.c_name)
         |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Quadratic replay of the SAME SQL-derived indel fixture the
+    // engine hands to passJoinPairs — full levenshtein <= 2, so the
+    // oracle sees every insert/delete-shifted pair the banded Hamming
+    // form is blind to. The length-difference bound mirrors the
+    // engine's own prune (|len a − len b| > k can never pass).
+    "er_fuzzy_pairs_k2" ->
+      """WITH base AS (
+        |  SELECT c_custkey * 4 AS rid, c_name AS nm,
+        |         c_nationkey, c_mktsegment,
+        |         c_custkey AS ck, length(c_name) AS ln
+        |  FROM customer WHERE c_custkey % 17 = 0
+        |), fixture AS (
+        |  SELECT rid, nm, c_nationkey, c_mktsegment FROM base
+        |  UNION ALL
+        |  SELECT rid + 1, substr(nm, 1, CAST(ck % (ln + 1) AS INT)) || 'x'
+        |         || substr(nm, CAST(ck % (ln + 1) AS INT) + 1),
+        |         c_nationkey, c_mktsegment
+        |  FROM base WHERE ck % 3 = 0
+        |  UNION ALL
+        |  SELECT rid + 2, substr(nm, 1, CAST(ck % ln AS INT))
+        |         || substr(nm, CAST(ck % ln AS INT) + 2),
+        |         c_nationkey, c_mktsegment
+        |  FROM base WHERE ck % 3 = 1 AND ln >= 1
+        |  UNION ALL
+        |  SELECT rid + 3, substr(nm, 1, CAST(ck % (ln - 1) AS INT)) || 'xy'
+        |         || substr(nm, CAST(ck % (ln - 1) AS INT) + 3),
+        |         c_nationkey, c_mktsegment
+        |  FROM base WHERE ck % 3 = 2 AND ln >= 2
+        |)
+        |SELECT a.rid AS id_a, b.rid AS id_b,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM fixture a JOIN fixture b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_mktsegment = b.c_mktsegment
+        | AND a.rid < b.rid
+        |WHERE abs(length(a.nm) - length(b.nm)) <= 2
+        |  AND levenshtein(a.nm, b.nm) <= 2""".stripMargin,
 
     // Bloom pruning is invisible to semantics (no false negatives +
     // the join re-verifies), so the oracle is the plain equi-join.

@@ -40,7 +40,11 @@ object VectorQueries {
       // candidate scores 0/0 (null) — the window forms would emit k
       // arbitrary null-score rows while the typed aggregator emits
       // none. Inadmissible as a query on both engines (fuzz finding).
-      graft.operators.Similarity.dot(col("embedding"), col("embedding")) > 0)
+      // COMPONENT-based, mirroring qAdmissibleSql exactly: dot(e, e)
+      // > 0 square-underflows to 0.0 for components below ~1.5e-162,
+      // so the arithmetic form would exclude a subnormal-only vector
+      // the oracle keeps. "some component non-zero" has no underflow.
+      exists(col("embedding"), x => x =!= 0))
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce_topk" -> ((spark, dir) => {
