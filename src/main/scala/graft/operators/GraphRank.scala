@@ -393,4 +393,64 @@ object GraphRank {
     }
     labels
   }
+
+  /** Link prediction over an undirected graph: score NON-edges by
+    * common-neighbor count, fixed-point Jaccard, and Adamic-Adar
+    * (per-middle weight floor(1e6/log2(deg)) — log2 quantized once
+    * per DISTINCT degree so the sum is an order-free BIGINT; middles
+    * always have deg >= 2 so the weight is finite). Existing edges
+    * are anti-joined out; candidates need >= 1 common neighbor;
+    * top-`topK` under the total (cn desc, aa desc, x, y) order.
+    *
+    * Wedge enumeration is Σ deg(v)² over MIDDLE vertices — fine on
+    * support-thresholded graphs, quadratic in the hubs of a raw
+    * crawl. `maxMiddleDegree` caps it: middles above the cap are
+    * dropped BEFORE the self-join, bounding per-middle wedge work at
+    * cap² while their endpoints still appear in every wedge that
+    * routes through a sane middle (hub middles carry ~zero AA weight
+    * — 1e6/log2(deg) → 0 — and inflate cn with noise, so the cap is
+    * the curation-standard recall trade; GraphRankSpec pins both the
+    * exclusion and the survival of non-hub wedges). Degrees for the
+    * Jaccard denominator stay UNCAPPED — the cap changes which
+    * wedges enumerate, never a node's true degree.
+    *
+    * Scale: one degree agg, one (middle-keyed) self-join at
+    * Σ min(deg, cap)² wedge cardinality, one pair agg, one anti-join
+    * — all key-shuffled, nothing driver-side.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topK: Int,
+                     maxMiddleDegree: Option[Long] = None): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxMiddleDegree.forall(_ >= 2),
+      s"maxMiddleDegree below 2 excludes every possible middle")
+    val canon = canonical(edges, srcCol, dstCol)
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val middleDeg = maxMiddleDegree
+      .map(cap => deg.where(col("deg") <= cap)).getOrElse(deg)
+    // deg-1 leaves can never be the middle of a wedge (they have a
+    // single neighbor), so their weight is unread — but it must not
+    // EVALUATE as 1/log2(1) under ANSI division
+    val e = sym.join(middleDeg, "src")
+      .select(col("src").as("v"), col("dst").as("n"),
+        when(col("deg") >= 2,
+          floor(lit(1000000.0) / log2(col("deg"))).cast("long"))
+          .otherwise(lit(0L)).as("w"))
+    val cand = e.as("p").join(e.as("q"),
+        col("p.v") === col("q.v") && col("p.n") < col("q.n"))
+      .groupBy(col("p.n").as("x"), col("q.n").as("y"))
+      .agg(count(lit(1)).as("cn"), sum(col("p.w")).as("aa_x1e6"))
+      .where(col("cn") >= 1)
+      .join(canon.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+    cand
+      .join(deg.select(col("src").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("src").as("y"), col("deg").as("dy")), "y")
+      .withColumn("jacc_x1e6", expr("(cn * 1000000) div (dx + dy - cn)"))
+      .select(col("x"), col("y"), col("cn"), col("jacc_x1e6"), col("aa_x1e6"))
+      .orderBy(col("cn").desc, col("aa_x1e6").desc, col("x"), col("y"))
+      .limit(topK)
+  }
 }

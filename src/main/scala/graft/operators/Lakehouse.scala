@@ -14,6 +14,34 @@ import graft.core.GraftSession.LineageOps
   */
 object Lakehouse {
 
+  /** Writer-lock marker for the rename-swap protocols
+    * ([[compact]], [[compactPartitioned]], [[evolvePartitionSpec]],
+    * [[writeAuditPublish]]): created atomically (create-if-absent) as
+    * a SIBLING of the table directory before any mutation, removed
+    * when the swap finishes. A concurrent second writer fails loudly
+    * at acquisition instead of mistaking the swap's brief
+    * read-unavailability window for a crash and racing the publisher
+    * through the `__old` restore branch. A writer that CRASHES inside
+    * the critical section leaves the marker behind: later callers
+    * keep failing (the message carries the marker path) until an
+    * operator confirms no writer is alive and deletes it — only then
+    * does the protocol's existing `__old` self-heal run. On object
+    * stores without atomic create the marker is best-effort, as is
+    * every file-based lock.
+    */
+  private def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String, op: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__lock")
+    val acquired =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new java.util.ConcurrentModificationException(
+      s"$op: writer lock $lock is held — another swap is in flight on this " +
+        "table (or a crashed writer left the marker; verify no writer is " +
+        "alive, then delete the marker to let the __old self-heal run)")
+    try body finally fs.delete(lock, false)
+  }
+
   /** MERGE INTO semantics over two snapshots with identical schemas:
     * source rows overwrite target rows on the key, unmatched source
     * rows insert, unmatched target rows are kept. Emits the merged
@@ -98,25 +126,27 @@ object Lakehouse {
     val target = new Path(dir)
     val staging = new Path(target.getParent, "." + target.getName + "__wap_staging")
     val retired = new Path(target.getParent, "." + target.getName + "__wap_old")
-    fs.delete(staging, true)
-    df.write.parquet(staging.toString)
-    // materialize BEFORE any rename — the lazy plan reads staging,
-    // which moves away on publish
-    val report = audit(spark.read.parquet(staging.toString))
-      .select(col("check_name"), col("violations"), col("total"), col("passed"))
-      .truncateLineage()
-    val clean = report.where(!col("passed")).isEmpty
-    if (clean) {
-      fs.delete(retired, true)
-      if (fs.exists(target)) {
-        if (!fs.rename(target, retired))
-          throw new IllegalStateException(s"WAP: could not retire $target")
+    withWriterLock(fs, dir, "WAP") {
+      fs.delete(staging, true)
+      df.write.parquet(staging.toString)
+      // materialize BEFORE any rename — the lazy plan reads staging,
+      // which moves away on publish
+      val report = audit(spark.read.parquet(staging.toString))
+        .select(col("check_name"), col("violations"), col("total"), col("passed"))
+        .truncateLineage()
+      val clean = report.where(!col("passed")).isEmpty
+      if (clean) {
+        fs.delete(retired, true)
+        if (fs.exists(target)) {
+          if (!fs.rename(target, retired))
+            throw new IllegalStateException(s"WAP: could not retire $target")
+        }
+        if (!fs.rename(staging, target))
+          throw new IllegalStateException(s"WAP: could not publish $staging")
+        fs.delete(retired, true)
       }
-      if (!fs.rename(staging, target))
-        throw new IllegalStateException(s"WAP: could not publish $staging")
-      fs.delete(retired, true)
+      (report, clean)
     }
-    (report, clean)
   }
 
   /** Three-way branch merge — git-style reconciliation of two corpus
@@ -297,15 +327,15 @@ object Lakehouse {
     * live, __old dropped — a crash between renames is healed on the
     * next call (restore from __old).
     *
-    * Concurrency contract (same as [[compact]]): SINGLE WRITER, and
-    * the swap has a brief READ-UNAVAILABILITY window — between the
-    * two renames the live path does not exist, so a concurrent reader
-    * gets path-not-found (never partial data) and should retry; a
-    * concurrent second WRITER could mistake the window for a crash
-    * and race the publisher through the restore branch, so callers
-    * must serialize evolve/compact invocations per table externally
-    * (two directory renames cannot be made jointly atomic on a plain
-    * filesystem). Rows are bit-identical before
+    * Concurrency contract (same as [[compact]]): SINGLE WRITER —
+    * enforced by the [[withWriterLock]] marker, so a concurrent
+    * second writer fails loudly at acquisition instead of mistaking
+    * the swap window for a crash and racing the publisher through the
+    * restore branch — and the swap has a brief READ-UNAVAILABILITY
+    * window: between the two renames the live path does not exist, so
+    * a concurrent reader gets path-not-found (never partial data) and
+    * should retry (two directory renames cannot be made jointly
+    * atomic on a plain filesystem). Rows are bit-identical before
     * and after (spec-pinned); only the directory layout — and thus
     * which predicates prune — changes. Scale: one full-table
     * read+write (the floor for any respec) shuffled by the new
@@ -318,27 +348,29 @@ object Lakehouse {
     require(newPartitionCols.nonEmpty, "new partition spec must be non-empty")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(path) && fs.exists(crashBackup) &&
-        !fs.rename(crashBackup, path))
-      throw new java.io.IOException(s"evolve: cannot restore $crashBackup")
-    val staging = new org.apache.hadoop.fs.Path(dir + "__respec")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    val df = spark.read.option("mergeSchema", "true").parquet(dir)
-    df.repartition(newPartitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.partitionBy(newPartitionCols: _*)
-      .mode("overwrite").parquet(staging.toString)
-    if (fs.exists(crashBackup)) fs.delete(crashBackup, true)
-    if (!fs.rename(path, crashBackup))
-      throw new java.io.IOException(s"evolve: cannot set aside $path")
-    if (!fs.rename(staging, path)) {
-      fs.rename(crashBackup, path) // restore; staging left for inspection
-      throw new java.io.IOException(s"evolve: cannot publish $staging")
+    withWriterLock(fs, dir, "evolve") {
+      val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
+      if (!fs.exists(path) && fs.exists(crashBackup) &&
+          !fs.rename(crashBackup, path))
+        throw new java.io.IOException(s"evolve: cannot restore $crashBackup")
+      val staging = new org.apache.hadoop.fs.Path(dir + "__respec")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      val df = spark.read.option("mergeSchema", "true").parquet(dir)
+      df.repartition(newPartitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(newPartitionCols: _*)
+        .mode("overwrite").parquet(staging.toString)
+      if (fs.exists(crashBackup)) fs.delete(crashBackup, true)
+      if (!fs.rename(path, crashBackup))
+        throw new java.io.IOException(s"evolve: cannot set aside $path")
+      if (!fs.rename(staging, path)) {
+        fs.rename(crashBackup, path) // restore; staging left for inspection
+        throw new java.io.IOException(s"evolve: cannot publish $staging")
+      }
+      fs.delete(crashBackup, true)
+      spark.read.parquet(dir)
+        .select(newPartitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().count()
     }
-    fs.delete(crashBackup, true)
-    spark.read.parquet(dir)
-      .select(newPartitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().count()
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -347,16 +379,18 @@ object Lakehouse {
                 org.apache.spark.sql.DataFrame] = None): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(path) && fs.exists(crashBackup) &&
-        !fs.rename(crashBackup, path))
-      throw new java.io.IOException(s"compact: cannot restore $crashBackup")
-    // recursive listing: partitioned layouts keep data files under
-    // partition subdirectories (note the rewrite itself flattens the
-    // layout — [[compactPartitioned]] is the layout-preserving form)
-    compactLeaf(spark, fs, path,
-      new org.apache.hadoop.fs.Path(dir + "__compacting"), crashBackup,
-      targetBytes, recluster)
+    withWriterLock(fs, dir, "compact") {
+      val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
+      if (!fs.exists(path) && fs.exists(crashBackup) &&
+          !fs.rename(crashBackup, path))
+        throw new java.io.IOException(s"compact: cannot restore $crashBackup")
+      // recursive listing: partitioned layouts keep data files under
+      // partition subdirectories (note the rewrite itself flattens the
+      // layout — [[compactPartitioned]] is the layout-preserving form)
+      compactLeaf(spark, fs, path,
+        new org.apache.hadoop.fs.Path(dir + "__compacting"), crashBackup,
+        targetBytes, recluster)
+    }
   }
 
   /** One directory's crash-safe rewrite: size by total parquet bytes,
@@ -459,6 +493,7 @@ object Lakehouse {
     // between that leaf's two renames would otherwise strand the table
     // in `.root__old` with every later call failing the existence
     // require below.
+    withWriterLock(fs, root, "compactPartitioned") {
     val rootBackup = new Path(rootPath.getParent, "." + rootPath.getName + "__old")
     if (!fs.exists(rootPath) && fs.exists(rootBackup) &&
         !fs.rename(rootBackup, rootPath))
@@ -495,5 +530,6 @@ object Lakehouse {
         new Path(parent, "." + leaf.getName + "__old"), targetBytes)
       leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/") -> n
     }
+    } // withWriterLock
   }
 }

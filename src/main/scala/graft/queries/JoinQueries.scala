@@ -354,43 +354,16 @@ object JoinQueries {
     }),
 
     // Link prediction over the co-purchase graph: score NON-edges by
-    // common-neighbor count, fixed-point Jaccard, and Adamic-Adar
-    // (per-middle weight floor(1e6/log2(deg)) — log2 quantized once
-    // per DISTINCT degree, the DSIR float pattern; middles always
-    // have deg >= 2 so the weight is finite). Wedge enumeration is
-    // Σ deg(v)² over middle vertices — kept sane here by the support
-    // >= 2 edge threshold; at raw-crawl scale cap the middle degree
-    // (hub middles carry ~zero AA weight anyway). Existing edges are
-    // anti-joined out; candidates need >= 1 common neighbor (sparse
-    // support-thresholded graphs top out at cn 1); top-30 under the
-    // total (cn, aa, x, y) order.
+    // common-neighbor count, fixed-point Jaccard, and Adamic-Adar —
+    // GraphRank.linkPrediction. Wedge enumeration is Σ deg(v)² over
+    // middle vertices — kept sane here by the support >= 2 edge
+    // threshold, so the raw-crawl hub cap (maxMiddleDegree) stays
+    // disengaged and the oracle replays the FULL wedge set; the
+    // cap's exclusion semantics are spec-pinned in GraphRankSpec.
     "graph_link_prediction" -> ((spark, dir) => {
-      val canon = coPurchaseEdges(spark, dir)
-      val sym = canon.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      // deg-1 leaves can never be the middle of a wedge (they have a
-      // single neighbor), so their weight is unread — but it must not
-      // EVALUATE as 1/log2(1) under ANSI division
-      val e = sym.join(deg, "src")
-        .select(col("src").as("v"), col("dst").as("n"),
-          when(col("deg") >= 2,
-            floor(lit(1000000.0) / log2(col("deg"))).cast("long"))
-            .otherwise(lit(0L)).as("w"))
-      val cand = e.as("p").join(e.as("q"),
-          col("p.v") === col("q.v") && col("p.n") < col("q.n"))
-        .groupBy(col("p.n").as("x"), col("q.n").as("y"))
-        .agg(count(lit(1)).as("cn"), sum(col("p.w")).as("aa_x1e6"))
-        .where(col("cn") >= 1)
-        .join(canon.select(col("a").as("x"), col("b").as("y")),
-          Seq("x", "y"), "left_anti")
-      cand
-        .join(deg.select(col("src").as("x"), col("deg").as("dx")), "x")
-        .join(deg.select(col("src").as("y"), col("deg").as("dy")), "y")
-        .withColumn("jacc_x1e6", expr("(cn * 1000000) div (dx + dy - cn)"))
-        .select(col("x"), col("y"), col("cn"), col("jacc_x1e6"), col("aa_x1e6"))
-        .orderBy(col("cn").desc, col("aa_x1e6").desc, col("x"), col("y"))
-        .limit(30)
+      import graft.operators.GraphRank
+      GraphRank.linkPrediction(coPurchaseEdges(spark, dir), "a", "b",
+        topK = 30, maxMiddleDegree = None)
     }),
 
     // Market-basket association rules (support/confidence/lift — the

@@ -268,4 +268,34 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.personalizedPageRank(e, "a", "b", _ => lit(false), iters = 3)
     }
   }
+
+  test("linkPrediction: maxMiddleDegree excludes hub wedges, keeps the rest") {
+    import spark.implicits._
+    // hub 100 touches every leaf (deg 10); the only sane middle is
+    // node 2 (deg 3: hub, 1, 3)
+    val edges = ((1L to 10L).map(l => (100L, l)) ++ Seq((1L, 2L), (2L, 3L)))
+      .toDF("a", "b")
+    val full = GraphRank.linkPrediction(edges, "a", "b", topK = 100)
+    val capped = GraphRank.linkPrediction(edges, "a", "b", topK = 100,
+      maxMiddleDegree = Some(5L))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (fullPairs, cappedPairs) = (pairs(full), pairs(capped))
+    // leaves 4 and 5 share ONLY the hub: their wedge is hub-routed
+    // and must vanish under the cap
+    assert(fullPairs.contains((4L, 5L)) && !cappedPairs.contains((4L, 5L)))
+    // the (1, 3) wedge routes through middle 2 (deg 3 <= cap): kept
+    assert(cappedPairs.contains((1L, 3L)))
+    assert(cappedPairs.subsetOf(fullPairs), "cap may only shrink the candidate set")
+    val r13 = capped.where(col("x") === 1 && col("y") === 3).collect().head
+    // hub removed from the common-neighbor count...
+    assert(r13.getAs[Long]("cn") === 1L)
+    // ...but Jaccard denominators keep TRUE degrees (both 2):
+    // 1e6 div (2 + 2 - 1)
+    assert(r13.getAs[Long]("jacc_x1e6") === 333333L)
+    intercept[IllegalArgumentException] {
+      GraphRank.linkPrediction(edges, "a", "b", topK = 5,
+        maxMiddleDegree = Some(1L))
+    }
+  }
 }

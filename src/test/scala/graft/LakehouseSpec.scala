@@ -116,6 +116,35 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 200)
   }
 
+  test("writer lock: a concurrent second caller fails loudly, table intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString + "/t"
+    (1 to 50).map(i => (i.toLong, i * 2)).toDF("id", "v").write.parquet(dir)
+    // simulate a swap in flight: the lock marker exists
+    val lock = new java.io.File(dir + "__lock")
+    assert(lock.createNewFile())
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.compact(spark, dir, targetBytes = 1L << 20)
+    }
+    assert(e1.getMessage.contains("__lock"), e1.getMessage)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.evolvePartitionSpec(spark, dir, Seq("v"))
+    }
+    assert(e2.getMessage.contains("writer lock"), e2.getMessage)
+    // blocked callers mutated NOTHING: same rows, no scratch siblings
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).sorted.toSeq ===
+      Seq("t", "t__lock"), parent.listFiles().map(_.getName).toSeq)
+    // the holder finishes (marker released) → next caller proceeds and
+    // releases its own marker
+    assert(lock.delete())
+    assert(Lakehouse.compact(spark, dir, targetBytes = 1L << 20) === 1)
+    assert(!lock.exists(), "lock must be released after a clean swap")
+    assert(spark.read.parquet(dir).count() === 50)
+  }
+
   test("changeDataFeed treats null→value and value→null as updates") {
     import spark.implicits._
     val old = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "s")
