@@ -85,10 +85,18 @@ object Tables {
     * NULL — the integral-string regexp restores strict semantics.
     * Used by every oracle that derives integer keys from JSON props.
     */
-  def jsonBigintSql(col: String, path: String): String =
-    s"CASE WHEN json_valid($col) AND regexp_matches(" +
-      s"coalesce(json_extract_string($col, '$path'), ''), '^-?[0-9]+$$')" +
-      s" THEN TRY_CAST(json_extract_string($col, '$path') AS BIGINT) END"
+  def jsonBigintSql(col: String, path: String): String = {
+    // The parse reads a SANITIZED argument, not the raw column:
+    // json_extract_string ERRORS on malformed JSON, and DuckDB's
+    // vectorized evaluation can reach an AND's right conjunct (or a
+    // CASE branch) on rows the json_valid guard excluded — the sf0.1
+    // fuzz corpus hit exactly that. json_extract_string(NULL) is NULL,
+    // so nulling invalid JSON INSIDE the argument is order-immune.
+    val safe = s"(CASE WHEN json_valid($col) THEN $col END)"
+    s"CASE WHEN regexp_matches(" +
+      s"coalesce(json_extract_string($safe, '$path'), ''), '^-?[0-9]+$$')" +
+      s" THEN TRY_CAST(json_extract_string($safe, '$path') AS BIGINT) END"
+  }
 
   /** DuckDB twin of the [[embeddings]] admissibility quarantine —
     * interpolated into every vector oracle's embeddings read by

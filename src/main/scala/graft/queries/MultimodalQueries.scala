@@ -250,25 +250,51 @@ object MultimodalQueries {
         |         AS BIGINT) AS h
         |  FROM all_h
         |), off AS (SELECT max(doc_id) + 1 AS o FROM sh
-        |), uni AS (
+        |), uni AS MATERIALIZED (
         |  SELECT doc_id AS id, h FROM sh
         |  UNION ALL SELECT doc_id + (SELECT o FROM off), h FROM sh
-        |), e AS (
-        |  SELECT a.id AS a, b.id AS b FROM uni a JOIN uni b
-        |  ON a.id < b.id AND bit_count(xor(a.h, b.h)) <= 3
+        |-- QUOTIENT by the hash value before any pair work: equal
+        |-- hashes are pairwise hamming-0, so an identical-hash group
+        |-- is trivially one cluster — the naive all-pairs + closure
+        |-- form turned a 2.6k-member degenerate group (hash 0) into a
+        |-- 3.5M-edge clique whose transitive closure never finished at
+        |-- the 10x synth scale. One rep (min member id) per distinct
+        |-- hash; components close over the rep graph, whose edges come
+        |-- from banded candidates: <= 3 differing bits across four
+        |-- 16-bit bands leave >= 1 band equal (pigeonhole), so the
+        |-- equal-band equi-join is candidate-complete and only
+        |-- candidates pay the exact bit_count verify. Bands read the
+        |-- UNSIGNED image of h so '>>' can't depend on sign. The
+        |-- rep-level min label IS the component's min node id (each
+        |-- node's id >= its group rep).
+        |), hs AS MATERIALIZED (
+        |  SELECT h, min(id) AS rep FROM uni GROUP BY 1
+        |), hb AS MATERIALIZED (
+        |  SELECT rep, h, t.i,
+        |    CAST(((CASE WHEN h < 0
+        |                THEN h::HUGEINT + 18446744073709551616::HUGEINT
+        |                ELSE h::HUGEINT END) >> CAST(t.i * 16 AS INT))
+        |         & 65535::HUGEINT AS BIGINT) AS bk
+        |  FROM hs, (SELECT unnest(range(4)) AS i) t
+        |), he AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT DISTINCT l.h AS ha, l.rep AS a, r.h AS hb2, r.rep AS b
+        |    FROM hb l JOIN hb r
+        |      ON l.i = r.i AND l.bk = r.bk AND l.rep < r.rep
+        |  ) WHERE bit_count(xor(ha, hb2)) <= 3
         |), sym AS (
-        |  SELECT a, b FROM e UNION SELECT b, a FROM e
+        |  SELECT a, b FROM he UNION SELECT b, a FROM he
         |), reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        |  SELECT rep, rep FROM hs
         |  UNION
         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-        |), lbl AS (
-        |  SELECT a AS id, min(b) AS component FROM reach GROUP BY 1
+        |), lbl0 AS (
+        |  SELECT a AS rep, min(b) AS component FROM reach GROUP BY 1
         |)
         |SELECT uni.id AS asset_id,
-        |  coalesce(lbl.component, uni.id) AS component,
-        |  coalesce(lbl.component, uni.id) = uni.id AS is_canonical
-        |FROM uni LEFT JOIN lbl ON uni.id = lbl.id""".stripMargin,
+        |  lbl0.component AS component,
+        |  lbl0.component = uni.id AS is_canonical
+        |FROM uni JOIN hs USING (h) JOIN lbl0 ON hs.rep = lbl0.rep""".stripMargin,
 
     "mm_image_stats" ->
       """WITH a AS (

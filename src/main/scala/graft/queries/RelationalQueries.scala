@@ -422,26 +422,38 @@ object RelationalQueries {
     // ROUNDS a decimal string ('36.97' → 37) where Spark's try_cast
     // is a strict integer parse (NULL) — a float-valued k is not an
     // integer k on either engine.
+    // Both JSON oracles parse a SANITIZED argument (invalid JSON
+    // nulled INSIDE the call): json_extract_string ERRORS on
+    // malformed input and DuckDB's vectorized evaluation can reach a
+    // guarded conjunct/branch on rows json_valid excluded — the sf0.1
+    // fuzz corpus caught f_variant doing exactly that on '{'.
     "f_json_extract" ->
-      """SELECT event_id,
-        |  CASE WHEN json_valid(props)
-        |        AND regexp_matches(
-        |          coalesce(json_extract_string(props, '$.k'), ''),
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(props) THEN props END AS jp
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CASE WHEN regexp_matches(
+        |          coalesce(json_extract_string(jp, '$.k'), ''),
         |          '^-?[0-9]+$') THEN
-        |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
-        |FROM events""".stripMargin,
+        |    TRY_CAST(json_extract_string(jp, '$.k') AS INTEGER) END AS k
+        |FROM e""".stripMargin,
 
     "f_variant" ->
-      """SELECT event_id,
-        |  CASE WHEN json_valid(props)
-        |        AND regexp_matches(
-        |          coalesce(json_extract_string(props, '$.k'), ''),
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(props) THEN props END AS jp
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CASE WHEN regexp_matches(
+        |          coalesce(json_extract_string(jp, '$.k'), ''),
         |          '^-?[0-9]+$') THEN
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
-        |  CASE WHEN json_valid(props) THEN
-        |    TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) END
+        |    TRY_CAST(json_extract_string(jp, '$.k') AS BIGINT) END AS k,
+        |  TRY_CAST(json_extract_string(jp, '$.missing') AS BIGINT)
         |    AS missing_k
-        |FROM events""".stripMargin,
+        |FROM e""".stripMargin,
 
     "f9_explode_words" ->
       """SELECT word, count(*) AS freq

@@ -1113,17 +1113,35 @@ object TextQueries {
 
     "dedup_ngram_jaccard" -> {
       val sh = TextFns.shinglesSql("string_split(text, ' ')", 2)
-      s"""WITH base AS (
+      // Exact GRAM-JOIN form of the quadratic intersect (the block-
+      // quadratic `base l JOIN base r` + list_intersect twin ran 50M
+      // list intersections at the 10× synth scale and never finished;
+      // this form's join mass is Σ df(g)² = 119M cheap rows there).
+      // `sh` is DISTINCT per doc, so the per-gram equi-join emits
+      // exactly one row per shared gram and count(*) IS |l ∩ r|; the
+      // jaccard double i/(na+nb-i) is bit-identical to
+      // len(list_intersect)/(len+len-len). Pairs with an EMPTY
+      // intersection have jaccard 0 < 0.3 — absent from both forms.
+      s"""WITH base AS MATERIALIZED (
          |  SELECT lang, source, doc_id AS doc, list_distinct($sh) AS sh
          |  FROM documents
          |  -- no-shingle docs have no set to compare (engine guard twin)
          |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+         |), ex AS MATERIALIZED (
+         |  SELECT lang, source, doc, len(sh) AS n, unnest(sh) AS g FROM base
          |)
-         |SELECT l.lang, l.source, l.doc AS doc_a, r.doc AS doc_b,
-         |  round(${TextFns.jaccardSql("l.sh", "r.sh")}, 4) AS jaccard
-         |FROM base l JOIN base r
-         |  ON l.lang = r.lang AND l.source = r.source AND l.doc < r.doc
-         |WHERE round(${TextFns.jaccardSql("l.sh", "r.sh")}, 4) >= 0.3""".stripMargin
+         |SELECT lang, source, doc_a, doc_b,
+         |  round(i::DOUBLE / (na + nb - i), 4) AS jaccard
+         |FROM (
+         |  SELECT l.lang AS lang, l.source AS source,
+         |    l.doc AS doc_a, r.doc AS doc_b,
+         |    l.n AS na, r.n AS nb, count(*) AS i
+         |  FROM ex l JOIN ex r
+         |    ON l.lang = r.lang AND l.source = r.source AND l.g = r.g
+         |   AND l.doc < r.doc
+         |  GROUP BY 1, 2, 3, 4, 5, 6
+         |)
+         |WHERE round(i::DOUBLE / (na + nb - i), 4) >= 0.3""".stripMargin
     },
 
     "dedup_pipeline" ->
@@ -1543,8 +1561,20 @@ object TextQueries {
         |  FROM tf JOIN idf USING (word)
         |) WHERE rn <= 3""".stripMargin,
 
+    // Exact TWO-PHASE contraction of the user↔hub bipartite edge list
+    // (the naive closure materialized the full reachability relation —
+    // one giant component at the 10× synth scale = 228M (node, label)
+    // pairs and a dead oracle). Every edge goes user → hub (b = k%100,
+    // ≤ 100 hub ids), so components follow from (1) the closure of the
+    // HUB graph — two hubs adjacent iff they share a user, PLUS the
+    // vertex-overlap edges where a node id is both a user and a hub
+    // (its own hub neighborhood fuses through it) — a ≤100-node
+    // closure, and (2) each user inheriting its hubs' component (a
+    // user's hubs all share one component BY the shared-user rule).
+    // The component label is min node id over the fused group, exactly
+    // the naive form's min(reachable).
     "graph_components" ->
-      s"""WITH RECURSIVE e AS (
+      s"""WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT DISTINCT user_id AS a,
         |    ${graft.core.Tables.jsonBigintSql("props", "$.k")} % 100 AS b
         |  FROM events
@@ -1553,14 +1583,30 @@ object TextQueries {
         |        IS NOT NULL
         |    AND ${graft.core.Tables.jsonBigintSql("props", "$.k")} % 100
         |        <> user_id
-        |), sym AS (
-        |  SELECT a, b FROM e UNION SELECT b, a FROM e
-        |), reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        |), hubs AS MATERIALIZED (
+        |  SELECT DISTINCT b FROM e
+        |), he AS MATERIALIZED (
+        |  SELECT l.b AS x, r.b AS y FROM e l JOIN e r ON l.a = r.a AND l.b < r.b
         |  UNION
-        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |  SELECT e.a AS x, e.b AS y FROM e WHERE e.a IN (SELECT b FROM hubs)
+        |), hsym AS MATERIALIZED (
+        |  SELECT x, y FROM he UNION SELECT y, x FROM he
+        |), hreach(x, y) AS (
+        |  SELECT b, b FROM hubs
+        |  UNION
+        |  SELECT r.x, s.y FROM hreach r JOIN hsym s ON r.y = s.x
+        |), hcomp AS MATERIALIZED (
+        |  SELECT x AS hub, min(y) AS hc FROM hreach GROUP BY 1
+        |), assign AS MATERIALIZED (
+        |  SELECT e.a AS node, min(hcomp.hc) AS hc
+        |  FROM e JOIN hcomp ON e.b = hcomp.hub GROUP BY 1
+        |  UNION
+        |  SELECT hub AS node, hc FROM hcomp
+        |), rep AS (
+        |  SELECT hc, min(node) AS comp FROM assign GROUP BY 1
         |)
-        |SELECT a AS user_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin,
+        |SELECT DISTINCT a.node AS user_id, r.comp AS component
+        |FROM assign a JOIN rep r USING (hc)""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -43,6 +43,45 @@ for name, sql in sorted(oracle_sql.items()):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
+
+    # Results too big for a pandas sort-and-diff (j5 at the 10x synth
+    # scale is 112M rows) compare entirely in DuckDB: sorted column
+    # names must match, then count(*) + an order-free sum of per-row
+    # hashes over VARCHAR-canonicalized cells — exact multiset
+    # equality up to hash collisions, no materialized sort anywhere.
+    try:
+        n_probe = con.execute(
+            f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); n_fail += 1; fails.append(name); continue
+    if n_probe > 2_000_000:
+        try:
+            scols = sorted(con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchdf()
+                ["column_name"])
+            ocols = sorted(con.execute(
+                f"DESCRIBE {sql}").fetchdf()["column_name"])
+            if scols != ocols:
+                print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+                n_fail += 1; fails.append(name); continue
+            keys = ", ".join(
+                f'coalesce(CAST("{c}" AS VARCHAR), \'\\x00null\')' for c in scols)
+            agg = f"SELECT count(*) AS n, sum(hash({keys})::HUGEINT) AS hs"
+            sn, sh = con.execute(
+                f"{agg} FROM read_parquet({files!r})").fetchone()
+            on, oh = con.execute(f"{agg} FROM ({sql})").fetchone()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; fails.append(name); continue
+        if sn != on:
+            print(f"FAIL {name}: rows spark={sn} oracle={on}")
+            n_fail += 1; fails.append(name)
+        elif sh != oh:
+            print(f"FAIL {name}: multiset hash mismatch over {sn} rows")
+            n_fail += 1; fails.append(name)
+        else:
+            print(f"PASS {name} ({sn} rows, multiset-hash)"); n_pass += 1
+        continue
+
     try:
         spark_df = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
