@@ -418,13 +418,24 @@ object GraphRank {
     * Σ min(deg, cap)² wedge cardinality, one pair agg, one anti-join
     * — all key-shuffled, nothing driver-side.
     */
+  /** @param assumeCanonical skip the least/greatest+distinct
+    *        canonicalization when the caller guarantees the edge list
+    *        is already id-ordered (src < dst) and duplicate-free —
+    *        e.g. the output of a pair-aggregating join. Saves one
+    *        edge-cardinality exchange; semantics are identical on a
+    *        genuinely canonical input.
+    */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
                      topK: Int,
-                     maxMiddleDegree: Option[Long] = None): DataFrame = {
+                     maxMiddleDegree: Option[Long] = None,
+                     assumeCanonical: Boolean = false): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(maxMiddleDegree.forall(_ >= 2),
       s"maxMiddleDegree below 2 excludes every possible middle")
-    val canon = canonical(edges, srcCol, dstCol)
+    val canon =
+      if (assumeCanonical)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else canonical(edges, srcCol, dstCol)
     val sym = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))

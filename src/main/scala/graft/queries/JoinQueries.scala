@@ -362,8 +362,10 @@ object JoinQueries {
     // cap's exclusion semantics are spec-pinned in GraphRankSpec.
     "graph_link_prediction" -> ((spark, dir) => {
       import graft.operators.GraphRank
+      // coPurchaseEdges is pair-aggregated with a < b by construction
+      // — assumeCanonical skips a redundant edge-cardinality distinct
       GraphRank.linkPrediction(coPurchaseEdges(spark, dir), "a", "b",
-        topK = 30, maxMiddleDegree = None)
+        topK = 30, maxMiddleDegree = None, assumeCanonical = true)
     }),
 
     // Market-basket association rules (support/confidence/lift — the

@@ -298,4 +298,17 @@ class GraphRankSpec extends SparkSpec {
         maxMiddleDegree = Some(1L))
     }
   }
+
+  test("linkPrediction: assumeCanonical equals the default on canonical input") {
+    import spark.implicits._
+    // canonical by construction: a < b, duplicate-free
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 5L))
+      .toDF("a", "b")
+    val viaCanon = GraphRank.linkPrediction(edges, "a", "b", topK = 50)
+      .collect().map(_.toSeq).toSet
+    val assumed = GraphRank.linkPrediction(edges, "a", "b", topK = 50,
+      assumeCanonical = true).collect().map(_.toSeq).toSet
+    assert(viaCanon === assumed)
+    assert(assumed.nonEmpty)
+  }
 }
