@@ -72,8 +72,14 @@ object EntityResolution {
     (4 * (k + 1) to (k + 1) by -1)
       .find(n => binomial(n, k) <= 64).getOrElse(k + 1)
 
+  /** C(n, k) for the fan-out guards, saturating far above the 256
+    * bound so no intermediate product can overflow Long (n <= 64
+    * enforced by callers; below the cap each stage is an exact
+    * integer by the multiplicative identity).
+    */
   private def binomial(n: Int, k: Int): Long =
-    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    (1 to k).foldLeft(1L)((acc, i) =>
+      if (acc > (1L << 40)) acc else acc * (n - i + 1) / i)
 
   /** The SCALE form of fuzzy matching for substitution-style noise:
     * split each name into `nSeg` segments and emit one band key per
@@ -110,11 +116,13 @@ object EntityResolution {
     val k = maxDist
     val segs = if (nSeg > 0) nSeg else defaultSegments(k)
     require(segs > k, s"need more segments ($segs) than edits ($k)")
+    // bound the fan-out BEFORE materializing the combination list — a
+    // caller-supplied nSeg like 64 at k=32 is ~10^18 combinations
+    require(segs <= 64 && binomial(segs, k) <= 256,
+      s"band fan-out C($segs,$k) = ${binomial(segs, k)} > 256; lower nSeg")
     // kept-segment index sets, one band key each; C(segs, k) of them
     val combos: Seq[Seq[Int]] =
       (0 until segs).combinations(segs - k).map(_.toSeq).toSeq
-    require(combos.size <= 256,
-      s"band fan-out C($segs,$k) = ${combos.size} > 256; lower nSeg")
     val base = df.select(
         (blockCols.map(col) :+ col(idCol).as("__id") :+ col(nameCol).as("__nm")): _*)
       .withColumn("__len", length(col("__nm")))
