@@ -39,15 +39,19 @@ object SparkEntry {
     "where", "group", "order", "having", "join", "on", "left", "right",
     "inner", "full", "cross", "union", "except", "intersect", "limit",
     "qualify", "window", "using", "natural", "anti", "semi", "asof",
-    "positional", "when", "then", "else", "end", "and", "or", "not")
+    "positional", "when", "then", "else", "end", "and", "or", "not",
+    "offset", "fetch", "tablesample", "pivot", "unpivot", "lateral")
 
   /** Matches every table-reference read of `embeddings` — FROM, any
-    * JOIN, and the comma form — with its optional alias. The trailing
-    * lookahead rejects `embeddings.` / `embeddings(` so a qualified
-    * column reference or function call never matches.
+    * JOIN, and the comma form (with or without surrounding spaces:
+    * the whitespace rides INSIDE the prefix alternative, so `t ,
+    * embeddings` and `t,embeddings` both match) — plus its optional
+    * alias. The trailing lookahead rejects `embeddings.` /
+    * `embeddings(` so a qualified column reference or function call
+    * never matches.
     */
   private val embeddingsRef =
-    """(?is)\b(FROM|JOIN|,)(\s+)embeddings\b(?![.(])(\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?""".r
+    """(?is)(\b(?:FROM|JOIN)\s+|,\s*)embeddings\b(?![.(])(\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?""".r
 
   private def mirrorEmbeddingsQuarantine(sql: String): String = {
     val sub = s"(SELECT * FROM embeddings WHERE ${graft.core.Tables.embeddingsAdmissibleSql})"
@@ -58,14 +62,14 @@ object SparkEntry {
     // their alias; bare reads keep the table name as the subquery
     // alias so column references resolve unchanged.
     embeddingsRef.replaceAllIn(sql, m => {
-      val kw = m.group(1); val ws = m.group(2)
-      val alias = Option(m.group(4)).filterNot(a =>
+      val prefix = m.group(1)
+      val alias = Option(m.group(3)).filterNot(a =>
         postTableKeywords.contains(a.toLowerCase))
       val tail = alias match {
-        case Some(_) => m.group(3) // genuine alias: keep it verbatim
-        case None    => " embeddings" + Option(m.group(3)).getOrElse("")
+        case Some(_) => m.group(2) // genuine alias: keep it verbatim
+        case None    => " embeddings" + Option(m.group(2)).getOrElse("")
       }
-      scala.util.matching.Regex.quoteReplacement(s"$kw$ws$sub$tail")
+      scala.util.matching.Regex.quoteReplacement(s"$prefix$sub$tail")
     })
   }
 }

@@ -449,11 +449,12 @@ object GraphRank {
         when(col("deg") >= 2,
           floor(lit(1000000.0) / log2(col("deg"))).cast("long"))
           .otherwise(lit(0L)).as("w"))
+    // every surviving group has cn >= 1 by construction (it exists
+    // because at least one wedge produced it) — no threshold filter
     val cand = e.as("p").join(e.as("q"),
         col("p.v") === col("q.v") && col("p.n") < col("q.n"))
       .groupBy(col("p.n").as("x"), col("q.n").as("y"))
       .agg(count(lit(1)).as("cn"), sum(col("p.w")).as("aa_x1e6"))
-      .where(col("cn") >= 1)
       .join(canon.select(col("a").as("x"), col("b").as("y")),
         Seq("x", "y"), "left_anti")
     cand

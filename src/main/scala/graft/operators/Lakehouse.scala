@@ -32,14 +32,31 @@ object Lakehouse {
   private def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                 dir: String, op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__lock")
-    val acquired =
-      try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
-    if (!acquired) throw new java.util.ConcurrentModificationException(
-      s"$op: writer lock $lock is held — another swap is in flight on this " +
-        "table (or a crashed writer left the marker; verify no writer is " +
-        "alive, then delete the marker to let the __old self-heal run)")
-    try body finally fs.delete(lock, false)
+    // createNewFile returns false when the marker exists; a genuine
+    // I/O error (permissions, connection reset) PROPAGATES — mapping
+    // it to "lock held" would send an operator hunting for a phantom
+    // crashed writer instead of surfacing the real failure.
+    if (!fs.createNewFile(lock))
+      throw new java.util.ConcurrentModificationException(
+        s"$op: writer lock $lock is held — another swap is in flight on " +
+          "this table (or a crashed writer left the marker; verify no " +
+          "writer is alive, then delete the marker to let the __old " +
+          "self-heal run)")
+    var primary: Throwable = null
+    try body
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      val released =
+        try fs.delete(lock, false)
+        catch { case e: java.io.IOException =>
+          if (primary == null) throw e else primary.addSuppressed(e); false
+        }
+      // a silently-leaked marker wedges every future swap — fail loudly
+      // unless a primary failure is already propagating
+      if (!released && primary == null && fs.exists(lock))
+        throw new java.io.IOException(
+          s"$op: could not release writer lock $lock — remove it manually")
+    }
   }
 
   /** MERGE INTO semantics over two snapshots with identical schemas:

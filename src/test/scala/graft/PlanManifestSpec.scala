@@ -60,10 +60,11 @@ class PlanManifestSpec extends SparkSpec {
         }
       }
     }
-    val got: Map[String, Seq[Int]] = scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf).toMap
-    pool.shutdown()
+    val got: Map[String, Seq[Int]] =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+      finally pool.shutdown() // a failed build must not strand threads
 
     if (regen) {
       val header = Seq(

@@ -49,6 +49,11 @@ for name, sql in sorted(oracle_sql.items()):
     # names must match, then count(*) + an order-free sum of per-row
     # hashes over VARCHAR-canonicalized cells — exact multiset
     # equality up to hash collisions, no materialized sort anywhere.
+    # Float columns round to 8 decimals before hashing so the small
+    # path's 1e-9 ulp tolerance has an analogue (a diff straddling an
+    # exact 1e-8 grid line could still flip the hash — today's >2M-row
+    # results are integer/string-only, and every float oracle already
+    # emits round(x, 4) on both sides by convention).
     try:
         n_probe = con.execute(
             f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
@@ -56,16 +61,22 @@ for name, sql in sorted(oracle_sql.items()):
         print(f"FAIL {name}: {e}"); n_fail += 1; fails.append(name); continue
     if n_probe > 2_000_000:
         try:
-            scols = sorted(con.execute(
+            sdesc = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchdf()
-                ["column_name"])
+            scols = sorted(sdesc["column_name"])
+            stypes = dict(zip(sdesc["column_name"], sdesc["column_type"]))
             ocols = sorted(con.execute(
                 f"DESCRIBE {sql}").fetchdf()["column_name"])
             if scols != ocols:
                 print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
                 n_fail += 1; fails.append(name); continue
-            keys = ", ".join(
-                f'coalesce(CAST("{c}" AS VARCHAR), \'\\x00null\')' for c in scols)
+
+            def cell(c):
+                if stypes.get(c) in ("FLOAT", "DOUBLE"):
+                    return f'coalesce(CAST(round(CAST("{c}" AS DOUBLE), 8)' \
+                           f" AS VARCHAR), '\\x00null')"
+                return f'coalesce(CAST("{c}" AS VARCHAR), \'\\x00null\')'
+            keys = ", ".join(cell(c) for c in scols)
             agg = f"SELECT count(*) AS n, sum(hash({keys})::HUGEINT) AS hs"
             sn, sh = con.execute(
                 f"{agg} FROM read_parquet({files!r})").fetchone()
