@@ -14,7 +14,7 @@ command per corpus:
 
     python3 tools/check.py <dst_root>/events /tmp/verify_dirty_events
 
-Expected: `243 pass, 0 fail` on every corpus. Pathological surface per
+Expected: `244 pass, 0 fail` on every corpus (count tracks the query inventory). Pathological surface per
 tier:
   events:     null ts / null type / NaN / ±Inf / negative value /
               null + non-JSON + type-mismatched props
@@ -152,7 +152,7 @@ import random
 import pandas as pd
 
 # default seed 0xD127F is the committed record; pass a third arg to
-# probe a fresh pathology mix (any seed must stay 243/243)
+# probe a fresh pathology mix (any seed must stay green on the full inventory)
 FUZZ_SEED = int(sys.argv[3], 0) if len(sys.argv) > 3 else 0xD127F
 R = random.Random(FUZZ_SEED)
 
