@@ -32,6 +32,63 @@ object Privacy {
       .withColumn("meets_l", col("l_diversity") >= l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 —
+    * published definition) for a CATEGORICAL sensitive attribute:
+    * per quasi-identifier class, the total-variation distance between
+    * the class's sensitive-value distribution and the corpus-global
+    * one (= EMD under the uniform ground metric), in EXACT ppm fixed
+    * point so both engines agree bit for bit:
+    *
+    *   tvd_ppm = (1e6 · Σ_v |n_cv·n − n_v·n_c|) div (2·n_c·n)
+    *
+    * Values absent from a class contribute algebraically —
+    * Σ_{v absent} n_v·n_c = n_c·(n − Σ_{v present} n_v) — so no
+    * class × domain grid ever materializes. All products run in
+    * DECIMAL(38,0) per the fixed-point envelope policy (n_c·n crosses
+    * BIGINT in the 1e10-row regime the audit exists for).
+    *
+    * Null handling: a NULL sensitive value is a category of its own
+    * (null-safe join against the global distribution); rows with a
+    * NULL quasi-identifier are excluded up front — a null class key
+    * is not a publishable equivalence class, and equality-join
+    * semantics would silently drop it half-way through otherwise.
+    *
+    * Scale: two map-side-combinable aggregations keyed by the QI
+    * tuple (± sensitive), a broadcast of the |domain|-row global
+    * table, and one class-keyed re-aggregation — nothing quadratic.
+    */
+  def tClosenessAudit(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                      tPpm: Long): DataFrame = {
+    require(tPpm >= 0 && tPpm <= 1000000L, s"tPpm must be in [0, 1e6], got $tPpm")
+    val base0 = df.select((quasi :+ sensitive.as("__s")): _*)
+    val qiNames = base0.columns.dropRight(1).toSeq
+    val base = base0.where(qiNames.map(col(_).isNotNull).reduce(_ && _))
+    val global = base.groupBy(col("__s").as("__gs"))
+      .agg(count(lit(1)).as("__nv"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    val cs = base.groupBy(qiNames.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ncv"))
+    val classes = cs.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("__ncv")).as("class_size"))
+    cs.join(broadcast(global), col("__s") <=> col("__gs"))
+      .join(classes, qiNames)
+      .crossJoin(broadcast(total))
+      .groupBy(qiNames.map(col) :+ col("class_size") :+ col("__n"): _*)
+      .agg(
+        sum(abs(col("__ncv").cast("decimal(38,0)") * col("__n") -
+          col("__nv").cast("decimal(38,0)") * col("class_size"))).as("__dev_present"),
+        sum(col("__nv")).as("__nv_present"))
+      .withColumn("__dev",
+        col("__dev_present") +
+          col("class_size").cast("decimal(38,0)") * (col("__n") - col("__nv_present")))
+      .withColumn("tvd_ppm", expr(
+        "CAST((CAST(__dev AS DECIMAL(38,0)) * 1000000) div " +
+          "(2 * CAST(class_size AS DECIMAL(38,0)) * __n) AS BIGINT)"))
+      .withColumn("meets_t", col("tvd_ppm") <= tPpm)
+      .select(qiNames.map(col) :+ col("class_size") :+
+        col("tvd_ppm") :+ col("meets_t"): _*)
+  }
+
   /** Row-level suppression: keep only rows whose quasi-identifier
     * class has at least k members (the minimal-loss release of a
     * failing table: small classes are dropped, nothing is perturbed).

@@ -246,6 +246,21 @@ object LakehouseQueries {
         sensitive = col("c_acctbal"), k = 5, l = 3)
     }),
 
+    // t-closeness release gate over the orders table: per
+    // (order priority × order year) class, the total-variation
+    // distance between the class's status distribution and the global
+    // one, exact ppm fixed point — the distributional companion to
+    // the k/l audit above (a class can be large AND diverse yet still
+    // leak through a skewed sensitive distribution). Absent values
+    // contribute algebraically; no class × domain grid.
+    "privacy_t_closeness" -> ((spark, dir) => {
+      import graft.operators.Privacy
+      Privacy.tClosenessAudit(Tables.orders(spark, dir),
+        quasi = Seq(col("o_orderpriority").as("qi_priority"),
+          year(col("o_orderdate")).cast("long").as("qi_year")),
+        sensitive = col("o_orderstatus"), tPpm = 60000L)
+    }),
+
     // Expectation-suite validation (the Deequ/dbt-test shape): the
     // publish gate on the orders table — completeness, domain, bounds
     // (one deliberately failing so the report is non-trivial), key
@@ -524,6 +539,47 @@ object LakehouseQueries {
         |  count(DISTINCT c_acctbal) >= 3 AS meets_l
         |FROM customer
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same exact integral TVD: per-class deviation over PRESENT
+    // values plus the algebraic absent-value remainder, staged
+    // HUGEINT products, one `//` at the end (mirrors the engine's
+    // DECIMAL(38,0) div). Null statuses are their own category
+    // (IS NOT DISTINCT FROM); null-QI rows excluded on both sides.
+    "privacy_t_closeness" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS qi_priority,
+        |         CAST(year(o_orderdate) AS BIGINT) AS qi_year,
+        |         o_orderstatus AS s
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        |), g AS MATERIALIZED (
+        |  SELECT s, count(*) AS nv FROM base GROUP BY 1
+        |), t AS (SELECT count(*) AS n FROM base
+        |), cs AS MATERIALIZED (
+        |  SELECT qi_priority, qi_year, s, count(*) AS ncv
+        |  FROM base GROUP BY 1, 2, 3
+        |), cls AS (
+        |  SELECT qi_priority, qi_year, CAST(sum(ncv) AS BIGINT) AS class_size
+        |  FROM cs GROUP BY 1, 2
+        |), dev AS (
+        |  SELECT cs.qi_priority, cs.qi_year, cls.class_size, t.n,
+        |    sum(abs(cs.ncv::HUGEINT * t.n - g.nv::HUGEINT * cls.class_size))
+        |      AS dev_present,
+        |    sum(g.nv) AS nv_present
+        |  FROM cs
+        |  JOIN g ON cs.s IS NOT DISTINCT FROM g.s
+        |  JOIN cls ON cs.qi_priority = cls.qi_priority
+        |          AND cs.qi_year = cls.qi_year, t
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT qi_priority, qi_year, class_size,
+        |  CAST(((dev_present + class_size::HUGEINT * (n - nv_present))
+        |          * 1000000)
+        |       // (2::HUGEINT * class_size * n) AS BIGINT) AS tvd_ppm,
+        |  CAST(((dev_present + class_size::HUGEINT * (n - nv_present))
+        |          * 1000000)
+        |       // (2::HUGEINT * class_size * n) AS BIGINT) <= 60000 AS meets_t
+        |FROM dev""".stripMargin,
 
     "quality_expectations" ->
       """WITH rc AS (

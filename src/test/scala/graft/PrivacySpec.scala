@@ -36,4 +36,43 @@ class PrivacySpec extends SparkSpec {
       Privacy.suppressBelowK(cust, quasi, k = 0)
     }
   }
+
+  test("tCloseness: exact ppm TVD on a constructed distribution") {
+    import spark.implicits._
+    // global: a=2, b=2 (n=4). class X = {a,a}: p=(1,0) vs (.5,.5)
+    // → TVD 0.5 = 500000 ppm; class Y = {b,b} symmetric.
+    val df = Seq(("X", "a"), ("X", "a"), ("Y", "b"), ("Y", "b"))
+      .toDF("qi", "s")
+    val audit = Privacy.tClosenessAudit(df, Seq(col("qi")), col("s"),
+      tPpm = 400000L)
+    val rows = audit.orderBy("qi").collect()
+    assert(rows.map(_.getAs[Long]("tvd_ppm")).toSeq === Seq(500000L, 500000L))
+    assert(rows.forall(!_.getAs[Boolean]("meets_t")))
+    assert(rows.forall(_.getAs[Long]("class_size") === 2L))
+    // identical distribution → TVD 0, meets any threshold
+    val uniform = Seq(("X", "a"), ("X", "b"), ("Y", "a"), ("Y", "b"))
+      .toDF("qi", "s")
+    val u = Privacy.tClosenessAudit(uniform, Seq(col("qi")), col("s"), 0L)
+    assert(u.where(col("tvd_ppm") =!= 0L || !col("meets_t")).isEmpty)
+  }
+
+  test("tCloseness: null sensitive is a category; null QI rows excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("X"), Option.empty[String]), (Some("X"), Option.empty[String]),
+      (Some("Y"), Some("a")), (Some("Y"), Some("a")),
+      (Option.empty[String], Some("a"))) // null QI: not a class
+      .toDF("qi", "s")
+    val audit = Privacy.tClosenessAudit(df, Seq(col("qi")), col("s"),
+      tPpm = 600000L)
+    val byQi = audit.collect().map(r =>
+      r.getAs[String]("qi") -> r.getAs[Long]("tvd_ppm")).toMap
+    assert(byQi.keySet === Set("X", "Y"), "null-QI row must not form a class")
+    // n=4 after exclusion: global null=2, a=2. X all-null: TVD .5
+    assert(byQi("X") === 500000L && byQi("Y") === 500000L)
+    assert(audit.where(col("class_size") =!= 2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessAudit(df, Seq(col("qi")), col("s"), tPpm = 2000000L)
+    }
+  }
 }
