@@ -89,6 +89,51 @@ object Privacy {
         col("tvd_ppm") :+ col("meets_t"): _*)
   }
 
+  /** Entropy l-diversity audit (Machanavajjhala et al., ICDE 2006 —
+    * the stricter form of the distinct-count check in
+    * [[kAnonymityAudit]]): a class passes when the Shannon entropy of
+    * its sensitive distribution is at least ln(l), so one dominant
+    * value cannot hide behind l-1 rare ones.
+    *
+    * Cross-engine arithmetic follows the DSIR quantized-log pattern:
+    * each (class, value) row contributes n_cv · floor(1e6·ln(n_c/n_cv))
+    * — an order-free BIGINT sum — and the verdict compares the
+    * UNDIVIDED sum against class_size · floor(1e6·ln(l)) (division-
+    * free, so no truncation seam). The reported `entropy_x1e6` is the
+    * integral division of that sum by class_size. Residual risk is a
+    * floor landing within one double ulp of an integer for some
+    * n_c/n_cv ratio — the documented DSIR boundary class, negligible
+    * at class-cardinality row counts.
+    *
+    * Null handling matches [[tClosenessAudit]]: a NULL sensitive
+    * value is a category of its own; NULL quasi-identifiers are
+    * excluded up front.
+    */
+  def entropyLDiversityAudit(df: DataFrame, quasi: Seq[Column],
+                             sensitive: Column, l: Int): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    val base0 = df.select((quasi :+ sensitive.as("__s")): _*)
+    val qiNames = base0.columns.dropRight(1).toSeq
+    val base = base0.where(qiNames.map(col(_).isNotNull).reduce(_ && _))
+    val threshold = math.floor(1e6 * math.log(l.toDouble)).toLong
+    base.groupBy(qiNames.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ncv"))
+      .withColumn("__nc",
+        sum(col("__ncv")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(qiNames.map(col): _*)))
+      .groupBy(qiNames.map(col) :+ col("__nc").as("class_size"): _*)
+      // per-term floor cast to LONG before the multiply: the sum is a
+      // plain BIGINT fold on both engines, order-free by construction
+      .agg(sum(col("__ncv") *
+        floor(lit(1e6) * log(col("__nc").cast("double") / col("__ncv")))
+          .cast("long")).as("__esum"))
+      .withColumn("entropy_x1e6", expr("__esum div class_size"))
+      .withColumn("meets_el", col("__esum") >= col("class_size") * threshold)
+      .select(qiNames.map(col) :+ col("class_size") :+
+        col("entropy_x1e6") :+ col("meets_el"): _*)
+  }
+
   /** Row-level suppression: keep only rows whose quasi-identifier
     * class has at least k members (the minimal-loss release of a
     * failing table: small classes are dropped, nothing is perturbed).

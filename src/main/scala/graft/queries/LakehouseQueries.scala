@@ -246,6 +246,19 @@ object LakehouseQueries {
         sensitive = col("c_acctbal"), k = 5, l = 3)
     }),
 
+    // Entropy l-diversity over the same (priority × year) classes:
+    // the stricter diversity form — Shannon entropy of the status
+    // distribution >= ln(l), so a dominant value can't hide behind
+    // rare ones. DSIR-pattern quantized logs (per-term BIGINT floor),
+    // division-free verdict.
+    "privacy_entropy_l" -> ((spark, dir) => {
+      import graft.operators.Privacy
+      Privacy.entropyLDiversityAudit(Tables.orders(spark, dir),
+        quasi = Seq(col("o_orderpriority").as("qi_priority"),
+          year(col("o_orderdate")).cast("long").as("qi_year")),
+        sensitive = col("o_orderstatus"), l = 2)
+    }),
+
     // t-closeness release gate over the orders table: per
     // (order priority × order year) class, the total-variation
     // distance between the class's status distribution and the global
@@ -539,6 +552,36 @@ object LakehouseQueries {
         |  count(DISTINCT c_acctbal) >= 3 AS meets_l
         |FROM customer
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same quantized-log fold: per-(class, value) BIGINT term
+    // ncv * floor(1e6 * ln(nc/ncv)), division-free verdict against
+    // class_size * floor(1e6 * ln(2)) = 693147.
+    "privacy_entropy_l" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS qi_priority,
+        |         CAST(year(o_orderdate) AS BIGINT) AS qi_year,
+        |         o_orderstatus AS s
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        |), cs AS MATERIALIZED (
+        |  SELECT qi_priority, qi_year, s, count(*) AS ncv
+        |  FROM base GROUP BY 1, 2, 3
+        |), cls AS (
+        |  SELECT qi_priority, qi_year, CAST(sum(ncv) AS BIGINT) AS class_size
+        |  FROM cs GROUP BY 1, 2
+        |), e AS (
+        |  SELECT cs.qi_priority, cs.qi_year, cls.class_size,
+        |    CAST(sum(cs.ncv *
+        |      CAST(floor(1000000.0 * ln(cls.class_size::DOUBLE / cs.ncv))
+        |           AS BIGINT)) AS BIGINT) AS esum
+        |  FROM cs JOIN cls ON cs.qi_priority = cls.qi_priority
+        |                  AND cs.qi_year = cls.qi_year
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT qi_priority, qi_year, class_size,
+        |  esum // class_size AS entropy_x1e6,
+        |  esum >= class_size * 693147 AS meets_el
+        |FROM e""".stripMargin,
 
     // Same exact integral TVD: per-class deviation over PRESENT
     // values plus the algebraic absent-value remainder, staged

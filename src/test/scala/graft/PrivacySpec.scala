@@ -37,6 +37,25 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("entropyLDiversity: uniform class meets ln(l), skewed class fails") {
+    import spark.implicits._
+    // X = {a,a,b,b}: H = ln 2 exactly → esum = 4·693147, meets l=2 at
+    // equality. Y = {a,a,a,b}: H ≈ 0.5623 < ln 2 → fails. Z single
+    // value: H = 0.
+    val df = Seq(("X", "a"), ("X", "a"), ("X", "b"), ("X", "b"),
+      ("Y", "a"), ("Y", "a"), ("Y", "a"), ("Y", "b"),
+      ("Z", "a"), ("Z", "a")).toDF("qi", "s")
+    val audit = Privacy.entropyLDiversityAudit(df, Seq(col("qi")), col("s"), l = 2)
+    val byQi = audit.collect().map(r => r.getAs[String]("qi") ->
+      (r.getAs[Long]("entropy_x1e6"), r.getAs[Boolean]("meets_el"))).toMap
+    assert(byQi("X") === ((693147L, true)))
+    assert(byQi("Z") === ((0L, false)))
+    assert(!byQi("Y")._2 && byQi("Y")._1 > 0L && byQi("Y")._1 < 693147L)
+    intercept[IllegalArgumentException] {
+      Privacy.entropyLDiversityAudit(df, Seq(col("qi")), col("s"), l = 1)
+    }
+  }
+
   test("tCloseness: exact ppm TVD on a constructed distribution") {
     import spark.implicits._
     // global: a=2, b=2 (n=4). class X = {a,a}: p=(1,0) vs (.5,.5)
