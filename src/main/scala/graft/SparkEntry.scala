@@ -24,13 +24,15 @@ object SparkEntry {
     * DuckDB side only. Centralized here so a future vector oracle
     * can't forget the mirror.
     */
-  def oracleSql: Map[String, String] =
-    (CoreQueries.oracles ++ RelationalQueries.oracles ++
+  private[graft] def rawOracles: Map[String, String] =
+    CoreQueries.oracles ++ RelationalQueries.oracles ++
       JoinQueries.oracles ++ AggWindowQueries.oracles ++
       ParityQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
       MultimodalQueries.oracles ++ StreamingQueries.oracles ++
-      TpchQueries.oracles ++ LakehouseQueries.oracles ++ SamplingQueries.oracles)
-      .view.mapValues(mirrorEmbeddingsQuarantine).toMap
+      TpchQueries.oracles ++ LakehouseQueries.oracles ++ SamplingQueries.oracles
+
+  def oracleSql: Map[String, String] =
+    rawOracles.view.mapValues(mirrorEmbeddingsQuarantine).toMap
 
   /** SQL keywords that can directly follow a table reference — an
     * identifier in this set is NOT an alias of the embeddings read.
@@ -53,16 +55,83 @@ object SparkEntry {
   private val embeddingsRef =
     """(?is)(\b(?:FROM|JOIN)\s+|,\s*)embeddings\b(?![.(])(\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?""".r
 
-  private def mirrorEmbeddingsQuarantine(sql: String): String = {
+  /** Clause keywords that, found first when scanning BACKWARDS from a
+    * comma match at the same paren depth, prove the comma is an
+    * expression list (SELECT list, GROUP/ORDER/PARTITION BY, SET,
+    * VALUES, …) rather than a FROM table list — so `SELECT a,
+    * embeddings` with a COLUMN named embeddings is never rewritten
+    * into a table subquery. `from` proves the opposite; everything
+    * else (aliases, AS, JOIN/ON/USING — which legally precede a
+    * comma that CONTINUES the FROM list — AND/OR inside ON
+    * conditions) keeps the scan going.
+    */
+  private val exprListKeywords: Set[String] = Set(
+    "select", "where", "by", "having", "when", "then", "else", "set",
+    "values", "limit", "offset", "over", "qualify", "returning", "in",
+    "case", "distinct", "all")
+
+  /** True iff position `pos` (the start of a `, embeddings` match)
+    * sits in a FROM-clause table list. Scans backwards tracking
+    * single-quote parity (string literals are opaque) and paren
+    * depth: identifiers are inspected only at depth 0 relative to the
+    * match; hitting the enclosing `(` before any deciding keyword
+    * means the comma lives in a parenthesized expression list
+    * (function args, IN list, row constructor) — not a table list.
+    */
+  private[graft] def inFromTableList(sql: String, pos: Int): Boolean = {
+    // pre-compute string-literal parity up to each index so the
+    // backward scan can skip literal content (quotes pair up; the ''
+    // escape toggles twice, leaving parity consistent)
+    var i = pos - 1
+    var depth = 0
+    val word = new StringBuilder
+    def flush(): Option[Boolean] = {
+      if (word.isEmpty) return None
+      val w = word.reverse.toString.toLowerCase
+      word.clear()
+      if (w == "from") Some(true)
+      else if (exprListKeywords.contains(w)) Some(false)
+      else None
+    }
+    while (i >= 0) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        flush() match { case Some(v) => return v; case None => }
+        // skip the literal: scan to its opening quote (handles the
+        // doubled-quote escape by landing on a quote and re-entering)
+        i -= 1
+        while (i >= 0 && sql.charAt(i) != '\'') i -= 1
+      } else if (depth == 0 && (c.isLetterOrDigit || c == '_')) {
+        word.append(c)
+      } else {
+        flush() match { case Some(v) => return v; case None => }
+        if (c == ')') depth += 1
+        else if (c == '(') {
+          if (depth == 0) return false // enclosing paren: expr list
+          depth -= 1
+        }
+      }
+      i -= 1
+    }
+    flush().getOrElse(false)
+  }
+
+  private[graft] def mirrorEmbeddingsQuarantine(sql: String): String = {
     val sub = s"(SELECT * FROM embeddings WHERE ${graft.core.Tables.embeddingsAdmissibleSql})"
     // Rewrite on table-reference boundaries (FROM / JOIN / comma), not
     // raw text: a `JOIN embeddings e` read must hit the quarantine just
     // like `FROM embeddings`, or a corrupt row entering through the
     // join side silently diverges from the engine. Aliased reads keep
     // their alias; bare reads keep the table name as the subquery
-    // alias so column references resolve unchanged.
+    // alias so column references resolve unchanged. The comma form is
+    // additionally context-gated: a comma-preceded `embeddings` in a
+    // SELECT list / GROUP BY / function args is a COLUMN reference and
+    // must pass through untouched ([[inFromTableList]]).
     embeddingsRef.replaceAllIn(sql, m => {
       val prefix = m.group(1)
+      if (prefix.startsWith(",") && !inFromTableList(sql, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
       val alias = Option(m.group(3)).filterNot(a =>
         postTableKeywords.contains(a.toLowerCase))
       val tail = alias match {
@@ -70,6 +139,7 @@ object SparkEntry {
         case None    => " embeddings" + Option(m.group(2)).getOrElse("")
       }
       scala.util.matching.Regex.quoteReplacement(s"$prefix$sub$tail")
+      }
     })
   }
 }

@@ -63,23 +63,34 @@ object EntityResolution {
          |    cast((i + 1) * $len / $nSeg as int)
          |      - cast(i * $len / $nSeg as int)))""".stripMargin)
 
-  /** Largest segment count in [k+1, 4·(k+1)] whose key fan-out
-    * C(nSeg, k) stays <= 64 — more segments means each band key keeps
-    * more of the string (higher entropy, smaller buckets) at the cost
-    * of more keys per row.
+  /** Largest segment count in [k+1, min(4·(k+1), 64)] whose key
+    * fan-out C(nSeg, k) stays <= 64 — more segments means each band
+    * key keeps more of the string (higher entropy, smaller buckets)
+    * at the cost of more keys per row. The search is clamped to 64 so
+    * the auto pick can never violate [[bandedHammingPairs]]'s own
+    * `segs <= 64` require: the k+1 fallback (the classic
+    * one-segment-per-band scheme, fan-out C(k+1, k) = k+1) satisfies
+    * both requires for every k the operator's maxDist guard admits.
     */
   private def defaultSegments(k: Int): Int =
-    (4 * (k + 1) to (k + 1) by -1)
+    (math.min(4 * (k + 1), 64) to (k + 1) by -1)
       .find(n => binomial(n, k) <= 64).getOrElse(k + 1)
 
   /** C(n, k) for the fan-out guards, saturating far above the 256
     * bound so no intermediate product can overflow Long (n <= 64
     * enforced by callers; below the cap each stage is an exact
-    * integer by the multiplicative identity).
+    * integer by the multiplicative identity). Computed over
+    * min(k, n−k) by symmetry: the incremental product RISES through
+    * the middle coefficients before falling, so without the symmetry
+    * a small true value like C(44, 43) = 44 would freeze at the
+    * saturated mid-way peak and overestimate by orders of magnitude.
     */
-  private def binomial(n: Int, k: Int): Long =
-    (1 to k).foldLeft(1L)((acc, i) =>
+  private def binomial(n: Int, k: Int): Long = {
+    val kk = math.min(k, n - k)
+    if (kk < 0) 0L
+    else (1 to kk).foldLeft(1L)((acc, i) =>
       if (acc > (1L << 40)) acc else acc * (n - i + 1) / i)
+  }
 
   /** The SCALE form of fuzzy matching for substitution-style noise:
     * split each name into `nSeg` segments and emit one band key per
@@ -113,6 +124,12 @@ object EntityResolution {
                          blockCols: Seq[String], maxDist: Int,
                          nSeg: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // segs > k and segs <= 64 are jointly unsatisfiable past k = 63,
+    // so reject the regime up front with the honest message instead
+    // of letting the fan-out require fail confusingly downstream
+    require(maxDist < 64,
+      s"bandedHammingPairs needs nSeg > maxDist and nSeg <= 64; " +
+        s"maxDist = $maxDist is outside the operator's envelope")
     val k = maxDist
     val segs = if (nSeg > 0) nSeg else defaultSegments(k)
     require(segs > k, s"need more segments ($segs) than edits ($k)")
@@ -179,6 +196,16 @@ object EntityResolution {
   def passJoinPairs(df: DataFrame, idCol: String, nameCol: String,
                     blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // Probe fan-out is (2k+1 lengths) x (k+1 segments) x (2k+1
+    // shifts) keys per row before the window filter — O(k^3). Make
+    // the envelope a stated contract (mirroring the Hamming form's
+    // C(nSeg, k) <= 256 guard): k = 5 is ~726 keys/row, already far
+    // past the k <= 3 record-linkage regime; k = 10 would be ~4851.
+    require(maxDist <= 5,
+      s"passJoinPairs probe fan-out is O(maxDist^3) keys/row " +
+        s"(~${(2 * maxDist + 1) * (maxDist + 1) * (2 * maxDist + 1)} at " +
+        s"maxDist = $maxDist); the operator's envelope is maxDist <= 5 — " +
+        "block coarser or switch to MinHash/LSH for looser matching")
     val k = maxDist
     val nSeg = k + 1
     val base = df.select(

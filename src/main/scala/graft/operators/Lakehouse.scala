@@ -14,6 +14,25 @@ import graft.core.GraftSession.LineageOps
   */
 object Lakehouse {
 
+  /** Filesystem schemes whose create-if-absent is genuinely atomic —
+    * the set the writer lock is sound on. Object stores (s3a, gs,
+    * abfs, oss, …) give read-after-write consistency but NOT an
+    * atomic exclusive create, so a marker there is advisory only; the
+    * acquisition refuses those schemes unless the deployment opts in
+    * with `graft.lock.force=true` (settable as
+    * `spark.hadoop.graft.lock.force`), surfacing the caveat at call
+    * time instead of in a comment.
+    */
+  private[graft] val AtomicCreateSchemes: Set[String] =
+    Set("file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** True when the writer lock is sound (or explicitly forced) on
+    * this scheme — factored out so the policy is unit-testable
+    * without instantiating an object-store connector.
+    */
+  private[graft] def lockSchemeOk(scheme: String, force: Boolean): Boolean =
+    force || AtomicCreateSchemes.contains(scheme.toLowerCase)
+
   /** Writer-lock marker for the rename-swap protocols
     * ([[compact]], [[compactPartitioned]], [[evolvePartitionSpec]],
     * [[writeAuditPublish]]): created atomically (create-if-absent) as
@@ -21,27 +40,84 @@ object Lakehouse {
     * when the swap finishes. A concurrent second writer fails loudly
     * at acquisition instead of mistaking the swap's brief
     * read-unavailability window for a crash and racing the publisher
-    * through the `__old` restore branch. A writer that CRASHES inside
-    * the critical section leaves the marker behind: later callers
-    * keep failing (the message carries the marker path) until an
-    * operator confirms no writer is alive and deletes it — only then
-    * does the protocol's existing `__old` self-heal run. On object
-    * stores without atomic create the marker is best-effort, as is
-    * every file-based lock.
+    * through the `__old` restore branch.
+    *
+    * The marker carries the holder's identity and acquisition
+    * timestamp (host, pid, epoch millis — written AFTER the atomic
+    * create, by the owner, so acquisition atomicity is untouched), so
+    * a failed acquirer's error message names who holds it and since
+    * when. A writer that CRASHES inside the critical section leaves
+    * the marker behind: by default later callers keep failing until
+    * an operator confirms no writer is alive and deletes it — only
+    * then does the protocol's existing `__old` self-heal run.
+    * Deployments that prefer availability can set
+    * `graft.lock.stale.ms=N` (`spark.hadoop.graft.lock.stale.ms`): an
+    * acquirer finding a marker older than N ms deletes it and retries
+    * ONCE. Stale reclaim is inherently racy between two simultaneous
+    * reclaimers (no compare-and-swap in a filesystem API); N should
+    * comfortably exceed the longest swap, and the reclaim is logged
+    * to stderr so the operator trail survives.
+    *
+    * Schemes without atomic create-if-absent are refused up front —
+    * see [[AtomicCreateSchemes]].
     */
   private def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                conf: org.apache.hadoop.conf.Configuration,
                                 dir: String, op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__lock")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (!lockSchemeOk(scheme, conf.getBoolean("graft.lock.force", false)))
+      throw new IllegalStateException(
+        s"$op: filesystem scheme '$scheme' has no atomic create-if-absent, " +
+          "so the writer lock would be advisory only; set " +
+          "spark.hadoop.graft.lock.force=true to accept best-effort " +
+          "locking, or run rename-swap maintenance on an HDFS-semantics " +
+          "filesystem")
+    val staleMs = conf.getLong("graft.lock.stale.ms", -1L)
     // createNewFile returns false when the marker exists; a genuine
     // I/O error (permissions, connection reset) PROPAGATES — mapping
     // it to "lock held" would send an operator hunting for a phantom
     // crashed writer instead of surfacing the real failure.
-    if (!fs.createNewFile(lock))
+    def acquire(): Boolean = fs.createNewFile(lock)
+    def holderInfo(): String =
+      try {
+        val st = fs.getFileStatus(lock)
+        val in = fs.open(lock)
+        val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+        val who = if (id.nonEmpty) id else "<no identity written yet>"
+        s"held by $who (marker mtime ${st.getModificationTime})"
+      } catch { case _: java.io.IOException => "held (holder unreadable)" }
+    var acquired = acquire()
+    if (!acquired && staleMs > 0) {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age > staleMs) {
+        System.err.println(
+          s"[graft] $op: reclaiming stale writer lock $lock " +
+            s"(age ${age}ms > graft.lock.stale.ms=$staleMs; ${holderInfo()})")
+        try fs.delete(lock, false)
+        catch { case _: java.io.FileNotFoundException => }
+        acquired = acquire()
+      }
+    }
+    if (!acquired)
       throw new java.util.ConcurrentModificationException(
-        s"$op: writer lock $lock is held — another swap is in flight on " +
-          "this table (or a crashed writer left the marker; verify no " +
-          "writer is alive, then delete the marker to let the __old " +
-          "self-heal run)")
+        s"$op: writer lock $lock is ${holderInfo()} — another swap is in " +
+          "flight on this table (or a crashed writer left the marker; " +
+          "verify no writer is alive, then delete the marker — or set " +
+          "graft.lock.stale.ms — to let the __old self-heal run)")
+    // we own the marker now; stamping identity over our own empty file
+    // is safe and makes the next contender's error message actionable
+    try {
+      val out = fs.create(lock, true)
+      try out.write(
+        (s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+          s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
+          .getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* identity is best-effort */ }
     var primary: Throwable = null
     try body
     catch { case t: Throwable => primary = t; throw t }
@@ -143,7 +219,7 @@ object Lakehouse {
     val target = new Path(dir)
     val staging = new Path(target.getParent, "." + target.getName + "__wap_staging")
     val retired = new Path(target.getParent, "." + target.getName + "__wap_old")
-    withWriterLock(fs, dir, "WAP") {
+    withWriterLock(fs, spark.sparkContext.hadoopConfiguration, dir, "WAP") {
       fs.delete(staging, true)
       df.write.parquet(staging.toString)
       // materialize BEFORE any rename — the lazy plan reads staging,
@@ -365,7 +441,7 @@ object Lakehouse {
     require(newPartitionCols.nonEmpty, "new partition spec must be non-empty")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withWriterLock(fs, dir, "evolve") {
+    withWriterLock(fs, spark.sparkContext.hadoopConfiguration, dir, "evolve") {
       val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
       if (!fs.exists(path) && fs.exists(crashBackup) &&
           !fs.rename(crashBackup, path))
@@ -396,7 +472,7 @@ object Lakehouse {
                 org.apache.spark.sql.DataFrame] = None): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withWriterLock(fs, dir, "compact") {
+    withWriterLock(fs, spark.sparkContext.hadoopConfiguration, dir, "compact") {
       val crashBackup = new org.apache.hadoop.fs.Path(dir + "__old")
       if (!fs.exists(path) && fs.exists(crashBackup) &&
           !fs.rename(crashBackup, path))
@@ -510,7 +586,7 @@ object Lakehouse {
     // between that leaf's two renames would otherwise strand the table
     // in `.root__old` with every later call failing the existence
     // require below.
-    withWriterLock(fs, root, "compactPartitioned") {
+    withWriterLock(fs, spark.sparkContext.hadoopConfiguration, root, "compactPartitioned") {
     val rootBackup = new Path(rootPath.getParent, "." + rootPath.getName + "__old")
     if (!fs.exists(rootPath) && fs.exists(rootBackup) &&
         !fs.rename(rootBackup, rootPath))

@@ -87,4 +87,26 @@ class ErSpec extends SparkSpec {
       tiny, "id", "nm", Seq("blk"), maxDist = 2)
     assert(quad.exceptAll(passed).isEmpty && passed.exceptAll(quad).isEmpty)
   }
+
+  test("envelope guards: passJoin k<=5, banded k<64, auto nSeg self-consistent") {
+    val cust = Tables.customer(spark, sfDir).limit(0)
+    // passJoin probe fan-out is O(k^3) keys/row: the envelope is a
+    // stated contract (verdict r13 task 7), not an implicit cost cliff
+    val e1 = intercept[IllegalArgumentException] {
+      EntityResolution.passJoinPairs(cust, "c_custkey", "c_name", blocks, maxDist = 6)
+    }
+    assert(e1.getMessage.contains("maxDist <= 5"), e1.getMessage)
+    // banded: nSeg > k and nSeg <= 64 are unsatisfiable past k = 63 —
+    // reject up front with the honest message (advice r13)
+    val e2 = intercept[IllegalArgumentException] {
+      EntityResolution.bandedHammingPairs(cust, "c_custkey", "c_name", blocks, maxDist = 64)
+    }
+    assert(e2.getMessage.contains("envelope"), e2.getMessage)
+    // the auto segment pick must satisfy its own requires at EVERY
+    // admissible k (the k+1 fallback used to violate segs <= 64 when
+    // the clamp was missing) — plan construction runs the requires
+    (0 until 64).foreach { k =>
+      EntityResolution.bandedHammingPairs(cust, "c_custkey", "c_name", blocks, maxDist = k)
+    }
+  }
 }
