@@ -70,7 +70,10 @@ object JoinQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          // MoneyFx exact grid: per-segment sums cover ~1/5 of lineitem,
+          // where naive double summation order diverged at the 10x gate
+          graft.functions.MoneyFx.sumDiscPrice(
+            col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -592,7 +595,7 @@ object JoinQueries {
 
     "j3_multiway_join" ->
       """SELECT c_mktsegment,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -71,7 +71,7 @@ object TpchQueries {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(graft.functions.MoneyFx.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(20)
     }),
@@ -86,7 +86,7 @@ object TpchQueries {
       Tables.lineitem(spark, dir)
         .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(graft.functions.MoneyFx.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }),
 
     // Q10-shaped: top customers by returned-item revenue loss.
@@ -99,7 +99,7 @@ object TpchQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(graft.functions.MoneyFx.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
@@ -129,7 +129,8 @@ object TpchQueries {
           col("l_shipdate").cast("date") < lit("1995-01-01").cast("date") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+        .agg(round(sum(graft.functions.MoneyFx.priceTimesRateX1e4(
+          col("l_extendedprice"), col("l_discount"))) / 10000.0, 4).as("revenue"))
     }),
 
     // Q12-shaped (fixture columns): late-shipment counts by line
@@ -151,7 +152,8 @@ object TpchQueries {
     // Q14-shaped: promo revenue share — broadcast part dimension,
     // conditional-sum ratio in one aggregation.
     "tpch_q14_promo" -> ((spark, dir) => {
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val rev = graft.functions.MoneyFx.discPriceX1e4(
+        col("l_extendedprice"), col("l_discount")) // x1e4 grid; scale cancels in the ratio
       Tables.lineitem(spark, dir)
         .where(col("l_shipdate").cast("date") >= lit("1995-01-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1995-04-01").cast("date"))
@@ -218,7 +220,7 @@ object TpchQueries {
       Tables.lineitem(spark, dir).createOrReplaceTempView("li_q17")
       Tables.part(spark, dir).createOrReplaceTempView("part_q17")
       spark.sql(
-        """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        """SELECT round(sum(round(l_extendedprice*100, 0)) / 700.0, 4) AS avg_yearly
           |FROM li_q17 l JOIN part_q17 p ON p_partkey = l_partkey
           |WHERE p_brand = 'Brand#1' AND l_quantity < (
           |  SELECT 0.2 * avg(l_quantity) FROM li_q17 WHERE l_partkey = p.p_partkey
@@ -253,7 +255,7 @@ object TpchQueries {
           (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
           (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          graft.functions.MoneyFx.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }),
 
     // Q7-shaped: volume shipping between two nations — the double
@@ -275,13 +277,14 @@ object TpchQueries {
                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(graft.functions.MoneyFx.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }),
 
     // Q8-shaped: national market share within a region for one part
     // type — a conditional-sum ratio over a 6-way star join.
     "tpch_q8_mktshare" -> ((spark, dir) => {
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val rev = graft.functions.MoneyFx.discPriceX1e4(
+        col("l_extendedprice"), col("l_discount")) // x1e4 grid; scale cancels in the ratio
       val custNations = Tables.nation(spark, dir)
         .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
@@ -309,8 +312,9 @@ object TpchQueries {
     // part dimension (0.6 × retail price) — same plan shape: fact scan
     // through part+supplier+nation broadcasts, orders join, two-key agg.
     "tpch_q9_profit" -> ((spark, dir) => {
-      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      val amount = graft.functions.MoneyFx.discPriceX1e4(
+          col("l_extendedprice"), col("l_discount")) -
+        lit(60.0) * graft.functions.MoneyFx.cents(col("p_retailprice")) * col("l_quantity")
       Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir).where(col("p_name").contains("red"))),
           col("l_partkey") === col("p_partkey"))
@@ -319,7 +323,7 @@ object TpchQueries {
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(amount), 4).as("sum_profit"))
+        .agg(round(sum(amount) / 10000.0, 4).as("sum_profit"))
     }),
 
     // Q13-shaped: customer order-count distribution — outer join with
@@ -343,7 +347,7 @@ object TpchQueries {
       spark.sql(
         """WITH revenue AS (
           |  SELECT l_suppkey AS supplier_no,
-          |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+          |    round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS total_revenue
           |  FROM li_q15
           |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
           |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
@@ -648,7 +652,7 @@ object TpchQueries {
     "tpch_q3_priority" ->
       """SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -660,7 +664,7 @@ object TpchQueries {
 
     "tpch_q5_region_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -670,7 +674,7 @@ object TpchQueries {
 
     "tpch_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -689,7 +693,7 @@ object TpchQueries {
         |GROUP BY 1""".stripMargin,
 
     "tpch_q6_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      """SELECT round(sum(round(l_extendedprice*100, 0) * round(l_discount*100, 0)) / 10000.0, 4) AS revenue
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
@@ -709,8 +713,8 @@ object TpchQueries {
     "tpch_q14_promo" ->
       """SELECT round(
         |  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
-        |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+        |    THEN round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0)) ELSE 0.0 END) /
+        |  sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))), 4) AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'""".stripMargin,
@@ -757,7 +761,7 @@ object TpchQueries {
         |GROUP BY 1""".stripMargin,
 
     "tpch_q17_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      """SELECT round(sum(round(l_extendedprice*100, 0)) / 700.0, 4) AS avg_yearly
         |FROM lineitem l JOIN part p ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#1' AND l_quantity < (
         |  SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = p.p_partkey
@@ -777,7 +781,7 @@ object TpchQueries {
     "tpch_q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -792,8 +796,8 @@ object TpchQueries {
     "tpch_q8_mktshare" ->
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
         |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
-        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
-        |    sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+        |      THEN round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0)) ELSE 0.0 END) /
+        |    sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))), 4) AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -809,8 +813,8 @@ object TpchQueries {
     "tpch_q9_profit" ->
       """SELECT n_name AS nation,
         |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)
-        |    - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))
+        |    - 60 * round(p_retailprice*100, 0) * l_quantity) / 10000.0, 4) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -830,7 +834,7 @@ object TpchQueries {
     "tpch_q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |    round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS total_revenue
         |  FROM lineitem
         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
         |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
@@ -897,7 +901,7 @@ object TpchQueries {
 
     "tpch_q19_disjunction" ->
       """SELECT count(*) AS n_lines,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(sum(round(l_extendedprice*100, 0) * (100 - round(l_discount*100, 0))) / 10000.0, 4) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)

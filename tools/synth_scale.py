@@ -14,10 +14,23 @@ Replicates documents / embeddings / events K times with id shifts:
 - events: event_id and user_id shifted per copy — per-user event
   density stays constant, user count grows 10x.
 
-Deliberately NOT synthesized: the TPC-H tables (FK structure cannot be
-replicated by id shifts without breaking join semantics) and any
-constant-density geography (geo coordinates are event_id-mod-derived
-fixtures; see docs/SCALE.md).
+The TPC-H FACT tier (orders, lineitem) scales K times too — verdict
+r13 task 1: a copied-unscaled relational tier left the 22 TPC-H
+queries and the join family "10x-proven" at 1x. Congruence-class
+synthesis keeps every FK in-domain:
+- orders: o_orderkey shifted per copy; o_custkey ROTATED per copy
+  (bijective +k*6151 mod |customer|) so copies aren't per-customer
+  duplicates and aggregates aren't a degenerate exact-K multiple.
+- lineitem: l_orderkey shifted by the SAME offset (orders<->lineitem
+  join preserved); l_partkey / l_suppkey unchanged — the realistic
+  shape where the same catalog serves K times the order volume, and
+  the synthesized partsupp (part x supplier congruence, independent
+  of lineitem) stays consistent.
+Dimensions (customer, part, supplier, nation, region) stay unscaled:
+dims grow slower than facts, and every fact FK must stay in-domain.
+
+Deliberately NOT synthesized: constant-density geography (geo
+coordinates are event_id-mod-derived fixtures; see docs/SCALE.md).
 """
 import duckdb, os, sys
 
@@ -61,3 +74,29 @@ synth("events", f"""
          e.event_type, e.value, e.props
   FROM {ev} e, (SELECT unnest(range({K})) AS k) k, m
   ORDER BY 1""")
+
+ords = f"read_parquet('{src}/orders.parquet')"
+synth("orders", f"""
+  WITH m AS (SELECT max(o_orderkey) + 1 AS ooff FROM {ords}),
+       c AS (SELECT count(*) AS nc FROM read_parquet('{src}/customer.parquet'))
+  SELECT o.o_orderkey + k.k * m.ooff AS o_orderkey,
+         (o.o_custkey + k.k * 6151) % c.nc AS o_custkey,
+         o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority
+  FROM {ords} o, (SELECT unnest(range({K})) AS k) k, m, c
+  ORDER BY 1""")
+
+li = f"read_parquet('{src}/lineitem.parquet')"
+synth("lineitem", f"""
+  WITH m AS (SELECT max(o_orderkey) + 1 AS ooff FROM {ords})
+  SELECT l.l_orderkey + k.k * m.ooff AS l_orderkey,
+         l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+         l.l_extendedprice, l.l_discount, l.l_tax,
+         l.l_returnflag, l.l_linestatus, l.l_shipdate
+  FROM {li} l, (SELECT unnest(range({K})) AS k) k, m
+  ORDER BY 1""")
+
+# dimensions ride along unscaled so the corpus is complete in one run
+import shutil
+for t in ["region", "nation", "customer", "supplier", "part"]:
+    shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    print(f"{t}: copied unscaled (dimension)")
