@@ -359,10 +359,11 @@ object JoinQueries {
     // Link prediction over the co-purchase graph: score NON-edges by
     // common-neighbor count, fixed-point Jaccard, and Adamic-Adar —
     // GraphRank.linkPrediction. Wedge enumeration is Σ deg(v)² over
-    // middle vertices — kept sane here by the support >= 2 edge
-    // threshold, so the raw-crawl hub cap (maxMiddleDegree) stays
-    // disengaged and the oracle replays the FULL wedge set; the
-    // cap's exclusion semantics are spec-pinned in GraphRankSpec.
+    // middle vertices — kept sane here by coPurchaseEdges' RELATIVE
+    // support threshold (density is scale-stable by construction), so
+    // the raw-crawl hub cap (maxMiddleDegree) stays disengaged and
+    // the oracle replays the FULL wedge set; the cap's exclusion
+    // semantics are spec-pinned in GraphRankSpec.
     "graph_link_prediction" -> ((spark, dir) => {
       import graft.operators.GraphRank
       // coPurchaseEdges is pair-aggregated with a < b by construction
@@ -516,19 +517,34 @@ object JoinQueries {
   private val RwSeedMod = 5
   private val RwSteps = 4
 
-  /** Part co-purchase edges: id-ordered part pairs sharing >= 2 orders.
-    * The order-key equi-join runs at lineitem cardinality; the group-by
-    * collapses to pair cardinality before any graph work. */
+  /** Part co-purchase edges: id-ordered part pairs whose co-occurrence
+    * meets RELATIVE support `max(2, nBaskets div 75000)` — support as
+    * a fraction of baskets, the a-priori-standard definition. The
+    * round-14 10× relational gate showed why an absolute `c >= 2`
+    * is a scale bug: basket count grows with the corpus while the
+    * part catalog stays fixed, so expected pair co-occurrence grows
+    * LINEARLY and a fixed threshold saturates — at 10× the graph went
+    * 3.9k → 1.2M edges (max degree 10 → 222) and every downstream
+    * wedge/triangle enumeration inherited a ~25,000× blowup. The
+    * relative threshold keeps graph DENSITY scale-stable (at 10× it
+    * reproduces the sf0.1 edge set exactly); at sf0.1 and below it
+    * evaluates to the original 2, so gate-tier results are unchanged.
+    * nBaskets is a single-row pre-plan aggregate (the
+    * basket_association_rules pattern), never a corpus collect.
+    * The order-key equi-join runs at lineitem cardinality; the
+    * group-by collapses to pair cardinality before any graph work. */
   private def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    val nBaskets = li.select("l_orderkey").distinct().count() // scalar, pre-plan
+    val minSup = math.max(2L, nBaskets / 75000L)
     li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
       .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2)
+      .where(col("c") >= minSup)
       .select(col("a"), col("b"))
   }
 
@@ -902,16 +918,24 @@ object JoinQueries {
     head + rounds + s"\nSELECT node, rank FROM r$iters"
   }
 
-  // Shared edge CTE for the graph_triangles / graph_kcore oracles:
-  // id-ordered part pairs with >= 2 supporting orders, mirroring
-  // coPurchaseEdges exactly (the group-by makes pairs distinct).
-  private lazy val coPurchaseCte: String =
-    """pp AS MATERIALIZED (
-      |  SELECT x.l_partkey AS a, y.l_partkey AS b
-      |  FROM lineitem x JOIN lineitem y
-      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 2
-      |)""".stripMargin
+  // Shared edge CTE for the graph-family oracles: id-ordered part
+  // pairs at RELATIVE support max(2, nBaskets div 75000), mirroring
+  // coPurchaseEdges exactly (the group-by makes pairs distinct; the
+  // scalar subquery mirrors the engine's pre-plan basket count).
+  // Name-parameterized because modularitySql needs a second copy in
+  // a scope where labelpropSql already binds `pp` — every copy MUST
+  // come from here so the support threshold can never fork (a
+  // hand-inlined `>= 2` twin is exactly how the round-14 relative-
+  // support fix briefly broke graph_modularity at the 10× tier).
+  private def coPurchaseCteNamed(name: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= greatest(2,
+       |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) // 75000)
+       |)""".stripMargin
+  private lazy val coPurchaseCte: String = coPurchaseCteNamed("pp")
 
   // Twin of GraphRank.triangleCounts: the oracle enumerates each
   // triangle once via the id-ordered a<b<c three-way self-join (edges
@@ -962,12 +986,7 @@ object JoinQueries {
   private lazy val modularitySql: String =
     s"""WITH lab AS MATERIALIZED (
        |  SELECT node, label FROM ($labelpropSql)
-       |), pp2 AS MATERIALIZED (
-       |  SELECT x.l_partkey AS a, y.l_partkey AS b
-       |  FROM lineitem x JOIN lineitem y
-       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-       |  GROUP BY 1, 2 HAVING count(*) >= 2
-       |), m AS (
+       |), ${coPurchaseCteNamed("pp2")}, m AS (
        |  SELECT count(*) AS m FROM pp2
        |), intra AS (
        |  SELECT la.label, count(*) AS intra_edges
