@@ -530,14 +530,23 @@ object JoinQueries {
     * reproduces the sf0.1 edge set exactly); at sf0.1 and below it
     * evaluates to the original 2, so gate-tier results are unchanged.
     * nBaskets is a single-row pre-plan aggregate (the
-    * basket_association_rules pattern), never a corpus collect.
+    * basket_association_rules pattern), never a corpus collect —
+    * and it is MEMOIZED per input dir: eight graph queries share this
+    * helper, and the basket count is a corpus constant, so paying the
+    * distinct-count job once per JVM instead of once per query
+    * construction is free sharing (assumes raw input dirs are
+    * immutable within a session, which every gate/bench corpus is;
+    * mutable lakehouse tables go through their own read paths).
     * The order-key equi-join runs at lineitem cardinality; the
     * group-by collapses to pair cardinality before any graph work. */
+  private val nBasketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val nBaskets = li.select("l_orderkey").distinct().count() // scalar, pre-plan
+    val nBaskets: Long = nBasketsMemo.computeIfAbsent(dir,
+      _ => li.select("l_orderkey").distinct().count()) // scalar, pre-plan
     val minSup = math.max(2L, nBaskets / 75000L)
     li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
