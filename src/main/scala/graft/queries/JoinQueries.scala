@@ -374,24 +374,32 @@ object JoinQueries {
 
     // Market-basket association rules (support/confidence/lift — the
     // a-priori first round): distinct (order, part) items, id-ordered
-    // within-basket pairs at support >= 2, confidence and lift in
-    // integer fixed-point. Lift is computed as staged integral
-    // divisions ((c_xy·1e6 div c_ant)·N div c_cons) so no
-    // intermediate exceeds ~1e16 even at 1e10 baskets — the oracle
-    // mirrors the same order. Scale: pair work is Σ basket² (baskets
-    // are order-sized, bounded), both count tables are map-side
-    // combinable, and only the top-20 rules leave the cluster.
+    // within-basket pairs at RELATIVE support max(2, nBaskets div
+    // 75000) — support as a fraction of baskets, the a-priori
+    // definition (the same scale rule as coPurchaseEdges: an absolute
+    // count threshold on a statistic whose expectation grows with
+    // basket volume stops filtering at scale; here the candidate SET
+    // is bounded by catalog² either way, but the rule set itself
+    // should be scale-stable, and at 10× the relative form reproduces
+    // the sf0.1 rules exactly). Confidence and lift in integer fixed
+    // point: staged integral divisions ((c_xy·1e6 div c_ant)·N div
+    // c_cons) so no intermediate exceeds ~1e16 even at 1e10 baskets —
+    // the oracle mirrors the same order. Scale: pair work is Σ
+    // basket² (baskets are order-sized, bounded), both count tables
+    // are map-side combinable, only the top-20 rules leave the
+    // cluster.
     "basket_association_rules" -> ((spark, dir) => {
       val items = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val nBaskets = items.select("ok").distinct().count() // scalar, pre-plan
+      val minSup = math.max(2L, nBaskets / 75000L)
       val cx = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
       items.as("x").join(items.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("ant"), col("y.pk").as("cons"))
         .agg(count(lit(1)).as("c_xy"))
-        .where(col("c_xy") >= 2)
+        .where(col("c_xy") >= minSup)
         .join(cx.select(col("pk").as("ant"), col("c").as("c_ant")), "ant")
         .join(cx.select(col("pk").as("cons"), col("c").as("c_cons")), "cons")
         .withColumn("conf_x1e6", expr("(c_xy * 1000000) div c_ant"))
@@ -763,7 +771,8 @@ object JoinQueries {
         |), p AS (
         |  SELECT x.pk AS ant, y.pk AS cons, count(*) AS c_xy
         |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= greatest(2, (SELECT n FROM nb) // 75000)
         |)
         |SELECT ant, cons, CAST(c_xy AS BIGINT) AS c_xy,
         |  CAST((c_xy * 1000000) // a.c AS BIGINT) AS conf_x1e6,
