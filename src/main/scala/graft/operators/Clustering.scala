@@ -80,23 +80,29 @@ object Clustering {
     * (idCol, cluster BIGINT, qdist BIGINT) where qdist is the exact
     * quantized squared L2 distance to the winning centroid.
     */
-  /** Exact quantized squared-L2 distance to one centroid literal. */
-  private def sqDist(qCol: Column, c: Array[Long]): Column =
-    aggregate(zip_with(qCol, array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
-
   /** Zero-shuffle argmin assignment against driver-held labeled
     * centroids: winner = lexicographic min over (dist, label) — exact
-    * integer distances, total tie-break, all inside whole-stage
-    * codegen. Input must carry (idC, qC); output appends
-    * (cluster, qdist).
+    * integer distances, total tie-break. Input must carry (idC, qC);
+    * output appends (cluster, qdist).
+    *
+    * The whole argmin is ONE native expression
+    * ([[graft.expressions.KmeansArgmin]]) holding the centroid matrix
+    * as a constant. Two separate costs forced that design, both
+    * measured on the 10× tier at k = 64 (the scale-relative-k SemDeDup
+    * regime): (1) the unrolled k-branch expression tree is O(k·dim)
+    * nodes and Catalyst RE-ANALYZES it every Lloyd round (fresh
+    * centroid literals each round) — ~2.5 s of driver planning per
+    * round; (2) the higher-order form (transform/zip_with/aggregate)
+    * evaluates an interpreted lambda per element — ~100 µs/row, i.e.
+    * a lambda-bound scan. The native kernel is a fused codegen'd loop:
+    * O(1) plan nodes, ~1 µs/row, same integer ops and tie-break, so
+    * the DuckDB kmeans-CTE twins stay bit-identical.
     */
   private def argminAssign(q: DataFrame, idC: String, qC: String,
                            cents: Seq[(Long, Array[Long])]): DataFrame = {
-    val scored = cents.map { case (label, c) =>
-      struct(sqDist(col(qC), c).as("qdist"), lit(label).as("cluster"))
-    }
-    q.select(col(idC), col(qC), array_min(array(scored: _*)).as("_w"))
+    val w = graft.expressions.GraftFunctions.kmeansArgmin(
+      col(qC), cents.map(_._2.toSeq), cents.map(_._1))
+    q.select(col(idC), col(qC), w.as("_w"))
       .select(col(idC), col(qC), col("_w.cluster").as("cluster"),
         col("_w.qdist").as("qdist"))
   }
@@ -115,7 +121,16 @@ object Clustering {
     // Materialize the quantized projection once: R Lloyd rounds then
     // re-scan this compact (id, BIGINT vector) frame instead of
     // launching R full parquet scans + per-round re-quantization.
-    val q = points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q"))
+    // WIDENED first (Tables.widen — no-op when the scan already has
+    // shuffle-width partitions, i.e. at lake scale): every round's
+    // k·dim distance work runs map-side against this frame's
+    // partitioning and nothing downstream ever re-spreads it — a
+    // single-row-group parquet source would pin ALL rounds to 1-2
+    // cores (measured 3× end-to-end on the 10× tier at k=64). The
+    // repartition is paid once, behind the checkpoint barrier, so the
+    // returned assignment plan stays a zero-shuffle projection.
+    val q = graft.core.Tables.widen(
+        points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q")))
       .truncateLineage()
 
     val seeds = q.orderBy("_km_id").limit(k).collect()
@@ -188,9 +203,11 @@ object Clustering {
     require(k >= 2 && k <= 64, s"k must be 2..64 (centers ride the plan as literals), got $k")
     import graft.core.GraftSession.LineageOps
     // k farthest-first rounds + the final assignment each scan the
-    // quantized projection — materialize it once (the kmeans pattern)
-    // so the per-round job reads the compact frame, not the source.
-    val q = points.select(col(idCol).as("_kc_id"), quantize(col(embCol)).as("_kc_q"))
+    // quantized projection — materialize it once (the kmeans pattern),
+    // widened so the k per-round distance scans parallelize even off
+    // a single-row-group source (see kmeansCentroids).
+    val q = graft.core.Tables.widen(
+        points.select(col(idCol).as("_kc_id"), quantize(col(embCol)).as("_kc_q")))
       .truncateLineage()
     // fewer rows than k would make the farthest-first argmax re-pick
     // an existing center once every point is chosen (max min-distance
@@ -204,9 +221,13 @@ object Clustering {
       Vector((seedRow(0).getLong(0), seedRow(0).getSeq[Long](1).toArray))
     var r = 1
     while (r < k) {
-      // round 1 has a single center — least() needs ≥ 2 args
-      val dists = cents.map { case (_, c) => sqDist(col("_kc_q"), c) }
-      val md = if (dists.size == 1) dists.head else least(dists: _*)
+      // min distance over the centers picked so far — the argminAssign
+      // native kernel's qdist field, so round r's plan tree stays O(1)
+      // in r (k driver rounds re-analyze this expression k times) and
+      // the distance scan is a fused loop, not r interpreted lambdas
+      val md = graft.expressions.GraftFunctions.kmeansArgmin(
+        col("_kc_q"), cents.map(_._2.toSeq), cents.map(_._1))
+        .getField("qdist")
       // farthest-first pick: max over (minDist, -id, vector) — the
       // vector never participates in the comparison (ids are unique)
       // but rides along so one aggregation yields the next center.
@@ -245,12 +266,17 @@ object Clustering {
     */
   def semanticDedup(points: DataFrame, idCol: String, embCol: String,
                     k: Int, rounds: Int, tau: Double): DataFrame = {
+    import graft.core.GraftSession.LineageOps
     val asn = kmeansFixedPoint(points, idCol, embCol, k, rounds)
       .select(col(idCol).as("_sd_id"), col("cluster"))
+    // referenced THREE times downstream (both pair-join sides + the
+    // final verdict decoration) — materialize once or the assignment
+    // re-plans and re-executes per reference
     val withE = asn.join(
       points.select(col(idCol).as("_sd_id"),
         col(embCol).cast("array<double>").as("_sd_e")),
       "_sd_id")
+      .truncateLineage()
     val lhs = withE.select(col("cluster"), col("_sd_id").as("id_a"), col("_sd_e").as("ea"))
     val rhs = withE.select(col("cluster"), col("_sd_id").as("id_b"), col("_sd_e").as("eb"))
     val pairs = lhs.join(rhs, Seq("cluster"))

@@ -255,6 +255,56 @@ object Dedup {
     labels
   }
 
+  /** Dedup components over a 64-bit signature column, QUOTIENTED by
+    * the signature value before any pair work: rows sharing a
+    * signature are pairwise hamming-0 (one cluster trivially), so the
+    * band join, verify, and component closure all run over one
+    * representative (the min id) per DISTINCT signature, and members
+    * map back through their signature at the end. Same verdicts as
+    * [[signatureBandPairs]] + [[connectedComponents]] over the full id
+    * space — the rep-level min label IS the component's min node id,
+    * because every id is >= its signature group's rep — but the pair
+    * volume is quotient-quadratic, not clique-quadratic: a d-member
+    * equal-hash group contributes ONE rep, not d·(d−1)/2 edges.
+    * Clustered signature corpora (perceptual hashes over templated
+    * images, simhash over boilerplate) are exactly where the clique
+    * form blows up — the 10× gate's mm_phash oracle needed this same
+    * rewrite before its transitive closure finished, and the engine
+    * plan earns the identical shape here.
+    *
+    * Rows with a NULL signature can never pair (a null band value
+    * matches nothing in the band join today) — they stay their own
+    * singleton components, preserved by the left joins + coalesce.
+    *
+    * Returns one row per input row: (idCol, component, is_canonical),
+    * component = min id of the near-dup cluster.
+    */
+  def signatureComponents(sigs: DataFrame, idCol: String, sigCol: String,
+                          nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val base = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    // one rep per distinct signature; referenced by the band join AND
+    // the member map-back, so materialize once
+    val groups = base.where(col("__sig").isNotNull)
+      .groupBy(col("__sig")).agg(min(col("__id")).as("__rep"))
+      .truncateLineage()
+    val repPairs = signatureBandPairs(
+      groups.select(col("__rep"), col("__sig")), "__rep", "__sig",
+      nBands, maxHamming)
+    val cc = connectedComponents(
+      repPairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    // members → their signature's rep → the rep's component label;
+    // unpaired reps are absent from cc (lbl null → rep), null-sig rows
+    // are absent from groups (rep null → own id). Plain equi-joins:
+    // groups/cc are distinct-signature-sized — the planner broadcasts
+    // them while they fit and shuffle-joins beyond.
+    val lbl = coalesce(col("lbl"), col("__rep"), col("__id"))
+    base
+      .join(groups, Seq("__sig"), "left")
+      .join(cc.select(col("node").as("__rep"), col("lbl")), Seq("__rep"), "left")
+      .select(col("__id").as(idCol), lbl.as("component"),
+        (lbl === col("__id")).as("is_canonical"))
+  }
+
   /** Segment-level exact dedup — the paragraph-dedup stage of a web
     * curation pipeline (RefinedWeb/C4 shape: boilerplate repeats
     * ACROSS documents at sub-document granularity, so whole-doc dedup

@@ -70,33 +70,35 @@ object MultimodalQueries {
           coalesce(col("hamming") === 0L, lit(false)).as("planted_dup_found"))
     }),
 
-    // Image dedup end to end: perceptual hashes → banded pair
-    // generation → connected components → canonical selection, the
-    // full visual-dedup pipeline (planted exact copies make the
-    // clusters non-trivial). The oracle recomputes pairs by exhaustive
-    // hamming and closes them with a recursive CTE — the iterative
-    // min-label rounds must land on the same fixpoint.
+    // Image dedup end to end: perceptual hashes → signature-quotient
+    // banded pair generation → connected components → canonical
+    // selection, the full visual-dedup pipeline (planted exact copies
+    // make the clusters non-trivial). Pair work runs over one rep per
+    // DISTINCT hash (Dedup.signatureComponents) — templated synthetic
+    // rasters cluster heavily, and the clique form paid ~6× the
+    // candidate volume at the 10× tier for identical verdicts (the
+    // oracle already quotients for the same reason). The hash table is
+    // lineage-truncated: the offset probe and both union branches
+    // reference it, and without the barrier the BMP decode re-runs per
+    // reference. The oracle recomputes pairs by exhaustive hamming and
+    // closes them with a recursive CTE — the iterative min-label
+    // rounds must land on the same fixpoint.
     "mm_phash_clusters" -> ((spark, dir) => {
       import org.apache.spark.sql.functions._
+      import graft.core.GraftSession.LineageOps
       val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, dir))
         .where(col("media_type") === "image")
       val hashes0 = Multimodal.imagePerceptualHashes(spark, assets).toDF()
         .select(col("asset_id"), col("ahash64"))
+        .truncateLineage()
       val maxRow = hashes0.agg(max(col("asset_id"))).head()
       require(!maxRow.isNullAt(0),
         "mm_phash_clusters needs at least one image asset to derive the planted-copy offset")
       val offset = maxRow.getLong(0) + 1L
       val uni = hashes0.unionByName(hashes0.select(
         (col("asset_id") + lit(offset)).as("asset_id"), col("ahash64")))
-      val pairs = graft.operators.Dedup.signatureBandPairs(
+      graft.operators.Dedup.signatureComponents(
         uni, "asset_id", "ahash64", nBands = 4, maxHamming = 3)
-      val cc = graft.operators.Dedup.connectedComponents(
-        pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
-      uni.join(cc.select(col("node").as("asset_id"), col("lbl")),
-          Seq("asset_id"), "left")
-        .select(col("asset_id"),
-          coalesce(col("lbl"), col("asset_id")).as("component"))
-        .withColumn("is_canonical", col("component") === col("asset_id"))
     }),
 
     // REAL raster stats: decode the BMP container, read the body as

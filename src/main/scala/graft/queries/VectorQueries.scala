@@ -19,6 +19,46 @@ object VectorQueries {
   val KmeansK = 8
   val KmeansRounds = 3
   val SemDedupTau = 0.40
+  /** SemDeDup cluster sizing: the within-cluster pair join costs
+    * Σ size², so a FIXED k saturates exactly like an absolute support
+    * threshold — at 10× the corpus, clusters are 10× larger and pair
+    * work is 100×. The paper's own doctrine is "raise k, not τ, when
+    * clusters grow" (SCALE.md); k tracks the corpus as
+    * max(KmeansK, min(SemDedupMaxK, n div SemDedupPerCluster)), so the
+    * expected cluster size stays ≈ SemDedupPerCluster and pair work
+    * grows linearly until the cap. The cap is
+    * [[Clustering.kmeansFixedPoint]]'s own k ≤ 64 envelope (centroids
+    * ride the assignment closure as literal arrays); past it, raise
+    * the envelope via a broadcast-join argmin before raising the cap.
+    * At every driver gate tier (n ≤ 2000) the formula evaluates to
+    * KmeansK, so small-scale results and plan pins are unchanged;
+    * engine and oracle both derive k from the SAME constants — the
+    * engine in [[semDedupK]] from a memoized pre-plan count, the
+    * oracle inside the SQL ([[semDedupKSql]], the
+    * basket_association_rules single-sourcing rule).
+    */
+  val SemDedupPerCluster = 250L
+  val SemDedupMaxK = 64L
+
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(KmeansK.toLong, math.min(SemDedupMaxK, n / SemDedupPerCluster)).toInt
+
+  /** SQL twin of [[semDedupK]] over the kmeans chain's `q` CTE (same
+    * cardinality as the source table; reading the materialized CTE
+    * keeps the count behind the embeddings quarantine mirror). DuckDB
+    * accepts a scalar subquery as a LIMIT operand.
+    */
+  private def semDedupKSql: String =
+    s"(SELECT greatest($KmeansK, least($SemDedupMaxK, count(*) // $SemDedupPerCluster)) FROM q)"
+
+  /** Embeddings row count, one pre-plan scalar job per corpus dir per
+    * JVM (the nBasketsMemo pattern — gate/bench corpora are immutable
+    * within a session).
+    */
+  private val nEmbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(spark: SparkSession, dir: String): Long =
+    nEmbMemo.computeIfAbsent(dir, _ => Tables.embeddings(spark, dir).count())
   /** 1-in-200 of the corpus are queries — keeps the brute-force
     * all-pairs work bounded at bench scale.
     */
@@ -383,13 +423,17 @@ object VectorQueries {
     // SemDeDup: cluster-then-dedup semantic near-dup removal — the
     // quadratic cosine join is confined to k-means clusters
     // (Σ size² not n²), dup groups close via connected components,
-    // lowest id per group survives. The oracle reruns the exact
-    // kmeans CTE chain, the same rounded-cosine pair predicate, and a
-    // recursive-CTE closure — per-vector verdicts match bit for bit.
+    // lowest id per group survives. k is SCALE-RELATIVE (see
+    // [[semDedupK]]): fixed k would let cluster sizes — and the pair
+    // join — grow quadratically with the corpus. The oracle reruns
+    // the exact kmeans CTE chain (its seed LIMIT computes the same k
+    // from the same constants), the same rounded-cosine pair
+    // predicate, and a recursive-CTE closure — per-vector verdicts
+    // match bit for bit.
     "dedup_semantic" -> ((spark, dir) => {
       Clustering.semanticDedup(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds,
-        tau = SemDedupTau)
+        "vec_id", "embedding", k = semDedupK(embCount(spark, dir)),
+        rounds = KmeansRounds, tau = SemDedupTau)
     }),
 
     // Feature standardization: per-dimension z-score stats over the
@@ -427,7 +471,12 @@ object VectorQueries {
     * incremental path.
     */
   private[queries] def kmeansCtes(k: Int, rounds: Int,
-                                  trainWhere: Option[String] = None): String = {
+                                  trainWhere: Option[String] = None,
+                                  kSql: Option[String] = None): String = {
+    // kSql overrides the literal seed count with a SQL expression —
+    // the scale-relative-k path (dedup_semantic); everything after the
+    // seed CTE is k-agnostic, so only the LIMIT operand changes.
+    val kLimit = kSql.getOrElse(k.toString)
     val trainSrc = if (trainWhere.isDefined) "qt" else "q"
     val quant =
       "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000) AS BIGINT))"
@@ -469,7 +518,7 @@ object VectorQueries {
        |  SELECT vec_id, $quant AS q FROM embeddings
        |)$qtCte, c0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
-       |  FROM (SELECT vec_id, q FROM $trainSrc ORDER BY vec_id LIMIT $k)
+       |  FROM (SELECT vec_id, q FROM $trainSrc ORDER BY vec_id LIMIT $kLimit)
        |)$body""".stripMargin
   }
 
@@ -746,7 +795,7 @@ object VectorQueries {
     // transitive closure labeled by min id (the mm_phash_clusters
     // closure pattern — WITH RECURSIVE governs the whole clause).
     "dedup_semantic" ->
-      s"""WITH RECURSIVE ${kmeansCtes(KmeansK, KmeansRounds)}, w AS MATERIALIZED (
+      s"""WITH RECURSIVE ${kmeansCtes(KmeansK, KmeansRounds, kSql = Some(semDedupKSql))}, w AS MATERIALIZED (
          |  SELECT a.vec_id AS id, a.cid AS cluster, e.embedding AS e
          |  FROM a${KmeansRounds + 1} a JOIN embeddings e ON a.vec_id = e.vec_id
          |), pr AS MATERIALIZED (

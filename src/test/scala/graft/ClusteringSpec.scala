@@ -165,6 +165,22 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.count(_._2) === 4)
   }
 
+  test("semDedupK: scale-relative cluster count — gate tiers unchanged, " +
+      "linear growth, capped at the literal-centroid envelope") {
+    import graft.queries.VectorQueries.{semDedupK, KmeansK}
+    // every driver gate tier (n <= 2000) keeps the historical k, so
+    // small-scale verdicts and plan pins are byte-identical
+    assert(semDedupK(0L) === KmeansK)
+    assert(semDedupK(500L) === KmeansK)
+    assert(semDedupK(2000L) === KmeansK)
+    // past the floor, k tracks n / perCluster (cluster sizes stay flat)
+    assert(semDedupK(5000L) === 20)
+    assert(semDedupK(10000L) === 40)
+    // capped at kmeansFixedPoint's own k <= 64 require
+    assert(semDedupK(20000L) === 64)
+    assert(semDedupK(1000000000L) === 64)
+  }
+
   test("semanticDedup: every vector gets exactly one verdict; canon stays in-cluster") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 50L).map { id =>

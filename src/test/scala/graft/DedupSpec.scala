@@ -301,4 +301,41 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("signatureComponents ≡ clique-form band pairs + components, including " +
+      "equal-hash groups, null signatures, and cross-group near-dups") {
+    import spark.implicits._
+    // groups: {1,2,7} share hash A; {3} hash B = A with 2 flipped bits
+    // (links the A-group via a rep-level near-dup edge); {4,5} share
+    // hash C far from A/B; {6} hash D far from everything; {8, 9}
+    // null signatures (must stay their own singleton components).
+    val a = 0x0123456789ABCDEFL
+    val b = a ^ 0x0000000000000011L // 2 bit flips from a
+    val c = 0x7FFFFFFF00000000L
+    val d = -1L
+    val sigs = Seq(
+      (1L, Some(a)), (2L, Some(a)), (7L, Some(a)), (3L, Some(b)),
+      (4L, Some(c)), (5L, Some(c)), (6L, Some(d)),
+      (8L, None), (9L, None)).toDF("id", "sig")
+    val quotient = Dedup.signatureComponents(sigs, "id", "sig",
+        nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // the clique form this operator must agree with
+    val pairs = Dedup.signatureBandPairs(sigs, "id", "sig",
+      nBands = 4, maxHamming = 3)
+    val cc = Dedup.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    val clique = sigs
+      .join(cc.select(col("node").as("id"), col("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(1) == r.getLong(0))).toSet
+    assert(quotient === clique)
+    // and the fixture exercises what it claims: a multi-group
+    // component labeled by the min id across groups
+    assert(quotient.contains((3L, 1L, false)) &&
+      quotient.contains((7L, 1L, false)), quotient.toString)
+    assert(quotient.contains((8L, 8L, true)) &&
+      quotient.contains((9L, 9L, true)))
+  }
 }
