@@ -43,6 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an array<array<bigint>> literal, got $other")
   }
 
+  private def longMatrix3Arg(e: Expression, what: String): Seq[Seq[Seq[Long]]] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, _), _), _)) =>
+      (0 until v.numElements()).map { i =>
+        val m = v.getArray(i)
+        (0 until m.numElements()).map(j => m.getArray(j).toLongArray().toSeq)
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<array<array<bigint>>> literal, got $other")
+  }
+
   private def inject(ext: SparkSessionExtensions, name: String, clazz: Class[_],
                      builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
@@ -96,6 +110,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmeansArgmin(cs.head,
         longMatrixArg(cs(1), "kmeans_argmin centroids"),
         longArrayArg(cs(2), "kmeans_argmin labels"))
+    })
+    inject(ext, "kmeans_argmin_2l", classOf[KmeansArgmin2L], { cs =>
+      require(cs.size == 4, "kmeans_argmin_2l(cell, q, centsPerCell, labelsPerCell)")
+      KmeansArgmin2L(cs.head, cs(1),
+        longMatrix3Arg(cs(2), "kmeans_argmin_2l centroids"),
+        longMatrixArg(cs(3), "kmeans_argmin_2l labels"))
     })
     inject(ext, "sorted_intersect_count", classOf[SortedIntersectCount], { cs =>
       require(cs.size == 2, "sorted_intersect_count(a, b)")
@@ -151,6 +171,15 @@ object GraftFunctions {
     */
   def kmeansArgmin(q: Column, cents: Seq[Seq[Long]], labels: Seq[Long]): Column =
     org.apache.spark.sql.functions.call_function("kmeans_argmin", q,
+      org.apache.spark.sql.functions.typedLit(cents),
+      org.apache.spark.sql.functions.typedLit(labels))
+
+  /** struct(cluster, qdist) argmin of the quantized vector against the
+    * fine-centroid slice its coarse cell selects (two-level k-means).
+    */
+  def kmeansArgmin2l(cell: Column, q: Column, cents: Seq[Seq[Seq[Long]]],
+                     labels: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.functions.call_function("kmeans_argmin_2l", cell, q,
       org.apache.spark.sql.functions.typedLit(cents),
       org.apache.spark.sql.functions.typedLit(labels))
 

@@ -94,6 +94,24 @@ object VectorKernels {
       Array[Any](bl, bd))
   }
 
+  /** Cell-indexed variant of [[kmeansArgmin]] for two-level (coarse →
+    * fine) k-means: the row's coarse cell selects which fine-centroid
+    * slice to argmin over, so the per-row cost is O(k_fine·dim)
+    * regardless of how many TOTAL fine centroids exist (kc·kf — the
+    * whole point of the hierarchy). Null on an out-of-range cell or a
+    * cell with no centroids (can only happen on input the fit never
+    * saw — a corrupt cell id must fall out, not alias cell 0), and on
+    * the inner kernel's own null conditions.
+    */
+  def kmeansArgmin2l(cell: Long, q: ArrayData,
+                     cents: Array[Array[Array[Long]]],
+                     labels: Array[Array[Long]]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (cell < 0 || cell >= cents.length) return null
+    val cs = cents(cell.toInt)
+    if (cs.length == 0) return null
+    kmeansArgmin(q, cs, labels(cell.toInt))
+  }
+
   /** |A ∩ B| of two SORTED long arrays via linear merge — no hash set,
     * no allocation. Callers sort once per row before the pair join.
     * Null on any null ELEMENT (the [[dotFF]] convention): an unguarded
@@ -244,4 +262,61 @@ case class KmeansArgmin(child: Expression, cents: Seq[Seq[Long]],
     copy(child = c)
 
   override def prettyName: String = "kmeans_argmin"
+}
+
+/** Two-level k-means assignment: the row's coarse cell (left child)
+  * indexes a DRIVER-HELD per-cell fine-centroid table, and the argmin
+  * runs over that cell's slice only — per-row cost O(k_fine·dim), not
+  * O(kc·kf·dim), which is what makes effective cluster counts of
+  * kc·kf (up to 64·64 = 4096) affordable: two fused ≤64-centroid
+  * scans per row instead of one 4096-centroid scan. Same constant-
+  * extraction, codegen, tie-break, and null conventions as
+  * [[KmeansArgmin]]; ragged per-cell centroid counts are expected
+  * (cells smaller than k_fine seed fewer centroids).
+  */
+case class KmeansArgmin2L(left: Expression, right: Expression,
+                          cents: Seq[Seq[Seq[Long]]],
+                          labels: Seq[Seq[Long]]) extends BinaryExpression {
+  require(cents.nonEmpty && cents.size == labels.size,
+    s"kmeans_argmin_2l needs one label row per cell, " +
+      s"got ${cents.size} cells / ${labels.size} label rows")
+  require(cents.zip(labels).forall { case (c, l) => c.size == l.size },
+    "kmeans_argmin_2l: per-cell centroid and label counts must agree")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("qdist", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_argmin_2l requires (bigint cell, array<bigint> q), got $other")
+    }
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val centsArr: Array[Array[Array[Long]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val labelsArr: Array[Array[Long]] =
+    labels.map(_.toArray).toArray
+
+  override protected def nullSafeEval(cell: Any, q: Any): Any =
+    VectorKernels.kmeansArgmin2l(cell.asInstanceOf[Long],
+      q.asInstanceOf[ArrayData], centsArr, labelsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("km2Cents", centsArr, "long[][][]")
+    val labelsRef = ctx.addReferenceObj("km2Labels", labelsArr, "long[][]")
+    nullSafeCodeGen(ctx, ev, (cell, q) =>
+      s"""org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r =
+         |  graft.expressions.VectorKernels.kmeansArgmin2l($cell, $q, $centsRef, $labelsRef);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmeansArgmin2L =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "kmeans_argmin_2l"
 }

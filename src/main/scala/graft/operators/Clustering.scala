@@ -132,20 +132,29 @@ object Clustering {
     val q = graft.core.Tables.widen(
         points.select(col(idCol).as("_km_id"), quantize(col(embCol)).as("_km_q")))
       .truncateLineage()
+    lloydLoop(q, "_km_id", "_km_q", k, rounds)
+  }
 
-    val seeds = q.orderBy("_km_id").limit(k).collect()
+  /** The bare Lloyd iteration over an ALREADY-quantized, materialized
+    * (idC, qC) frame — shared by the flat and two-level fits so both
+    * run the identical seed/assign/update arithmetic. Callers own the
+    * k/rounds envelope checks and the projection's materialization.
+    */
+  private def lloydLoop(q: DataFrame, idC: String, qC: String,
+                        k: Int, rounds: Int): Seq[(Long, Array[Long])] = {
+    val seeds = q.orderBy(idC).limit(k).collect()
     require(seeds.length == k, s"need at least $k vectors to seed, got ${seeds.length}")
     var cents: Array[Array[Long]] = seeds.map(_.getSeq[Long](1).toArray)
 
     val vecSum = udaf(new LongVecSum)
     var r = 0
     while (r < rounds) {
-      // assignment keeps _km_q so the centroid update aggregates
+      // assignment keeps qC so the centroid update aggregates
       // directly off it (no n-row re-join per round)
-      val upd = argminAssign(q, "_km_id", "_km_q",
+      val upd = argminAssign(q, idC, qC,
           cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq)
         .groupBy("cluster")
-        .agg(vecSum(col("_km_q")).as("s"), count(lit(1)).as("cnt"))
+        .agg(vecSum(col(qC)).as("s"), count(lit(1)).as("cnt"))
         .select(col("cluster"), expr("transform(s, x -> x div cnt)").as("c"))
         .collect()
       // empty clusters keep their previous centroid (mirrored in the
@@ -176,6 +185,97 @@ object Clustering {
                        k: Int, rounds: Int): DataFrame =
     assignToCentroids(points, idCol, embCol,
       kmeansCentroids(points, idCol, embCol, k, rounds))
+
+  /** Two-level (coarse → fine) k-means: a flat kc-cluster Lloyd fit
+    * partitions the corpus into cells, then an INDEPENDENT kf-cluster
+    * Lloyd fit runs inside every cell simultaneously — one distributed
+    * job per round fits ALL kc fine sub-problems at once (the
+    * assignment is the cell-indexed [[graft.expressions.KmeansArgmin2L]]
+    * kernel; the update is a single (cell, fine) group-by whose
+    * map-side combine collapses each partition to ≤ kc·kf vector
+    * sums). This raises the effective cluster count to kc·kf — up to
+    * 64·64 = 4096 — past [[kmeansFixedPoint]]'s k ≤ 64 literal-
+    * centroid envelope, which is what SemDeDup-style curation needs at
+    * corpus scale: the paper runs k in the tens of thousands, and
+    * cluster sizes (hence the within-cluster quadratic pair join) only
+    * stay flat if k tracks n. Per-row assignment cost is two fused
+    * scans of ≤ 64 centroids (O(kc + kf), not O(kc·kf)); driver state
+    * is ≤ kc·kf centroid vectors (~2 MB at 4096×64 dims) riding the
+    * closure as one constant.
+    *
+    * Fine seeds are the kf lowest-id vectors of each cell (row_number
+    * over the cell partition — the id-ordered flat-seed contract,
+    * per cell); cells with fewer than kf rows seed that many fine
+    * centroids (ragged cells are first-class in the kernel). Empty
+    * fine clusters keep their previous centroid, exactly like the
+    * flat update. Every step is the same BIGINT arithmetic as
+    * [[kmeansCentroids]], so the DuckDB twin (coarse chain → per-cell
+    * seed → unrolled fine rounds) matches bit for bit.
+    *
+    * Returns one row per input vector:
+    * (idCol, cell, fine, cluster = cell·kf + fine, qdist) with qdist
+    * the exact quantized squared-L2 distance to the winning FINE
+    * centroid.
+    */
+  def kmeansTwoLevel(points: DataFrame, idCol: String, embCol: String,
+                     kc: Int, kf: Int, rounds: Int): DataFrame = {
+    require(kc >= 1 && kc <= 64, s"kc must be 1..64, got $kc")
+    require(kf >= 2 && kf <= 64, s"kf must be 2..64, got $kf")
+    require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
+    import graft.core.GraftSession.LineageOps
+    val q = graft.core.Tables.widen(
+        points.select(col(idCol).as("_k2_id"), quantize(col(embCol)).as("_k2_q")))
+      .truncateLineage()
+    val coarse = lloydLoop(q, "_k2_id", "_k2_q", kc, rounds)
+    // cell assignment materialized once — the fine loop re-scans it
+    // every round, and the coarse argmin must not re-run per round
+    val withCell = argminAssign(q, "_k2_id", "_k2_q", coarse)
+      .select(col("_k2_id"), col("_k2_q"), col("cluster").as("_k2_cell"))
+      .truncateLineage()
+    // kf lowest-id seeds per cell — a bounded pull (≤ kc·kf rows); the
+    // row_number ≤ k filter rides the TopKPerKey physical operator
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k2_cell").orderBy("_k2_id")
+    val seedRows = withCell
+      .withColumn("_rn", row_number().over(seedW)).where(col("_rn") <= kf)
+      .select(col("_k2_cell"), (col("_rn") - 1).cast("long").as("_fid"), col("_k2_q"))
+      .collect()
+    // ragged per-cell tables: cells the coarse fit left empty stay
+    // empty (no rows can land there, the kernel nulls defensively)
+    val fine: Array[Array[Array[Long]]] = Array.fill(kc)(Array.empty)
+    seedRows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
+      fine(cell.toInt) = rs.sortBy(_.getLong(1)).map(_.getSeq[Long](2).toArray).toArray
+    }
+    def assign2l(): DataFrame = {
+      val w = graft.expressions.GraftFunctions.kmeansArgmin2l(
+        col("_k2_cell"), col("_k2_q"),
+        fine.map(_.map(_.toSeq).toSeq).toSeq,
+        fine.map(cs => cs.indices.map(_.toLong).toSeq).toSeq)
+      withCell.select(col("_k2_id"), col("_k2_q"), col("_k2_cell"), w.as("_w"))
+        .select(col("_k2_id"), col("_k2_q"), col("_k2_cell"),
+          col("_w.cluster").as("_fid"), col("_w.qdist").as("qdist"))
+    }
+    val vecSum = udaf(new LongVecSum)
+    var r = 0
+    while (r < rounds) {
+      // ALL cells' fine updates in one aggregation — ≤ kc·kf result
+      // rows collect to the driver (the bounded-centroid-pull pattern)
+      val upd = assign2l()
+        .groupBy("_k2_cell", "_fid")
+        .agg(vecSum(col("_k2_q")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("_k2_cell"), col("_fid"),
+          expr("transform(s, x -> x div cnt)").as("c"))
+        .collect()
+      upd.foreach { row =>
+        fine(row.getLong(0).toInt)(row.getLong(1).toInt) =
+          row.getSeq[Long](2).toArray
+      }
+      r += 1
+    }
+    assign2l().select(col("_k2_id").as(idCol), col("_k2_cell").as("cell"),
+      col("_fid").as("fine"),
+      (col("_k2_cell") * kf + col("_fid")).as("cluster"), col("qdist"))
+  }
 
   /** Greedy k-center selection (Gonzalez 1985 farthest-first
     * traversal) — diversity-driven coreset/data-pruning: pick the k
@@ -265,10 +365,33 @@ object Clustering {
     * representative (own id when unpaired), `keep` = id == canon.
     */
   def semanticDedup(points: DataFrame, idCol: String, embCol: String,
-                    k: Int, rounds: Int, tau: Double): DataFrame = {
+                    k: Int, rounds: Int, tau: Double): DataFrame =
+    semanticDedupFrom(
+      kmeansFixedPoint(points, idCol, embCol, k, rounds),
+      points, idCol, embCol, tau)
+
+  /** SemDeDup over the TWO-LEVEL clustering — the corpus-scale form:
+    * effective cluster count kc·kf (up to 4096) keeps within-cluster
+    * pair work Σ size² flat long past the flat fit's k ≤ 64 envelope.
+    * Same pair predicate, closure, and verdict contract as
+    * [[semanticDedup]]; only the partition the quadratic join is
+    * confined to changes.
+    */
+  def semanticDedupTwoLevel(points: DataFrame, idCol: String, embCol: String,
+                            kc: Int, kf: Int, rounds: Int, tau: Double): DataFrame =
+    semanticDedupFrom(
+      kmeansTwoLevel(points, idCol, embCol, kc, kf, rounds),
+      points, idCol, embCol, tau)
+
+  /** The dedup stage alone, over ANY assignment table carrying
+    * (idCol, cluster) — flat k-means, two-level, or an external
+    * codebook's assignment. Factored so the quadratic-confinement
+    * machinery is written once.
+    */
+  def semanticDedupFrom(asnRaw: DataFrame, points: DataFrame, idCol: String,
+                        embCol: String, tau: Double): DataFrame = {
     import graft.core.GraftSession.LineageOps
-    val asn = kmeansFixedPoint(points, idCol, embCol, k, rounds)
-      .select(col(idCol).as("_sd_id"), col("cluster"))
+    val asn = asnRaw.select(col(idCol).as("_sd_id"), col("cluster"))
     // referenced THREE times downstream (both pair-join sides + the
     // final verdict decoration) — materialize once or the assignment
     // re-plans and re-executes per reference

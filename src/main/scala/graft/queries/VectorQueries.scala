@@ -39,6 +39,13 @@ object VectorQueries {
     */
   val SemDedupPerCluster = 250L
   val SemDedupMaxK = 64L
+  /** Two-level clustering gate constants: small enough that the
+    * oracle's unrolled coarse+fine CTE chain stays tractable, big
+    * enough that both levels genuinely partition the fixture
+    * (kc·kf = 16 effective clusters over ≥500 vectors).
+    */
+  val K2Kc = 4
+  val K2Kf = 4
 
   private[graft] def semDedupK(n: Long): Int =
     math.max(KmeansK.toLong, math.min(SemDedupMaxK, n / SemDedupPerCluster)).toInt
@@ -420,6 +427,20 @@ object VectorQueries {
         "vec_id", "embedding", k = KmeansK)
     }),
 
+    // Two-level (coarse→fine) k-means: effective k = kc·kf with
+    // per-row assignment cost O(kc + kf) — the hierarchy that takes
+    // cluster counts past the flat fit's k ≤ 64 literal-centroid
+    // envelope (SemDeDup's corpus-scale regime runs k in the
+    // thousands). One distributed job per fine round fits ALL kc
+    // sub-problems at once. The oracle runs the coarse chain, seeds
+    // kf lowest ids per cell, unrolls the same fine rounds joined
+    // per cell, and the full (cell, fine, qdist) assignment matches
+    // bit for bit.
+    "cluster_kmeans_2l" -> ((spark, dir) => {
+      Clustering.kmeansTwoLevel(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", kc = K2Kc, kf = K2Kf, rounds = KmeansRounds)
+    }),
+
     // SemDeDup: cluster-then-dedup semantic near-dup removal — the
     // quadratic cosine join is confined to k-means clusters
     // (Σ size² not n²), dup groups close via connected components,
@@ -433,6 +454,16 @@ object VectorQueries {
     "dedup_semantic" -> ((spark, dir) => {
       Clustering.semanticDedup(Tables.embeddings(spark, dir),
         "vec_id", "embedding", k = semDedupK(embCount(spark, dir)),
+        rounds = KmeansRounds, tau = SemDedupTau)
+    }),
+
+    // SemDeDup over the two-level clustering — the composition the
+    // hierarchy exists for: the quadratic cosine join confined to
+    // kc·kf cells instead of ≤ 64. Same pair predicate, closure, and
+    // verdict contract as dedup_semantic.
+    "dedup_semantic_2l" -> ((spark, dir) => {
+      Clustering.semanticDedupTwoLevel(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", kc = K2Kc, kf = K2Kf,
         rounds = KmeansRounds, tau = SemDedupTau)
     }),
 
@@ -519,6 +550,56 @@ object VectorQueries {
        |)$qtCte, c0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
        |  FROM (SELECT vec_id, q FROM $trainSrc ORDER BY vec_id LIMIT $kLimit)
+       |)$body""".stripMargin
+  }
+
+  /** Generated twin of [[Clustering.kmeansTwoLevel]]: the flat coarse
+    * chain ([[kmeansCtes]], yielding cells in a{R+1}) feeds a per-cell
+    * fine fit — kf lowest-id seeds PER CELL, R unrolled (assign,
+    * update) rounds where each vector joins ITS CELL's fine centroids
+    * only, truncating `//` centroid updates with empty-cluster carry
+    * (LEFT JOIN + coalesce), then a final assignment. Yields CTEs
+    * through b{R+1} (vec_id, cell, fid, dist); callers SELECT from the
+    * chain. Window partition keys (vec_id, cell) are never null, so
+    * the DuckDB parallel-window hazard doesn't apply.
+    */
+  private[queries] def kmeans2lCtes(kc: Int, kf: Int, rounds: Int): String = {
+    def assign(i: Int): String =
+      s""", b$i AS MATERIALIZED (
+         |  SELECT vec_id, cell, fid, dist FROM (
+         |    SELECT vec_id, cell, fid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, fid) AS rn
+         |    FROM (
+         |      SELECT w.vec_id, w.cell, f.fid,
+         |        CAST(list_sum(list_transform(list_zip(w.q, f.c),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+         |      FROM w JOIN f${i - 1} f ON w.cell = f.cell
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def update(i: Int): String =
+      s""", f$i AS MATERIALIZED (
+         |  SELECT p.cell, p.fid, coalesce(u.c, p.c) AS c
+         |  FROM f${i - 1} p LEFT JOIN (
+         |    SELECT cell, fid, list(comp ORDER BY pos) AS c FROM (
+         |      SELECT cell, fid, pos, CAST(sum(val) // count(*) AS BIGINT) AS comp
+         |      FROM (
+         |        SELECT b.cell, b.fid, unnest(q.q) AS val,
+         |          unnest(range(len(q.q))) AS pos
+         |        FROM b$i b JOIN q ON b.vec_id = q.vec_id
+         |      ) GROUP BY cell, fid, pos
+         |    ) GROUP BY cell, fid
+         |  ) u ON p.cell = u.cell AND p.fid = u.fid
+         |)""".stripMargin
+    val body = (1 to rounds).map(i => assign(i) + update(i)).mkString + assign(rounds + 1)
+    s"""${kmeansCtes(kc, rounds)}, w AS MATERIALIZED (
+       |  SELECT q.vec_id, q.q, a.cid AS cell
+       |  FROM a${rounds + 1} a JOIN q ON a.vec_id = q.vec_id
+       |), f0 AS MATERIALIZED (
+       |  SELECT cell, CAST(rn - 1 AS BIGINT) AS fid, q AS c FROM (
+       |    SELECT cell, q, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |    FROM w
+       |  ) WHERE rn <= $kf
        |)$body""".stripMargin
   }
 
@@ -713,6 +794,36 @@ object VectorQueries {
     "cluster_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansRounds)}
          |SELECT vec_id, cid AS cluster, dist AS qdist FROM a${KmeansRounds + 1}""".stripMargin,
+
+    "cluster_kmeans_2l" ->
+      s"""WITH ${kmeans2lCtes(K2Kc, K2Kf, KmeansRounds)}
+         |SELECT vec_id, cell, fid AS fine, cell * $K2Kf + fid AS cluster,
+         |  dist AS qdist
+         |FROM b${KmeansRounds + 1}""".stripMargin,
+
+    // Twin of dedup_semantic over the two-level chain: identical pair
+    // predicate and recursive closure, partitioned by cell·kf + fid.
+    "dedup_semantic_2l" ->
+      s"""WITH RECURSIVE ${kmeans2lCtes(K2Kc, K2Kf, KmeansRounds)}, w2 AS MATERIALIZED (
+         |  SELECT b.vec_id AS id, b.cell * $K2Kf + b.fid AS cluster, e.embedding AS e
+         |  FROM b${KmeansRounds + 1} b JOIN embeddings e ON b.vec_id = e.vec_id
+         |), pr AS MATERIALIZED (
+         |  SELECT x.id AS id_a, y.id AS id_b
+         |  FROM w2 x JOIN w2 y ON x.cluster = y.cluster AND x.id < y.id
+         |  WHERE round(${Similarity.cosineSql("x.e", "y.e")}, 4) >= $SemDedupTau
+         |), sym AS (
+         |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), lbl AS (
+         |  SELECT a AS id, min(b) AS component FROM reach GROUP BY 1
+         |)
+         |SELECT w2.id AS vec_id, w2.cluster,
+         |  coalesce(lbl.component, w2.id) AS canon,
+         |  coalesce(lbl.component, w2.id) = w2.id AS keep
+         |FROM w2 LEFT JOIN lbl ON w2.id = lbl.id""".stripMargin,
 
     // Twin of drift_cluster_shift: same trained-on-old chain, exact
     // k-domain histograms (range(k) left join), the same smoothed

@@ -165,6 +165,71 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.count(_._2) === 4)
   }
 
+  test("kmeansTwoLevel with kc=1 reduces exactly to the flat fit") {
+    // one coarse cell ⇒ the fine fit sees the whole corpus with the
+    // same id-ordered seeds and update arithmetic as kmeansFixedPoint,
+    // so the hierarchy must collapse to the flat result bit for bit
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { id =>
+      id -> Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val flat = Clustering.kmeansFixedPoint(mkPoints(vecs), "vec_id", "embedding",
+      k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val two = Clustering.kmeansTwoLevel(mkPoints(vecs), "vec_id", "embedding",
+      kc = 1, kf = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(two.forall(_._2 == 0L), "single coarse cell")
+    // cluster = cell·kf + fine = fine here
+    assert(two.map(t => t._1 -> (t._4, t._5)).toMap === flat)
+    assert(two.forall(t => t._4 == t._2 * 4 + t._3))
+  }
+
+  test("kmeansTwoLevel: ragged cells (fewer rows than kf) seed fewer " +
+      "fine centroids; every vector gets exactly one in-range verdict") {
+    val rnd = new scala.util.Random(19)
+    // two far-apart blobs of very different sizes so the coarse fit
+    // splits them and the small cell has fewer rows than kf
+    val big = (0L until 40L).map { id =>
+      id -> Seq.fill(4)(rnd.nextFloat() * 0.1f)
+    }
+    val small = (100L until 103L).map { id =>
+      id -> Seq.fill(4)(10f + rnd.nextFloat() * 0.1f)
+    }
+    val all = big ++ small
+    val got = Clustering.kmeansTwoLevel(mkPoints(all), "vec_id", "embedding",
+      kc = 2, kf = 5, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet === all.map(_._1).toSet, "one verdict per vector")
+    assert(got.forall(t => t._2 >= 0 && t._2 < 2), "cells in range")
+    assert(got.forall(t => t._3 >= 0 && t._3 < 5), "fine ids in range")
+    assert(got.forall(t => t._4 == t._2 * 5 + t._3), "global label arithmetic")
+    // the 3-row cell can use at most 3 fine ids
+    val byCell = got.groupBy(_._2)
+    val smallCell = byCell.minBy(_._2.length)._2
+    assert(smallCell.length === 3)
+    assert(smallCell.map(_._3).toSet.size <= 3)
+  }
+
+  test("semanticDedupTwoLevel with kc=1 equals flat semanticDedup") {
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 30L).map { id =>
+      id -> Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    // plant near-dups so the verdicts are non-trivial
+    val dups = base.take(5).map { case (id, v) => (id + 1000L) -> v }
+    val vecs = base ++ dups
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val flat = res(Clustering.semanticDedup(mkPoints(vecs), "vec_id", "embedding",
+      k = 4, rounds = 2, tau = 0.9))
+    val two = res(Clustering.semanticDedupTwoLevel(mkPoints(vecs), "vec_id",
+      "embedding", kc = 1, kf = 4, rounds = 2, tau = 0.9))
+    assert(two === flat)
+    assert(flat.count(_._2._2 == false) >= 5, "planted dups detected")
+  }
+
   test("semDedupK: scale-relative cluster count — gate tiers unchanged, " +
       "linear growth, capped at the literal-centroid envelope") {
     import graft.queries.VectorQueries.{semDedupK, KmeansK}
