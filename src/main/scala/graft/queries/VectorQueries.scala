@@ -58,6 +58,22 @@ object VectorQueries {
   private def semDedupKSql: String =
     s"(SELECT greatest($KmeansK, least($SemDedupMaxK, count(*) // $SemDedupPerCluster)) FROM q)"
 
+  /** Scale-relative COARSE cell count for the two-level SemDeDup: the
+    * same per-cluster-size doctrine as [[semDedupK]], but the target
+    * size divides across kc·kf effective clusters, so kc tracks
+    * n / (perCluster · kf). Gate tiers (n ≤ 2000) stay at the K2Kc
+    * floor; the cap is the coarse fit's own ≤ 64 envelope — with kf
+    * fixed at K2Kf that is 64·4 = 256 effective clusters before the
+    * next lever (raising kf toward 64) is needed.
+    */
+  private[graft] def semDedup2lKc(n: Long): Int =
+    math.max(K2Kc.toLong,
+      math.min(SemDedupMaxK, n / (SemDedupPerCluster * K2Kf))).toInt
+
+  private def semDedup2lKcSql: String =
+    s"(SELECT greatest($K2Kc, least($SemDedupMaxK, " +
+      s"count(*) // ${SemDedupPerCluster * K2Kf})) FROM q)"
+
   /** Embeddings row count, one pre-plan scalar job per corpus dir per
     * JVM (the nBasketsMemo pattern — gate/bench corpora are immutable
     * within a session).
@@ -460,11 +476,14 @@ object VectorQueries {
     // SemDeDup over the two-level clustering — the composition the
     // hierarchy exists for: the quadratic cosine join confined to
     // kc·kf cells instead of ≤ 64. Same pair predicate, closure, and
-    // verdict contract as dedup_semantic.
+    // verdict contract as dedup_semantic. kc is SCALE-RELATIVE
+    // ([[semDedup2lKc]] — a fixed kc saturates exactly like fixed
+    // flat k; measured 15.5 s at the 10× tier before this, 4-ish
+    // after); kf stays fixed, the next lever once kc caps at 64.
     "dedup_semantic_2l" -> ((spark, dir) => {
       Clustering.semanticDedupTwoLevel(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", kc = K2Kc, kf = K2Kf,
-        rounds = KmeansRounds, tau = SemDedupTau)
+        "vec_id", "embedding", kc = semDedup2lKc(embCount(spark, dir)),
+        kf = K2Kf, rounds = KmeansRounds, tau = SemDedupTau)
     }),
 
     // Feature standardization: per-dimension z-score stats over the
@@ -563,7 +582,8 @@ object VectorQueries {
     * chain. Window partition keys (vec_id, cell) are never null, so
     * the DuckDB parallel-window hazard doesn't apply.
     */
-  private[queries] def kmeans2lCtes(kc: Int, kf: Int, rounds: Int): String = {
+  private[queries] def kmeans2lCtes(kc: Int, kf: Int, rounds: Int,
+                                    kcSql: Option[String] = None): String = {
     def assign(i: Int): String =
       s""", b$i AS MATERIALIZED (
          |  SELECT vec_id, cell, fid, dist FROM (
@@ -592,7 +612,7 @@ object VectorQueries {
          |  ) u ON p.cell = u.cell AND p.fid = u.fid
          |)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + update(i)).mkString + assign(rounds + 1)
-    s"""${kmeansCtes(kc, rounds)}, w AS MATERIALIZED (
+    s"""${kmeansCtes(kc, rounds, kSql = kcSql)}, w AS MATERIALIZED (
        |  SELECT q.vec_id, q.q, a.cid AS cell
        |  FROM a${rounds + 1} a JOIN q ON a.vec_id = q.vec_id
        |), f0 AS MATERIALIZED (
@@ -804,7 +824,7 @@ object VectorQueries {
     // Twin of dedup_semantic over the two-level chain: identical pair
     // predicate and recursive closure, partitioned by cell·kf + fid.
     "dedup_semantic_2l" ->
-      s"""WITH RECURSIVE ${kmeans2lCtes(K2Kc, K2Kf, KmeansRounds)}, w2 AS MATERIALIZED (
+      s"""WITH RECURSIVE ${kmeans2lCtes(K2Kc, K2Kf, KmeansRounds, kcSql = Some(semDedup2lKcSql))}, w2 AS MATERIALIZED (
          |  SELECT b.vec_id AS id, b.cell * $K2Kf + b.fid AS cluster, e.embedding AS e
          |  FROM b${KmeansRounds + 1} b JOIN embeddings e ON b.vec_id = e.vec_id
          |), pr AS MATERIALIZED (

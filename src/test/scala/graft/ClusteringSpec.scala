@@ -244,6 +244,14 @@ class ClusteringSpec extends SparkSpec {
     // capped at kmeansFixedPoint's own k <= 64 require
     assert(semDedupK(20000L) === 64)
     assert(semDedupK(1000000000L) === 64)
+    // the two-level coarse count divides the per-cluster target across
+    // kc·kf: same floor-at-gate-tiers / linear / capped shape
+    import graft.queries.VectorQueries.{semDedup2lKc, K2Kc}
+    assert(semDedup2lKc(0L) === K2Kc)
+    assert(semDedup2lKc(2000L) === K2Kc)
+    assert(semDedup2lKc(20000L) === 20)
+    assert(semDedup2lKc(64000L) === 64)
+    assert(semDedup2lKc(1000000000L) === 64)
   }
 
   test("semanticDedup: every vector gets exactly one verdict; canon stays in-cluster") {
