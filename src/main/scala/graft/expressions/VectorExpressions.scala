@@ -82,8 +82,13 @@ object VectorKernels {
       var i = 0
       while (i < dim) {
         if (q.isNullAt(i)) return null
-        val x = q.getLong(i) - c(i)
-        d += x * x
+        // overflow-CHECKED (the LongVecSum doctrine): the session runs
+        // ANSI, so the HOF form this kernel replaced THREW on a Long
+        // wrap — and the DuckDB twins error likewise. A silent
+        // wraparound here would instead land the row in a plausible
+        // wrong cluster with no symptom. Exact intrinsics, ~free.
+        val x = Math.subtractExact(q.getLong(i), c(i))
+        d = Math.addExact(d, Math.multiplyExact(x, x))
         i += 1
       }
       val l = labels(j)

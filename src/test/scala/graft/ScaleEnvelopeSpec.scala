@@ -32,6 +32,26 @@ class ScaleEnvelopeSpec extends SparkSpec {
     }
   }
 
+  test("kmeans argmin kernel fails loudly (never wraps) on coordinate " +
+      "magnitudes past the BIGINT distance envelope") {
+    // a legit finite float of 1e5 passes the embeddings admissibility
+    // filter and quantizes to 1e9; its squared distance to a far
+    // centroid overflows BIGINT. The replaced HOF form threw under
+    // ANSI and the DuckDB twin errors — the native kernel must too,
+    // not land the row in a plausible wrong cluster.
+    import spark.implicits._
+    val huge = Seq((0L, Seq.fill(8)(1e5.toFloat)), (1L, Seq.fill(8)(-1e5.toFloat)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Clustering.kmeansFixedPoint(
+        huge.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 2, rounds = 1).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException in the cause chain, got $ex")
+  }
+
   test("the 128-bit ppm idiom is exact where the BIGINT product wrapped") {
     import spark.implicits._
     // c = a hot key's event count at a 1e13-row corpus: c·1e6 ≈ 9e18·1e0
