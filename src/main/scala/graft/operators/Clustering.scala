@@ -217,8 +217,21 @@ object Clustering {
     * the exact quantized squared-L2 distance to the winning FINE
     * centroid.
     */
-  def kmeansTwoLevel(points: DataFrame, idCol: String, embCol: String,
-                     kc: Int, kf: Int, rounds: Int): DataFrame = {
+  /** A trained two-level codebook: labeled coarse centroids plus the
+    * per-cell fine centroid table (ragged — a cell seeds at most kf
+    * fine centroids, fewer when it holds fewer training rows).
+    */
+  case class TwoLevelCodebook(coarse: Seq[(Long, Array[Long])],
+                              fine: Array[Array[Array[Long]]], kf: Int)
+
+  /** The two-level Lloyd fit alone — train ONCE on a corpus snapshot,
+    * then assign any later increment with [[assignToTwoLevel]] (the
+    * [[kmeansCentroids]]/[[assignToCentroids]] daily-curation shape,
+    * lifted to the hierarchy: clusters stay comparable across
+    * increments because BOTH levels of the codebook are frozen).
+    */
+  def kmeansTwoLevelCodebook(points: DataFrame, idCol: String, embCol: String,
+                             kc: Int, kf: Int, rounds: Int): TwoLevelCodebook = {
     require(kc >= 1 && kc <= 64, s"kc must be 1..64, got $kc")
     require(kf >= 2 && kf <= 64, s"kf must be 2..64, got $kf")
     require(rounds >= 1 && rounds <= 20, s"rounds must be 1..20, got $rounds")
@@ -246,15 +259,8 @@ object Clustering {
     seedRows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
       fine(cell.toInt) = rs.sortBy(_.getLong(1)).map(_.getSeq[Long](2).toArray).toArray
     }
-    def assign2l(): DataFrame = {
-      val w = graft.expressions.GraftFunctions.kmeansArgmin2l(
-        col("_k2_cell"), col("_k2_q"),
-        fine.map(_.map(_.toSeq).toSeq).toSeq,
-        fine.map(cs => cs.indices.map(_.toLong).toSeq).toSeq)
-      withCell.select(col("_k2_id"), col("_k2_q"), col("_k2_cell"), w.as("_w"))
-        .select(col("_k2_id"), col("_k2_q"), col("_k2_cell"),
-          col("_w.cluster").as("_fid"), col("_w.qdist").as("qdist"))
-    }
+    def assign2l(): DataFrame =
+      fineAssign(withCell, "_k2_id", "_k2_q", "_k2_cell", fine)
     val vecSum = udaf(new LongVecSum)
     var r = 0
     while (r < rounds) {
@@ -272,10 +278,47 @@ object Clustering {
       }
       r += 1
     }
-    assign2l().select(col("_k2_id").as(idCol), col("_k2_cell").as("cell"),
-      col("_fid").as("fine"),
-      (col("_k2_cell") * kf + col("_fid")).as("cluster"), col("qdist"))
+    TwoLevelCodebook(coarse, fine, kf)
   }
+
+  /** The fine-level argmin projection over a frame carrying
+    * (idC, qC, cellC) — appends (_fid, qdist) via the cell-indexed
+    * kernel; shared by the fit loop and the frozen-codebook path.
+    */
+  private def fineAssign(frame: DataFrame, idC: String, qC: String,
+                         cellC: String,
+                         fine: Array[Array[Array[Long]]]): DataFrame = {
+    val w = graft.expressions.GraftFunctions.kmeansArgmin2l(
+      col(cellC), col(qC),
+      fine.map(_.map(_.toSeq).toSeq).toSeq,
+      fine.map(cs => cs.indices.map(_.toLong).toSeq).toSeq)
+    frame.select(col(idC), col(qC), col(cellC), w.as("_w"))
+      .select(col(idC), col(qC), col(cellC),
+        col("_w.cluster").as("_fid"), col("_w.qdist").as("qdist"))
+  }
+
+  /** Zero-shuffle assignment of arbitrary points against a FROZEN
+    * two-level codebook: one fused projection evaluates the coarse
+    * argmin (cell) and the cell's fine argmin per row — no join, no
+    * exchange, O(kc + kf) centroid comparisons. Output matches
+    * [[kmeansTwoLevel]]'s shape:
+    * (idCol, cell, fine, cluster = cell·kf + fine, qdist).
+    */
+  def assignToTwoLevel(points: DataFrame, idCol: String, embCol: String,
+                       cb: TwoLevelCodebook): DataFrame = {
+    val q = points.select(col(idCol).as("_a2_id"), quantize(col(embCol)).as("_a2_q"))
+    val withCell = argminAssign(q, "_a2_id", "_a2_q", cb.coarse)
+      .select(col("_a2_id"), col("_a2_q"), col("cluster").as("_a2_cell"))
+    fineAssign(withCell, "_a2_id", "_a2_q", "_a2_cell", cb.fine)
+      .select(col("_a2_id").as(idCol), col("_a2_cell").as("cell"),
+        col("_fid").as("fine"),
+        (col("_a2_cell") * cb.kf + col("_fid")).as("cluster"), col("qdist"))
+  }
+
+  def kmeansTwoLevel(points: DataFrame, idCol: String, embCol: String,
+                     kc: Int, kf: Int, rounds: Int): DataFrame =
+    assignToTwoLevel(points, idCol, embCol,
+      kmeansTwoLevelCodebook(points, idCol, embCol, kc, kf, rounds))
 
   /** Greedy k-center selection (Gonzalez 1985 farthest-first
     * traversal) — diversity-driven coreset/data-pruning: pick the k

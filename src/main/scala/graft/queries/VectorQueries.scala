@@ -457,6 +457,22 @@ object VectorQueries {
         "vec_id", "embedding", kc = K2Kc, kf = K2Kf, rounds = KmeansRounds)
     }),
 
+    // Frozen TWO-LEVEL codebook incremental assignment: train both
+    // levels once on the even-id snapshot, then assign every vector —
+    // including the odd-id "increment" — in ONE zero-shuffle fused
+    // projection (coarse argmin picks the cell, the cell's fine slice
+    // argmins within; no join, O(kc + kf) comparisons/row). The
+    // hierarchy's daily-curation path, mirroring
+    // cluster_assign_incremental.
+    "cluster_assign_incremental_2l" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = Clustering.kmeansTwoLevelCodebook(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        kc = K2Kc, kf = K2Kf, rounds = KmeansRounds)
+      Clustering.assignToTwoLevel(emb, "vec_id", "embedding", cb)
+        .withColumn("is_new", col("vec_id") % 2 =!= 0)
+    }),
+
     // SemDeDup: cluster-then-dedup semantic near-dup removal — the
     // quadratic cosine join is confined to k-means clusters
     // (Σ size² not n²), dup groups close via connected components,
@@ -583,8 +599,16 @@ object VectorQueries {
     * the DuckDB parallel-window hazard doesn't apply.
     */
   private[queries] def kmeans2lCtes(kc: Int, kf: Int, rounds: Int,
-                                    kcSql: Option[String] = None): String = {
-    def assign(i: Int): String =
+                                    kcSql: Option[String] = None,
+                                    trainWhere: Option[String] = None): String = {
+    // with trainWhere set, BOTH levels train on the filtered subset
+    // (coarse via kmeansCtes' own qt path; fine seeds and per-round
+    // assignments/updates over wt) while the final assignment b{R+1}
+    // covers the full w — the frozen-codebook incremental path,
+    // mirrored from the flat builder.
+    val trainSrc = if (trainWhere.isDefined) "wt" else "w"
+    def assign(i: Int): String = {
+      val src = if (i <= rounds) trainSrc else "w"
       s""", b$i AS MATERIALIZED (
          |  SELECT vec_id, cell, fid, dist FROM (
          |    SELECT vec_id, cell, fid, dist,
@@ -593,10 +617,11 @@ object VectorQueries {
          |      SELECT w.vec_id, w.cell, f.fid,
          |        CAST(list_sum(list_transform(list_zip(w.q, f.c),
          |          p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
-         |      FROM w JOIN f${i - 1} f ON w.cell = f.cell
+         |      FROM $src w JOIN f${i - 1} f ON w.cell = f.cell
          |    )
          |  ) WHERE rn = 1
          |)""".stripMargin
+    }
     def update(i: Int): String =
       s""", f$i AS MATERIALIZED (
          |  SELECT p.cell, p.fid, coalesce(u.c, p.c) AS c
@@ -612,13 +637,17 @@ object VectorQueries {
          |  ) u ON p.cell = u.cell AND p.fid = u.fid
          |)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + update(i)).mkString + assign(rounds + 1)
-    s"""${kmeansCtes(kc, rounds, kSql = kcSql)}, w AS MATERIALIZED (
+    val wtCte = trainWhere.map(w =>
+      s""", wt AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM w WHERE $w
+         |)""".stripMargin).getOrElse("")
+    s"""${kmeansCtes(kc, rounds, kSql = kcSql, trainWhere = trainWhere)}, w AS MATERIALIZED (
        |  SELECT q.vec_id, q.q, a.cid AS cell
        |  FROM a${rounds + 1} a JOIN q ON a.vec_id = q.vec_id
-       |), f0 AS MATERIALIZED (
+       |)$wtCte, f0 AS MATERIALIZED (
        |  SELECT cell, CAST(rn - 1 AS BIGINT) AS fid, q AS c FROM (
        |    SELECT cell, q, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-       |    FROM w
+       |    FROM $trainSrc
        |  ) WHERE rn <= $kf
        |)$body""".stripMargin
   }
@@ -819,6 +848,15 @@ object VectorQueries {
       s"""WITH ${kmeans2lCtes(K2Kc, K2Kf, KmeansRounds)}
          |SELECT vec_id, cell, fid AS fine, cell * $K2Kf + fid AS cluster,
          |  dist AS qdist
+         |FROM b${KmeansRounds + 1}""".stripMargin,
+
+    // Twin of the frozen two-level codebook path: both levels' training
+    // CTEs over the even-id half (coarse qt, fine wt), final assignment
+    // over the full corpus.
+    "cluster_assign_incremental_2l" ->
+      s"""WITH ${kmeans2lCtes(K2Kc, K2Kf, KmeansRounds, trainWhere = Some("vec_id % 2 = 0"))}
+         |SELECT vec_id, cell, fid AS fine, cell * $K2Kf + fid AS cluster,
+         |  dist AS qdist, vec_id % 2 <> 0 AS is_new
          |FROM b${KmeansRounds + 1}""".stripMargin,
 
     // Twin of dedup_semantic over the two-level chain: identical pair

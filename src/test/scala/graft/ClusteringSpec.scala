@@ -212,6 +212,38 @@ class ClusteringSpec extends SparkSpec {
     assert(smallCell.map(_._3).toSet.size <= 3)
   }
 
+  test("two-level codebook: compose equals kmeansTwoLevel; a frozen " +
+      "codebook never moves when an increment arrives") {
+    val rnd = new scala.util.Random(31)
+    val base = (0L until 50L).map { id =>
+      id -> Seq.fill(6)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // compose ≡ the one-shot operator
+    val cb = Clustering.kmeansTwoLevelCodebook(mkPoints(base), "vec_id",
+      "embedding", kc = 3, kf = 3, rounds = 2)
+    val composed = key(Clustering.assignToTwoLevel(mkPoints(base), "vec_id",
+      "embedding", cb))
+    val oneShot = key(Clustering.kmeansTwoLevel(mkPoints(base), "vec_id",
+      "embedding", kc = 3, kf = 3, rounds = 2))
+    assert(composed === oneShot)
+    // increments assign against the FROZEN codebook: old verdicts are
+    // untouched, and the codebook itself is identical object state
+    val inc = (1000L until 1020L).map { id =>
+      id -> Seq.fill(6)((rnd.nextFloat() - 0.5f) * 2f)
+    }
+    val both = key(Clustering.assignToTwoLevel(mkPoints(base ++ inc), "vec_id",
+      "embedding", cb))
+    base.foreach { case (id, _) => assert(both(id) === composed(id), s"id $id") }
+    assert(both.size === base.size + inc.size)
+    inc.foreach { case (id, _) =>
+      val (cell, fine, cluster, _) = both(id)
+      assert(cluster == cell * 3 + fine && cb.fine(cell.toInt).nonEmpty)
+    }
+  }
+
   test("semanticDedupTwoLevel with kc=1 equals flat semanticDedup") {
     val rnd = new scala.util.Random(23)
     val base = (0L until 30L).map { id =>
