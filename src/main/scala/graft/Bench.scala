@@ -82,11 +82,34 @@ object Bench {
       }
       (oks, attempts)
     }
-    val measured = selected.toSeq.sortBy(_._1).map { case (n, f) => n -> measure(n, f) }
-    var results = measured.collect {
-      case (n, (oks, _)) if oks.nonEmpty => n -> oks.min
-    }.sortBy(_._1)
-    val failed = measured.collect { case (n, (oks, _)) if oks.isEmpty => n }.sorted
+    // ---- Corroborated full sweeps --------------------------------------
+    // One sweep's total rides whatever state the box is in for those
+    // minutes (r13/r14 adjudication: unchanged code swung 17% between
+    // same-session full runs). The recorded artifact is therefore the
+    // ELEMENTWISE MIN over >=2 full sweeps — the exact recipe
+    // BENCH_PINNED.json is mined with — and the per-sweep totals ride
+    // the JSON so a reader can see how much box noise the min absorbed.
+    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt)
+    def fullSweep(): (Map[String, Double], Set[String]) = {
+      val m = selected.toSeq.sortBy(_._1).map { case (n, f) => n -> measure(n, f) }
+      (m.collect { case (n, (oks, _)) if oks.nonEmpty => n -> oks.min }.toMap,
+       m.collect { case (n, (oks, _)) if oks.isEmpty => n }.toSet)
+    }
+    val sweepRuns = (1 to sweeps).map { i =>
+      if (i > 1) { spark.catalog.clearCache(); System.gc(); Thread.sleep(200) }
+      val r = fullSweep()
+      System.err.println(f"[bench] sweep $i/$sweeps total ${r._1.values.sum}%.2f s" +
+        (if (r._2.nonEmpty) s", ${r._2.size} failed" else ""))
+      r
+    }
+    // a query counts as failed only if NO sweep produced a time
+    val failed = sweepRuns.map(_._2).reduce(_ intersect _).toSeq.sorted
+    var results = sweepRuns.flatMap(_._1.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min).toSeq.sortBy(_._1)
+    // per-sweep totals over the queries every sweep completed — the
+    // corroboration record (comparable numbers, same query set)
+    val commonQs = sweepRuns.map(_._1.keySet).reduce(_ intersect _)
+    val sweepTotals = sweepRuns.map(_._1.filter(kv => commonQs(kv._1)).values.sum)
     // ---- JVM-state-noise guard ----------------------------------------
     // A 240-query suite accumulates JVM state (codegen class cache, GC
     // pressure, broadcast cleanup debt); queries late in the sweep can
@@ -169,11 +192,12 @@ object Bench {
     val qs = merged.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = merged.map(_._2).sum
+    val sweepTotalsJson = sweepTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$total%.3f}"""
     // The full line first (complete per-query map for the log)…
     val runTotal = results.map(_._2).sum
-    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$runTotal%.3f}""")
     // …then persisted to a file: at 130+ queries the line outgrows
     // log-tail captures, so the machine-readable copy lives on disk.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
@@ -187,7 +211,7 @@ object Bench {
     // failure would otherwise blow the compact line past the tail
     // capture in exactly the scenario where it matters most.
     val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
     spark.stop()
   }
 }

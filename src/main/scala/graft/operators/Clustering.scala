@@ -161,6 +161,13 @@ object Clustering {
       // oracle's LEFT JOIN + coalesce)
       val next = cents.map(_.clone())
       upd.foreach { row =>
+        // a null cluster key means the argmin kernel nulled — a corrupt
+        // vector (null element / dimension mismatch) survived upstream
+        // admissibility; fail as loudly as the overflow path, not with
+        // an opaque NPE at getLong
+        require(!row.isNullAt(0),
+          "k-means update saw a null cluster: corrupt vector (null element " +
+            "or dimension mismatch) in the training input")
         next(row.getLong(0).toInt) = row.getSeq[Long](1).toArray
       }
       cents = next
@@ -273,6 +280,11 @@ object Clustering {
           expr("transform(s, x -> x div cnt)").as("c"))
         .collect()
       upd.foreach { row =>
+        // same loud-failure doctrine as the flat update loop: a null
+        // (cell, fid) key is a corrupt training vector, not a state
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          "two-level k-means update saw a null (cell, fine) key: corrupt " +
+            "vector (null element or dimension mismatch) in the training input")
         fine(row.getLong(0).toInt)(row.getLong(1).toInt) =
           row.getSeq[Long](2).toArray
       }
@@ -303,11 +315,27 @@ object Clustering {
     * exchange, O(kc + kf) centroid comparisons. Output matches
     * [[kmeansTwoLevel]]'s shape:
     * (idCol, cell, fine, cluster = cell·kf + fine, qdist).
+    *
+    * TRAINED-EMPTY cells are never assignment targets: a coarse cell
+    * the training corpus left empty has no fine centroids, so an
+    * increment vector whose unrestricted coarse argmin landed there
+    * (empty cells keep a stale centroid that CAN strictly win for
+    * out-of-snapshot points) would get a null fine assignment —
+    * breaking the one-row-per-input-vector contract downstream (the
+    * oracle twin's cell join would drop the row; semanticDedupFrom
+    * would keep a null-cluster singleton silently). Contract: the
+    * coarse argmin considers only NON-EMPTY cells, i.e. every point is
+    * assigned to the nearest cell that actually has a codebook.
+    * Training points are unaffected — their argmin cell is non-empty
+    * by definition (it contains them) — so the full-training path
+    * ([[kmeansTwoLevel]]) is bit-identical with or without the filter.
     */
   def assignToTwoLevel(points: DataFrame, idCol: String, embCol: String,
                        cb: TwoLevelCodebook): DataFrame = {
+    val nonEmpty = cb.coarse.filter { case (cid, _) => cb.fine(cid.toInt).nonEmpty }
+    require(nonEmpty.nonEmpty, "two-level codebook has no trained (non-empty) cells")
     val q = points.select(col(idCol).as("_a2_id"), quantize(col(embCol)).as("_a2_q"))
-    val withCell = argminAssign(q, "_a2_id", "_a2_q", cb.coarse)
+    val withCell = argminAssign(q, "_a2_id", "_a2_q", nonEmpty)
       .select(col("_a2_id"), col("_a2_q"), col("cluster").as("_a2_cell"))
     fineAssign(withCell, "_a2_id", "_a2_q", "_a2_cell", cb.fine)
       .select(col("_a2_id").as(idCol), col("_a2_cell").as("cell"),

@@ -74,14 +74,29 @@ object VectorQueries {
     s"(SELECT greatest($K2Kc, least($SemDedupMaxK, " +
       s"count(*) // ${SemDedupPerCluster * K2Kf})) FROM q)"
 
-  /** Embeddings row count, one pre-plan scalar job per corpus dir per
-    * JVM (the nBasketsMemo pattern — gate/bench corpora are immutable
-    * within a session).
+  /** Embeddings row count, one pre-plan scalar job per corpus SNAPSHOT
+    * per JVM. The memo key is dir + the table's modification stamp,
+    * not the bare dir: the oracle's scale-relative-k subquery
+    * recomputes count(*) live per run, so a corpus refreshed IN PLACE
+    * within a session (the incremental-curation shape) must re-count
+    * here too or the engine's k silently goes stale against the
+    * oracle's. Non-local URIs (no File view) fall back to the bare-dir
+    * key — the per-JVM-immutable assumption, now scoped to stores we
+    * can't cheaply stamp.
     */
   private val nEmbMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def embSnapshotKey(dir: String): String = {
+    def stamp(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty).map(stamp).toSeq).max
+      else f.lastModified
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    if (f.exists()) s"$dir@${stamp(f)}:${f.length}" else dir
+  }
   private def embCount(spark: SparkSession, dir: String): Long =
-    nEmbMemo.computeIfAbsent(dir, _ => Tables.embeddings(spark, dir).count())
+    nEmbMemo.computeIfAbsent(embSnapshotKey(dir),
+      _ => Tables.embeddings(spark, dir).count())
   /** 1-in-200 of the corpus are queries — keeps the brute-force
     * all-pairs work bounded at bench scale.
     */
@@ -607,8 +622,18 @@ object VectorQueries {
     // covers the full w — the frozen-codebook incremental path,
     // mirrored from the flat builder.
     val trainSrc = if (trainWhere.isDefined) "wt" else "w"
+    // Frozen-codebook path: the FINAL assignment reads from wne — the
+    // full-corpus coarse argmin RESTRICTED to non-empty cells (cells
+    // the training subset actually reached). An increment vector whose
+    // unrestricted argmin lands in a trained-empty cell has no fine
+    // centroids to join; the engine assigns it to the nearest
+    // non-empty cell (Clustering.assignToTwoLevel), and this mirrors
+    // that contract exactly — without it the b{R+1} inner join on
+    // cell would silently drop the row. Full-training path: every
+    // w cell is non-empty by definition, w is already correct.
+    val finalSrc = if (trainWhere.isDefined) "wne" else "w"
     def assign(i: Int): String = {
-      val src = if (i <= rounds) trainSrc else "w"
+      val src = if (i <= rounds) trainSrc else finalSrc
       s""", b$i AS MATERIALIZED (
          |  SELECT vec_id, cell, fid, dist FROM (
          |    SELECT vec_id, cell, fid, dist,
@@ -637,9 +662,28 @@ object VectorQueries {
          |  ) u ON p.cell = u.cell AND p.fid = u.fid
          |)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + update(i)).mkString + assign(rounds + 1)
+    // ne = cells the training rows reached under the FINAL coarse
+    // centroids (exactly the cells that seed fine centroids in f0);
+    // wne = the full corpus re-argmin'd against ONLY those cells'
+    // centroids — the nearest-non-empty-cell contract for increments.
     val wtCte = trainWhere.map(w =>
       s""", wt AS MATERIALIZED (
          |  SELECT vec_id, q, cell FROM w WHERE $w
+         |), ne AS MATERIALIZED (
+         |  SELECT DISTINCT cell FROM wt
+         |), wne AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT vec_id, q, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (
+         |      SELECT q.vec_id, q.q, c.cid AS cell,
+         |        CAST(list_sum(list_transform(list_zip(q.q, c.c),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+         |      FROM q CROSS JOIN (
+         |        SELECT c.cid, c.c FROM c$rounds c JOIN ne ON c.cid = ne.cell
+         |      ) c
+         |    )
+         |  ) WHERE rn = 1
          |)""".stripMargin).getOrElse("")
     s"""${kmeansCtes(kc, rounds, kSql = kcSql, trainWhere = trainWhere)}, w AS MATERIALIZED (
        |  SELECT q.vec_id, q.q, a.cid AS cell

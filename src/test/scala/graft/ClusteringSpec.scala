@@ -244,6 +244,42 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("frozen two-level codebook: a trained-empty coarse cell is never " +
+      "an assignment target — increments reroute to the nearest non-empty " +
+      "cell, one row per input vector, no nulls") {
+    // Crafted corpus (mirrors tools/fixture_2l_empty_cell.py): coarse
+    // Lloyd on the evens leaves cell 0 EMPTY in the final assignment
+    // (its stale centroid sits at 21.5), and increment vec 7 at 18.0
+    // strictly argmins to that stale centroid (3.5² < 3.6667² to cell
+    // 1). Pre-fix: null fine assignment; the oracle twin dropped the
+    // row. Contract: vec 7 lands in cell 1, the nearest NON-EMPTY cell.
+    val train: Seq[(Long, Seq[Float])] = Seq(
+      0L -> 26f, 2L -> 5f, 4L -> 0f, 6L -> 30f,
+      8L -> 12f, 10L -> 27f, 12L -> 14f, 14L -> 17f
+    ).map { case (id, v) => id -> Seq(v, 0f) }
+    val incr: Seq[(Long, Seq[Float])] = Seq(
+      1L -> 4f, 3L -> 13f, 5L -> 29f, 7L -> 18f
+    ).map { case (id, v) => id -> Seq(v, 0f) }
+    val cb = Clustering.kmeansTwoLevelCodebook(mkPoints(train), "vec_id",
+      "embedding", kc = 4, kf = 4, rounds = 3)
+    // the fixture's premise: cell 0 is trained-empty but its stale
+    // centroid is the UNRESTRICTED argmin for vec 7's vector
+    assert(cb.fine(0).isEmpty, "fixture must leave coarse cell 0 trained-empty")
+    val q7 = 180000L
+    val d = cb.coarse.map { case (cid, c) => cid -> (q7 - c(0)) * (q7 - c(0)) }.toMap
+    assert((1L to 3L).forall(c => d(0L) < d(c)),
+      "fixture premise: the stale cell-0 centroid must strictly win for vec 7")
+    val rows = Clustering.assignToTwoLevel(mkPoints(train ++ incr), "vec_id",
+      "embedding", cb).collect()
+    assert(rows.length === train.size + incr.size, "one row per input vector")
+    rows.foreach { r =>
+      assert(!r.anyNull, s"null assignment for vec ${r.getLong(0)}")
+      assert(r.getLong(1) != 0L, "trained-empty cell 0 must never be a target")
+    }
+    val v7 = rows.find(_.getLong(0) == 7L).get
+    assert(v7.getLong(1) === 1L, "vec 7 reroutes to the nearest non-empty cell")
+  }
+
   test("semanticDedupTwoLevel with kc=1 equals flat semanticDedup") {
     val rnd = new scala.util.Random(23)
     val base = (0L until 30L).map { id =>

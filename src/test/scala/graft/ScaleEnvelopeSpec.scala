@@ -150,4 +150,25 @@ class ScaleEnvelopeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-empty corpus"))
   }
+
+  test("embeddings count memo key tracks in-place corpus refreshes " +
+      "(scale-relative k must not go stale within a JVM)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_refresh").toString
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, Seq.fill(64)(0.1f)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(10)
+    val k1 = graft.queries.VectorQueries.embSnapshotKey(dir)
+    // an in-place refresh changes content length and/or mtime — the
+    // overwrite rewrites part files, so the directory stamp moves
+    Thread.sleep(1100) // FS mtime granularity can be 1 s
+    write(25)
+    val k2 = graft.queries.VectorQueries.embSnapshotKey(dir)
+    assert(k1 !== k2, "snapshot key must change when the corpus is refreshed in place")
+    // a non-local / absent path degrades to the bare-dir key, not an error
+    assert(graft.queries.VectorQueries.embSnapshotKey("/nonexistent/x") ===
+      "/nonexistent/x")
+  }
 }

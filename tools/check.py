@@ -51,12 +51,15 @@ FLOATY = ("FLOAT", "DOUBLE", "REAL")
 P63 = 9223372036854775783
 
 
-def compare_one(name, files, sql):
+def compare_one(name, files, sql, force_big=False):
     """Compare spark parquet files against oracle SQL.
 
     Returns (ok, msg). THE comparator — the main gate and the mutation
     harness both call exactly this, so a mutation kill certifies the
-    same code path the real gate trusts.
+    same code path the real gate trusts. force_big routes the compare
+    through the >2M-row multiset-hash path regardless of size — the
+    mutation harness uses it so the big path (where j5's 112M-row sf1
+    result lives) has its own kill record, not just the pandas path.
     """
     try:
         n_probe = con.execute(
@@ -74,7 +77,7 @@ def compare_one(name, files, sql):
     # decimals before hashing (an int-vs-float dtype divergence the
     # small path merely WARNs about would otherwise render '1' vs
     # '1.0' and hard-fail the hash).
-    if n_probe > 2_000_000:
+    if n_probe > 2_000_000 or force_big:
         try:
             sdesc = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchdf()
@@ -184,6 +187,28 @@ def mutants(name, files, sql):
 oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
 fails = []
+
+# The hash path only triggers past 2M rows, which no gate-tier result
+# reaches — so the mutation run additionally forces the LARGEST results
+# through it (>=3), giving the big-path comparator its own kill record.
+BIG_FORCED = set()
+if MUTATE:
+    sizes = []
+    for name in oracle_sql:
+        if only and name not in only:
+            continue
+        fs = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if fs:
+            try:
+                sizes.append((con.execute(
+                    f"SELECT count(*) FROM read_parquet({fs!r})").fetchone()[0],
+                    name))
+            except Exception:
+                pass
+    BIG_FORCED = {n for _, n in sorted(sizes, reverse=True)[:3]}
+    if BIG_FORCED:
+        print(f"[mutate] forcing multiset-hash path for {sorted(BIG_FORCED)}")
+
 for name, sql in sorted(oracle_sql.items()):
     if only and name not in only:
         continue
@@ -192,21 +217,23 @@ for name, sql in sorted(oracle_sql.items()):
         print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
 
     if MUTATE:
-        # the unmutated oracle must pass first, or a kill proves nothing
-        ok, msg = compare_one(name, files, sql)
-        if not ok:
-            print(f"FAIL {name}: baseline compare red before mutation: {msg}")
-            n_fail += 1; fails.append(name); continue
-        for label, msql in mutants(name, files, sql):
-            if msql is None:
-                print(f"SKIP {name}/{label}: no applicable mutation")
-                continue
-            mok, _ = compare_one(name, files, msql)
-            if mok:
-                print(f"FAIL {name}/{label}: MUTANT SURVIVED — gate blind spot")
-                n_fail += 1; fails.append(f"{name}/{label}")
-            else:
-                print(f"KILL {name}/{label}"); n_pass += 1
+        paths = [(False, "")] + ([(True, "/big-path")] if name in BIG_FORCED else [])
+        for force_big, tag in paths:
+            # the unmutated oracle must pass first, or a kill proves nothing
+            ok, msg = compare_one(name, files, sql, force_big=force_big)
+            if not ok:
+                print(f"FAIL {name}{tag}: baseline compare red before mutation: {msg}")
+                n_fail += 1; fails.append(name); continue
+            for label, msql in mutants(name, files, sql):
+                if msql is None:
+                    print(f"SKIP {name}/{label}{tag}: no applicable mutation")
+                    continue
+                mok, _ = compare_one(name, files, msql, force_big=force_big)
+                if mok:
+                    print(f"FAIL {name}/{label}{tag}: MUTANT SURVIVED — gate blind spot")
+                    n_fail += 1; fails.append(f"{name}/{label}{tag}")
+                else:
+                    print(f"KILL {name}/{label}{tag}"); n_pass += 1
         continue
 
     ok, msg = compare_one(name, files, sql)
