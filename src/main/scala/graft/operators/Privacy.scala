@@ -124,14 +124,36 @@ object Privacy {
             .partitionBy(qiNames.map(col): _*)))
       .groupBy(qiNames.map(col) :+ col("__nc").as("class_size"): _*)
       // per-term floor cast to LONG before the multiply: the sum is a
-      // plain BIGINT fold on both engines, order-free by construction
+      // plain BIGINT fold on both engines, order-free by construction.
+      // GUARD BAND (advice r14): JVM Math.log and libm ln can differ
+      // by an ulp (~4e-9 after the 1e6 multiply); if a computed value
+      // lands within 1e-7 of an integer, snap to that integer instead
+      // of flooring — both engines then agree anywhere inside the
+      // band, and the seam moves from the integers (where quantized
+      // logs of near-integer-power ratios cluster; measured minimum
+      // true distance 2.3e-7 over 2.1M fuzz pairs, see
+      // docs/ROBUSTNESS.md) to the unstructured band edge m±1e-7.
+      // Mirrored verbatim in the DuckDB twin.
       .agg(sum(col("__ncv") *
-        floor(lit(1e6) * log(col("__nc").cast("double") / col("__ncv")))
-          .cast("long")).as("__esum"))
+        quantizedLogTerm(col("__nc"), col("__ncv"))).as("__esum"))
       .withColumn("entropy_x1e6", expr("__esum div class_size"))
       .withColumn("meets_el", col("__esum") >= col("class_size") * threshold)
       .select(qiNames.map(col) :+ col("class_size") :+
         col("entropy_x1e6") :+ col("meets_el"): _*)
+  }
+
+  /** The per-term quantized log the entropy audit folds:
+    * floor(1e6·ln(nc/ncv)) with the snap-to-integer guard band.
+    * SHARED by the audit and [[graft.tools.LogBoundaryFuzz]] so the
+    * boundary-fuzz harness certifies the exact shipping expression,
+    * never a reimplementation. Mirrored verbatim in the DuckDB twin
+    * (LakehouseQueries privacy_entropy_l) and the fuzz driver's
+    * oracle-side SQL (tools/log_boundary_fuzz.py).
+    */
+  private[graft] def quantizedLogTerm(nc: Column, ncv: Column): Column = {
+    val y = lit(1e6) * log(nc.cast("double") / ncv)
+    when(abs(y - round(y)) <= lit(1e-7), round(y))
+      .otherwise(floor(y)).cast("long")
   }
 
   /** Row-level suppression: keep only rows whose quasi-identifier

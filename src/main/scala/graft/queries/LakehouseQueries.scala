@@ -570,12 +570,20 @@ object LakehouseQueries {
         |  SELECT qi_priority, qi_year, CAST(sum(ncv) AS BIGINT) AS class_size
         |  FROM cs GROUP BY 1, 2
         |), e AS (
-        |  SELECT cs.qi_priority, cs.qi_year, cls.class_size,
-        |    CAST(sum(cs.ncv *
-        |      CAST(floor(1000000.0 * ln(cls.class_size::DOUBLE / cs.ncv))
-        |           AS BIGINT)) AS BIGINT) AS esum
-        |  FROM cs JOIN cls ON cs.qi_priority = cls.qi_priority
-        |                  AND cs.qi_year = cls.qi_year
+        |  -- snap-to-integer guard band, mirroring the engine kernel:
+        |  -- a quantized log within 1e-7 of an integer becomes that
+        |  -- integer (cross-engine ulp divergence can no longer flip
+        |  -- the floor at the integer boundary)
+        |  SELECT qi_priority, qi_year, class_size,
+        |    CAST(sum(ncv * (CASE WHEN abs(y - round(y, 0)) <= 1e-7
+        |      THEN CAST(round(y, 0) AS BIGINT)
+        |      ELSE CAST(floor(y) AS BIGINT) END)) AS BIGINT) AS esum
+        |  FROM (
+        |    SELECT cs.qi_priority, cs.qi_year, cls.class_size, cs.ncv,
+        |      1000000.0 * ln(cls.class_size::DOUBLE / cs.ncv) AS y
+        |    FROM cs JOIN cls ON cs.qi_priority = cls.qi_priority
+        |                    AND cs.qi_year = cls.qi_year
+        |  )
         |  GROUP BY 1, 2, 3
         |)
         |SELECT qi_priority, qi_year, class_size,

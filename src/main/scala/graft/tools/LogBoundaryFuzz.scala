@@ -26,9 +26,10 @@ object LogBoundaryFuzz {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(args(0))
+      // the SHIPPING kernel, by reference — including the round-15
+      // snap-to-integer guard band
       .withColumn("q_spark",
-        floor(lit(1e6) * log(col("nc").cast("double") / col("ncv")))
-          .cast("long"))
+        graft.operators.Privacy.quantizedLogTerm(col("nc"), col("ncv")))
       .write.mode("overwrite").parquet(args(1))
     (2 to 1024).foreach { l =>
       println(s"THRESH,$l,${math.floor(1e6 * math.log(l.toDouble)).toLong}")

@@ -81,10 +81,18 @@ assert len(thresh_scala) == 1023, f"expected 1023 THRESH lines, got {len(thresh_
 
 # Oracle path + truth, joined against the Spark output.
 getcontext().prec = 40
+# q_duck mirrors the audit twin's guarded kernel verbatim: floor with
+# the round-15 snap-to-integer band (|y - round(y)| <= 1e-7 -> round).
 rows = con.execute(f"""
-  SELECT s.nc, s.ncv, s.q_spark,
-         CAST(floor(1000000.0 * ln(s.nc::DOUBLE / s.ncv)) AS BIGINT) AS q_duck
-  FROM '{spark_pq}/*.parquet' s
+  SELECT nc, ncv, q_spark,
+         CASE WHEN abs(y - round(y, 0)) <= 1e-7
+              THEN CAST(round(y, 0) AS BIGINT)
+              ELSE CAST(floor(y) AS BIGINT) END AS q_duck
+  FROM (
+    SELECT s.nc, s.ncv, s.q_spark,
+           1000000.0 * ln(s.nc::DOUBLE / s.ncv) AS y
+    FROM '{spark_pq}/*.parquet' s
+  )
 """).fetchall()
 assert len(rows) == n_pairs, f"row loss: {len(rows)} vs {n_pairs}"
 
@@ -92,10 +100,16 @@ M = Decimal(1_000_000)
 flips_cross, flips_spark, flips_duck = [], [], []
 min_margin = Decimal(1)
 min_margin_at = None
+BAND = Decimal("1e-7")
 for nc, ncv, qs, qd in rows:
     t = M * (Decimal(nc).ln() - Decimal(ncv).ln())
     qt = int(t)  # floor for t >= 0 (nc >= ncv always here)
     frac = t - qt
+    # guarded truth: inside the snap band the intended value is the
+    # integer itself (no pair in this corpus activates it — minimum
+    # observed margin 2.3e-7 — but the reference semantic is guarded)
+    if nc != ncv and min(frac, 1 - frac) <= BAND:
+        qt = qt + 1 if frac > Decimal("0.5") else qt
     margin = min(frac, 1 - frac) if nc != ncv else Decimal(1)
     if nc != ncv and margin < min_margin:
         min_margin, min_margin_at = margin, (nc, ncv)
