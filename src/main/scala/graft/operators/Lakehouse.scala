@@ -26,12 +26,48 @@ object Lakehouse {
   private[graft] val AtomicCreateSchemes: Set[String] =
     Set("file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs")
 
-  /** True when the writer lock is sound (or explicitly forced) on
-    * this scheme — factored out so the policy is unit-testable
-    * without instantiating an object-store connector.
+  /** Hadoop 3.4.2 path capability advertised by stores whose
+    * create-if-absent is a CONDITIONAL PUT (If-None-Match) — S3A with
+    * conditional writes enabled, and any future connector that adopts
+    * `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`.
+    * On such stores `create(path, overwrite = false)` fails atomically
+    * on a racing object, which is exactly the primitive the writer
+    * lock needs — so the capability, when present, admits the store
+    * without the static scheme allowlist.
     */
-  private[graft] def lockSchemeOk(scheme: String, force: Boolean): Boolean =
-    force || AtomicCreateSchemes.contains(scheme.toLowerCase)
+  private[graft] val ConditionalCreateCapability =
+    "fs.option.create.conditional.overwrite"
+
+  /** True when the writer lock is sound on this filesystem: the
+    * scheme's create-if-absent is natively atomic (HDFS semantics,
+    * the [[AtomicCreateSchemes]] FALLBACK), OR the store advertises
+    * conditional-create ([[ConditionalCreateCapability]] probe), OR
+    * the deployment explicitly forced best-effort locking. Factored
+    * out so the policy is unit-testable per branch without
+    * instantiating an object-store connector.
+    */
+  private[graft] def lockSound(scheme: String, conditionalCreate: Boolean,
+                               force: Boolean): Boolean =
+    force || conditionalCreate ||
+      AtomicCreateSchemes.contains(scheme.toLowerCase)
+
+  /** A failed CONDITIONAL create on a capability-advertising store
+    * surfaces as an exception at stream close (the PUT races another
+    * writer's marker), not as createNewFile's `false` — map those to
+    * "lock held" so contention on an object store behaves like
+    * contention on HDFS. Matched structurally (class name / message)
+    * because connector jars (hadoop-aws) are not on the compile
+    * classpath; every other IOException still PROPAGATES as a real
+    * failure.
+    */
+  private[graft] def isLockContention(e: Throwable): Boolean = {
+    // takeWhile strips compiler suffixes ($1) so structurally-named
+    // test doubles match like the real connector classes
+    val n = e.getClass.getSimpleName.takeWhile(_ != '$')
+    n == "RemoteFileChangedException" ||
+      n == "FileAlreadyExistsException" ||
+      Option(e.getMessage).exists(_.contains("PreconditionFailed"))
+  }
 
   /** Writer-lock marker for the rename-swap protocols
     * ([[compact]], [[compactPartitioned]], [[evolvePartitionSpec]],
@@ -66,19 +102,32 @@ object Lakehouse {
                                 dir: String, op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__lock")
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (!lockSchemeOk(scheme, conf.getBoolean("graft.lock.force", false)))
+    // capability probe first: a store that advertises conditional
+    // create (S3A on recent Hadoop) is admitted regardless of scheme;
+    // the static allowlist is the fallback for HDFS-semantics stores
+    // that predate the capability
+    val conditionalCreate =
+      try fs.hasPathCapability(lock, ConditionalCreateCapability)
+      catch { case _: Exception => false }
+    if (!lockSound(scheme, conditionalCreate,
+        conf.getBoolean("graft.lock.force", false)))
       throw new IllegalStateException(
-        s"$op: filesystem scheme '$scheme' has no atomic create-if-absent, " +
-          "so the writer lock would be advisory only; set " +
+        s"$op: filesystem scheme '$scheme' has no atomic create-if-absent " +
+          s"(no '$ConditionalCreateCapability' capability either), so the " +
+          "writer lock would be advisory only; set " +
           "spark.hadoop.graft.lock.force=true to accept best-effort " +
           "locking, or run rename-swap maintenance on an HDFS-semantics " +
-          "filesystem")
+          "or conditional-put filesystem")
     val staleMs = conf.getLong("graft.lock.stale.ms", -1L)
-    // createNewFile returns false when the marker exists; a genuine
-    // I/O error (permissions, connection reset) PROPAGATES — mapping
-    // it to "lock held" would send an operator hunting for a phantom
+    // createNewFile returns false when the marker exists; a racing
+    // CONDITIONAL create surfaces as an exception instead and maps to
+    // false too ([[isLockContention]]); any other genuine I/O error
+    // (permissions, connection reset) PROPAGATES — mapping it to
+    // "lock held" would send an operator hunting for a phantom
     // crashed writer instead of surfacing the real failure.
-    def acquire(): Boolean = fs.createNewFile(lock)
+    def acquire(): Boolean =
+      try fs.createNewFile(lock)
+      catch { case e: java.io.IOException if isLockContention(e) => false }
     def holderInfo(): String =
       try {
         val st = fs.getFileStatus(lock)

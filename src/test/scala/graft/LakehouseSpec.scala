@@ -241,16 +241,43 @@ class LakehouseSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1500))
   }
 
-  test("writer lock: scheme policy — object stores refused unless forced") {
-    // create-if-absent is atomic on HDFS-semantics filesystems only;
-    // object-store schemes must opt in explicitly (verdict r13 task 6)
-    assert(!Lakehouse.lockSchemeOk("s3a", force = false))
-    assert(!Lakehouse.lockSchemeOk("gs", force = false))
-    assert(!Lakehouse.lockSchemeOk("abfs", force = false))
-    assert(Lakehouse.lockSchemeOk("s3a", force = true))
-    assert(Lakehouse.lockSchemeOk("hdfs", force = false))
-    assert(Lakehouse.lockSchemeOk("viewfs", force = false))
-    assert(Lakehouse.lockSchemeOk("FILE", force = false), "scheme is case-blind")
+  test("writer lock: soundness policy — capability probe first, scheme " +
+      "allowlist as fallback, refusal otherwise unless forced") {
+    // branch 1: conditional-create capability admits ANY scheme — the
+    // S3A-on-recent-Hadoop path (verdict r14 task 8)
+    assert(Lakehouse.lockSound("s3a", conditionalCreate = true, force = false))
+    assert(Lakehouse.lockSound("gs", conditionalCreate = true, force = false))
+    // branch 2: HDFS-semantics allowlist (stores predating the
+    // capability) still admits without the probe
+    assert(Lakehouse.lockSound("hdfs", conditionalCreate = false, force = false))
+    assert(Lakehouse.lockSound("viewfs", conditionalCreate = false, force = false))
+    assert(Lakehouse.lockSound("FILE", conditionalCreate = false, force = false),
+      "scheme is case-blind")
+    // branch 3: no capability, not allowlisted -> refused...
+    assert(!Lakehouse.lockSound("s3a", conditionalCreate = false, force = false))
+    assert(!Lakehouse.lockSound("gs", conditionalCreate = false, force = false))
+    assert(!Lakehouse.lockSound("abfs", conditionalCreate = false, force = false))
+    // branch 4: ...unless the deployment forces best-effort locking
+    assert(Lakehouse.lockSound("s3a", conditionalCreate = false, force = true))
+    // the capability constant is the Hadoop 3.4 CreateFileOptionKeys key
+    assert(Lakehouse.ConditionalCreateCapability ===
+      "fs.option.create.conditional.overwrite")
+  }
+
+  test("writer lock: a racing conditional create maps to contention, " +
+      "other I/O errors stay loud") {
+    // object-store contention surfaces as exceptions at PUT time, not
+    // as createNewFile's `false` — these must read as "lock held"
+    class RemoteFileChangedException(m: String) extends java.io.IOException(m)
+    class FileAlreadyExistsException(m: String) extends java.io.IOException(m)
+    assert(Lakehouse.isLockContention(new RemoteFileChangedException("etag")))
+    assert(Lakehouse.isLockContention(new FileAlreadyExistsException("exists")))
+    assert(Lakehouse.isLockContention(
+      new java.io.IOException("PUT rejected: PreconditionFailed (412)")))
+    // a genuine failure must NOT be mistaken for contention
+    assert(!Lakehouse.isLockContention(new java.io.IOException("connection reset")))
+    assert(!Lakehouse.isLockContention(
+      new java.nio.file.AccessDeniedException("/t__lock")))
   }
 
   test("writer lock: holder identity in the message; stale markers reclaimable") {
