@@ -36,9 +36,19 @@ object GraphRank {
 
   val Scale = 1000000000000L // 1.0 in fixed point
 
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+  /** The loop-invariant artifacts every Pregel-lite ranking loop
+    * joins against, built ONCE: the edge+degree table pre-partitioned
+    * by src and checkpointed (every round's src-join then moves only
+    * the node-cardinality rank table — the edge table never
+    * re-shuffles), the distinct node table checkpointed, and the node
+    * count. [[prepare]] once per (graph, session) and share across
+    * ranking calls: pageRank and personalizedPageRank over the SAME
+    * edges (the gate's supplier⇄customer graph) reuse one artifact
+    * set instead of re-materializing it per query.
+    */
+  case class PreparedGraph(eDeg: DataFrame, nodes: DataFrame, n: Long)
+
+  def prepare(edges: DataFrame, srcCol: String, dstCol: String): PreparedGraph = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -51,7 +61,16 @@ object GraphRank {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .truncateLineage()
-    val n = nodes.count()
+    PreparedGraph(eDeg, nodes, nodes.count())
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int): DataFrame =
+    pageRank(prepare(edges, srcCol, dstCol), iters)
+
+  def pageRank(g: PreparedGraph, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+    val PreparedGraph(eDeg, nodes, n) = g
     require(n > 0, "pageRank on an empty graph")
     val r0 = Scale / n
     val base = (15L * r0) / 100L
@@ -97,21 +116,21 @@ object GraphRank {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           iters: Int): DataFrame =
+    personalizedPageRank(prepare(edges, srcCol, dstCol), isSeed, iters)
+
+  def personalizedPageRank(g: PreparedGraph,
+                           isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                            iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, "src").repartition(col("src")).truncateLineage()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .select(col("node"), isSeed(col("node")).as("seed"))
-      .truncateLineage()
+    val eDeg = g.eDeg
+    // the seed flag is a cheap projection over the already-
+    // checkpointed shared node table — no second materialization
+    val nodes = g.nodes.select(col("node"), isSeed(col("node")).as("seed"))
     val nSeeds = nodes.where(col("seed")).count()
     require(nSeeds > 0, "personalizedPageRank needs at least one seed node")
     val base = (15L * Scale / 100L) / nSeeds
-    val r0 = Scale / math.max(nodes.count(), 1L)
+    val r0 = Scale / math.max(g.n, 1L)
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
     var iter = 0
     while (iter < iters) {
