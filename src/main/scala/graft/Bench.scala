@@ -102,8 +102,15 @@ object Bench {
         (if (r._2.nonEmpty) s", ${r._2.size} failed" else ""))
       r
     }
-    // a query counts as failed only if NO sweep produced a time
+    // a query counts as failed only if NO sweep produced a time; one
+    // that failed SOME sweep but recovered is still reported (the
+    // flakiness signal must not be laundered away by the min-merge)
     val failed = sweepRuns.map(_._2).reduce(_ intersect _).toSeq.sorted
+    val intermittent =
+      (sweepRuns.flatMap(_._2).toSet -- failed).toSeq.sorted
+    if (intermittent.nonEmpty)
+      System.err.println(s"[bench] intermittent (failed some sweep, " +
+        s"recovered): ${intermittent.mkString(",")}")
     var results = sweepRuns.flatMap(_._1.toSeq)
       .groupMapReduce(_._1)(_._2)(math.min).toSeq.sortBy(_._1)
     // per-sweep totals over the queries every sweep completed — the
@@ -166,6 +173,8 @@ object Bench {
     val driftCompact = residualDrift.take(8)
       .map { case (n, r) => "\"" + n + f"\":$r%.2f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val intermittentJson =
+      intermittent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     // A TARGETED run (BENCH_ONLY) merges over the existing full record
     // instead of clobbering it — the on-disk file stays the
@@ -194,10 +203,10 @@ object Bench {
     val total = merged.map(_._2).sum
     val sweepTotalsJson = sweepTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"intermittent":$intermittentJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$total%.3f}"""
     // The full line first (complete per-query map for the log)…
     val runTotal = results.map(_._2).sum
-    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"intermittent":$intermittentJson,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$runTotal%.3f}""")
     // …then persisted to a file: at 130+ queries the line outgrows
     // log-tail captures, so the machine-readable copy lives on disk.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
@@ -211,7 +220,7 @@ object Bench {
     // failure would otherwise blow the compact line past the tail
     // capture in exactly the scenario where it matters most.
     val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_intermittent":${intermittent.size},"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
     spark.stop()
   }
 }

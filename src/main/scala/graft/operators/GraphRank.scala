@@ -65,8 +65,12 @@ object GraphRank {
   }
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int): DataFrame =
+               iters: Int): DataFrame = {
+    // validate BEFORE prepare(): the range check must stay a
+    // precondition, not fire after minutes of materialization
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
     pageRank(prepare(edges, srcCol, dstCol), iters)
+  }
 
   def pageRank(g: PreparedGraph, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
@@ -116,8 +120,10 @@ object GraphRank {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                           iters: Int): DataFrame =
+                           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
     personalizedPageRank(prepare(edges, srcCol, dstCol), isSeed, iters)
+  }
 
   def personalizedPageRank(g: PreparedGraph,
                            isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

@@ -119,15 +119,33 @@ object Lakehouse {
           "locking, or run rename-swap maintenance on an HDFS-semantics " +
           "or conditional-put filesystem")
     val staleMs = conf.getLong("graft.lock.stale.ms", -1L)
-    // createNewFile returns false when the marker exists; a racing
-    // CONDITIONAL create surfaces as an exception instead and maps to
-    // false too ([[isLockContention]]); any other genuine I/O error
-    // (permissions, connection reset) PROPAGATES — mapping it to
-    // "lock held" would send an operator hunting for a phantom
-    // crashed writer instead of surfacing the real failure.
+    // Acquisition primitive depends on HOW the store was admitted.
+    // Allowlisted schemes: plain createNewFile (create-if-absent is
+    // natively atomic there). Capability-admitted stores: the
+    // capability advertises the createFile BUILDER option, not that
+    // the default create path is conditional — so the acquire goes
+    // through the builder with the option MANDATORY (`must`): a
+    // connector that advertises but does not honor it fails loudly at
+    // build() instead of silently degrading to a HEAD+PUT advisory
+    // lock. A racing conditional create surfaces as an exception at
+    // PUT/close time and maps to "held" ([[isLockContention]]); any
+    // other genuine I/O error (permissions, connection reset)
+    // PROPAGATES — mapping it to "lock held" would send an operator
+    // hunting for a phantom crashed writer instead of the real failure.
+    val viaCapability =
+      conditionalCreate && !AtomicCreateSchemes.contains(scheme.toLowerCase)
     def acquire(): Boolean =
-      try fs.createNewFile(lock)
-      catch { case e: java.io.IOException if isLockContention(e) => false }
+      try {
+        if (viaCapability) {
+          if (fs.exists(lock)) false // cheap pre-check; the PUT is the arbiter
+          else {
+            val b = fs.createFile(lock).overwrite(false)
+            b.must(ConditionalCreateCapability, true)
+            b.build().close() // conditional PUT completes on close
+            true
+          }
+        } else fs.createNewFile(lock)
+      } catch { case e: java.io.IOException if isLockContention(e) => false }
     def holderInfo(): String =
       try {
         val st = fs.getFileStatus(lock)

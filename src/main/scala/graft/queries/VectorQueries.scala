@@ -86,16 +86,24 @@ object VectorQueries {
     */
   private val nEmbMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[graft] def embSnapshotKey(dir: String): String = {
-    def stamp(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty).map(stamp).toSeq).max
-      else f.lastModified
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    if (f.exists()) s"$dir@${stamp(f)}:${f.length}" else dir
-  }
+  private[graft] def embSnapshotKey(spark: SparkSession, dir: String): String =
+    try {
+      // Hadoop FileSystem depth, not java.io.File: the corpora this
+      // memo guards live wherever the tables are read from (hdfs://,
+      // s3a://, file:/ URIs), and a local-only stamp would silently
+      // degrade to the bare-dir key on exactly the cluster stores
+      // that refresh corpora in place
+      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def stamp(s: org.apache.hadoop.fs.FileStatus): Long =
+        if (s.isDirectory)
+          (s.getModificationTime +: fs.listStatus(s.getPath).map(stamp).toSeq).max
+        else s.getModificationTime
+      val st = fs.getFileStatus(p)
+      s"$dir@${stamp(st)}:${st.getLen}"
+    } catch { case _: Exception => dir } // unreadable: bare-dir fallback
   private def embCount(spark: SparkSession, dir: String): Long =
-    nEmbMemo.computeIfAbsent(embSnapshotKey(dir),
+    nEmbMemo.computeIfAbsent(embSnapshotKey(spark, dir),
       _ => Tables.embeddings(spark, dir).count())
   /** 1-in-200 of the corpus are queries — keeps the brute-force
     * all-pairs work bounded at bench scale.

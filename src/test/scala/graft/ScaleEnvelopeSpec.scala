@@ -160,15 +160,19 @@ class ScaleEnvelopeSpec extends SparkSpec {
         .toDF("vec_id", "embedding")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     write(10)
-    val k1 = graft.queries.VectorQueries.embSnapshotKey(dir)
+    val k1 = graft.queries.VectorQueries.embSnapshotKey(spark, dir)
     // an in-place refresh changes content length and/or mtime — the
     // overwrite rewrites part files, so the directory stamp moves
     Thread.sleep(1100) // FS mtime granularity can be 1 s
     write(25)
-    val k2 = graft.queries.VectorQueries.embSnapshotKey(dir)
+    val k2 = graft.queries.VectorQueries.embSnapshotKey(spark, dir)
     assert(k1 !== k2, "snapshot key must change when the corpus is refreshed in place")
-    // a non-local / absent path degrades to the bare-dir key, not an error
-    assert(graft.queries.VectorQueries.embSnapshotKey("/nonexistent/x") ===
+    // the stamp resolves through the Hadoop FileSystem, so URI-form
+    // paths stamp identically to their plain-path twins
+    assert(graft.queries.VectorQueries.embSnapshotKey(spark, s"file:$dir")
+      .endsWith(k2.drop(dir.length)), "file: URI must reach the same stamp")
+    // an absent path degrades to the bare-dir key, not an error
+    assert(graft.queries.VectorQueries.embSnapshotKey(spark, "/nonexistent/x") ===
       "/nonexistent/x")
   }
 }

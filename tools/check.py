@@ -223,7 +223,8 @@ for name, sql in sorted(oracle_sql.items()):
             ok, msg = compare_one(name, files, sql, force_big=force_big)
             if not ok:
                 print(f"FAIL {name}{tag}: baseline compare red before mutation: {msg}")
-                n_fail += 1; fails.append(name); continue
+                n_fail += 1; fails.append(name + tag)
+                break  # one red baseline fails the query once, not per path
             for label, msql in mutants(name, files, sql):
                 if msql is None:
                     print(f"SKIP {name}/{label}{tag}: no applicable mutation")

@@ -62,6 +62,15 @@ def argmin(x, cents, allowed):
     return min(allowed, key=lambda j: ((x - cents[j]) ** 2, j))
 
 
+def tdiv(a, b):
+    """Truncate-toward-zero integer division — the engine's `div` and
+    DuckDB's `//` semantics; Python's // floors, which diverges on
+    negative sums (the fixture is nonnegative today, but the reference
+    simulation must not silently disagree if it ever is not)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
 def simulate():
     """Pure-python twin of the frozen two-level codebook pipeline."""
     train = {i: q1(v) for i, v in TRAIN}
@@ -72,7 +81,7 @@ def simulate():
         groups = {}
         for i, x in train.items():
             groups.setdefault(argmin(x, cents, range(KC)), []).append(x)
-        cents = [sum(g) // len(g) if (g := groups.get(c)) else cents[c]
+        cents = [tdiv(sum(g), len(g)) if (g := groups.get(c)) else cents[c]
                  for c in range(KC)]
     # training rows' final cells define non-emptiness and fine seeds
     tcell = {i: argmin(x, cents, range(KC)) for i, x in train.items()}
@@ -92,7 +101,7 @@ def simulate():
             f = argmin(x, fine[c], range(len(fine[c])))
             groups.setdefault((c, f), []).append(x)
         for (c, f), g in groups.items():
-            fine[c][f] = sum(g) // len(g)
+            fine[c][f] = tdiv(sum(g), len(g))
     # final assignment: ALL rows, coarse restricted to non-empty cells
     out = {}
     for i, x in allv.items():
