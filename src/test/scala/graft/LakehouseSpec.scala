@@ -264,6 +264,27 @@ class LakehouseSpec extends SparkSpec {
       "fs.option.create.conditional.overwrite")
   }
 
+  test("writer lock: the conditional acquire's MANDATORY builder option " +
+      "is rejected loudly by a filesystem that does not honor it") {
+    // the capability-admitted acquire path sets
+    // fs.option.create.conditional.overwrite via must(): per the
+    // FileSystem builder contract, an implementation that does not
+    // recognize a mandatory key MUST reject it at build() — so a
+    // store that advertises the capability but routes create through
+    // a non-conditional path can never silently hand back an advisory
+    // lock; it errors. Local FS does not honor the option: pin the
+    // rejection.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft_caplock").toString + "/m__lock")
+    val b = fs.createFile(p).overwrite(false)
+    b.must(Lakehouse.ConditionalCreateCapability, true)
+    val e = intercept[Exception] { val out = b.build(); out.close() }
+    assert(e.getMessage != null &&
+      e.getMessage.toLowerCase.contains("mandatory"), e.toString)
+  }
+
   test("writer lock: a racing conditional create maps to contention, " +
       "other I/O errors stay loud") {
     // object-store contention surfaces as exceptions at PUT time, not
