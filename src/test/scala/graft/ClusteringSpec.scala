@@ -280,6 +280,40 @@ class ClusteringSpec extends SparkSpec {
     assert(v7.getLong(1) === 1L, "vec 7 reroutes to the nearest non-empty cell")
   }
 
+  test("frozen two-level assignment: randomized differential against a " +
+      "naive argmin — one row per vector, exact qdist, nearest non-empty cell") {
+    val rnd = new scala.util.Random(4207)
+    (0 until 3).foreach { trial =>
+      val nTrain = 12 + rnd.nextInt(20)
+      def v3() = Seq.fill(3)((rnd.nextInt(41) - 20).toFloat) // integral → quantize exact
+      val train = (0L until nTrain.toLong).map(id => id -> v3())
+      val inc = (1000L until 1008L).map(id => id -> v3())
+      val kc = 2 + rnd.nextInt(3); val kf = 2 + rnd.nextInt(3)
+      val cb = Clustering.kmeansTwoLevelCodebook(mkPoints(train), "vec_id",
+        "embedding", kc, kf, rounds = 1 + rnd.nextInt(3))
+      val out = Clustering.assignToTwoLevel(mkPoints(train ++ inc), "vec_id",
+        "embedding", cb).collect()
+      assert(out.length === train.size + inc.size, s"trial $trial row count")
+      val nonEmpty = cb.coarse.filter { case (cid, _) => cb.fine(cid.toInt).nonEmpty }
+      def q(v: Seq[Float]) = v.map(x => math.floor(x.toDouble * 10000).toLong).toArray
+      def sq(a: Array[Long], b: Array[Long]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val vecs = (train ++ inc).toMap
+      out.foreach { r =>
+        assert(!r.anyNull, s"trial $trial vec ${r.getLong(0)} null")
+        val (id, cell, fine) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(r.getLong(3) === cell * kf + fine, s"trial $trial vec $id cluster")
+        val qp = q(vecs(id))
+        val bestCell = nonEmpty.minBy { case (cid, c) => (sq(qp, c), cid) }._1
+        assert(cell === bestCell, s"trial $trial vec $id cell")
+        val fc = cb.fine(cell.toInt)
+        val bestF = fc.indices.minBy(j => (sq(qp, fc(j)), j.toLong))
+        assert(fine === bestF.toLong && r.getLong(4) === sq(qp, fc(bestF)),
+          s"trial $trial vec $id fine/qdist")
+      }
+    }
+  }
+
   test("semanticDedupTwoLevel with kc=1 equals flat semanticDedup") {
     val rnd = new scala.util.Random(23)
     val base = (0L until 30L).map { id =>
