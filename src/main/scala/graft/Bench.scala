@@ -89,19 +89,39 @@ object Bench {
     // ELEMENTWISE MIN over >=2 full sweeps — the exact recipe
     // BENCH_PINNED.json is mined with — and the per-sweep totals ride
     // the JSON so a reader can see how much box noise the min absorbed.
-    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt)
+    // ADAPTIVE sweep count (the BASELINE.md pin-recipe rule, in-process):
+    // run at least `minSweeps`, and when the two best sweep totals still
+    // disagree by >8% — one sweep rode a box-noise burst — keep sweeping
+    // to `maxSweeps` until two totals corroborate each other. SWEEPS=1
+    // stays a single quick local sweep (maxSweeps defaults to minSweeps
+    // then); the default 2 escalates to <=4.
+    val minSweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt)
+    val maxSweeps = math.max(minSweeps, sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_MAX_SWEEPS",
+      (if (minSweeps <= 1) minSweeps else 4).toString).toInt)
     def fullSweep(): (Map[String, Double], Set[String]) = {
       val m = selected.toSeq.sortBy(_._1).map { case (n, f) => n -> measure(n, f) }
       (m.collect { case (n, (oks, _)) if oks.nonEmpty => n -> oks.min }.toMap,
        m.collect { case (n, (oks, _)) if oks.isEmpty => n }.toSet)
     }
-    val sweepRuns = (1 to sweeps).map { i =>
-      if (i > 1) { spark.catalog.clearCache(); System.gc(); Thread.sleep(200) }
-      val r = fullSweep()
-      System.err.println(f"[bench] sweep $i/$sweeps total ${r._1.values.sum}%.2f s" +
-        (if (r._2.nonEmpty) s", ${r._2.size} failed" else ""))
-      r
+    var sweepRuns = Vector.empty[(Map[String, Double], Set[String])]
+    // totals compared over the queries EVERY sweep completed, so the
+    // corroboration check never mistakes a failed-query gap for speed
+    def sweepsCorroborated: Boolean = sweepRuns.size >= 2 && {
+      val common = sweepRuns.map(_._1.keySet).reduce(_ intersect _)
+      val totals = sweepRuns.map(_._1.view.filterKeys(common).values.sum).sorted
+      totals(1) <= totals(0) * 1.08
     }
+    while (sweepRuns.size < maxSweeps &&
+           (sweepRuns.size < minSweeps || !sweepsCorroborated)) {
+      if (sweepRuns.nonEmpty) { spark.catalog.clearCache(); System.gc(); Thread.sleep(200) }
+      val r = fullSweep()
+      sweepRuns :+= r
+      System.err.println(f"[bench] sweep ${sweepRuns.size}/$maxSweeps " +
+        f"total ${r._1.values.sum}%.2f s" +
+        (if (r._2.nonEmpty) s", ${r._2.size} failed" else ""))
+    }
+    val sweeps = sweepRuns.size
     // a query counts as failed only if NO sweep produced a time; one
     // that failed SOME sweep but recovered is still reported (the
     // flakiness signal must not be laundered away by the min-merge)
@@ -202,11 +222,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = merged.map(_._2).sum
     val sweepTotalsJson = sweepTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // Shared-artifact accounting: the min-over-sweeps recipe hides the
+    // one-time memo-population cost (sweep 1 pays it, sweep 2's warm
+    // time wins the min), so the amortized cost rides the JSON as its
+    // own fields instead of silently vanishing from per-query times.
+    val artifactSec = graft.core.MemoStats.seconds
+    val artifactN = graft.core.MemoStats.count
+    val artifactFields =
+      f""""artifact_build_sec":$artifactSec%.3f,"artifact_builds":$artifactN"""
     val fullJson =
-      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"intermittent":$intermittentJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"intermittent":$intermittentJson,"drift":$driftJson,"retry_passes":$retryPass,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,$artifactFields,"value":$total%.3f}"""
     // The full line first (complete per-query map for the log)…
     val runTotal = results.map(_._2).sum
-    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"intermittent":$intermittentJson,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","queries":${results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")},"failed":$failedJson,"intermittent":$intermittentJson,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,$artifactFields,"value":$runTotal%.3f}""")
     // …then persisted to a file: at 130+ queries the line outgrows
     // log-tail captures, so the machine-readable copy lives on disk.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
@@ -220,7 +248,7 @@ object Bench {
     // failure would otherwise blow the compact line past the tail
     // capture in exactly the scenario where it matters most.
     val failedCompact = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_intermittent":${intermittent.size},"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_sample":$failedCompact,"n_intermittent":${intermittent.size},"n_drift":${residualDrift.size},"drift":$driftCompact,"sf":"$sfDir","iterations":$iterations,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,$artifactFields,"full_results":"$outFile","slowest":$slowest,"value":$runTotal%.3f}""")
     spark.stop()
   }
 }

@@ -42,7 +42,12 @@ object SparkEntry {
     "inner", "full", "cross", "union", "except", "intersect", "limit",
     "qualify", "window", "using", "natural", "anti", "semi", "asof",
     "positional", "when", "then", "else", "end", "and", "or", "not",
-    "offset", "fetch", "tablesample", "pivot", "unpivot", "lateral")
+    "offset", "fetch", "tablesample", "pivot", "unpivot", "lateral",
+    // `from` can follow a COLUMN-ref match (`SELECT a, embeddings FROM
+    // …`): consuming it as a candidate alias would blind the scanner
+    // to the very next table reference (r16 fuzzer finding — `join`
+    // was already here for the same reason on the table-ref side)
+    "from")
 
   /** Matches every table-reference read of `embeddings` — FROM, any
     * JOIN, and the comma form (with or without surrounding spaces:
@@ -50,10 +55,21 @@ object SparkEntry {
     * embeddings` and `t,embeddings` both match) — plus its optional
     * alias. The trailing lookahead rejects `embeddings.` /
     * `embeddings(` so a qualified column reference or function call
-    * never matches.
+    * never matches. The alias group carries a NEGATIVE lookahead over
+    * [[postTableKeywords]] so a clause keyword is never CONSUMED as a
+    * candidate alias: consuming it blinded the scanner to a
+    * table reference immediately after — `FROM embeddings JOIN
+    * embeddings ON …` swallowed the JOIN and left the second read
+    * unquarantined (found by the QuarantineRewriteProperties fuzzer,
+    * r16). With the lookahead, a keyword after a bare ref stays in the
+    * input as the next match's prefix, and group(3), when present, is
+    * always a genuine alias.
     */
-  private val embeddingsRef =
-    """(?is)(\b(?:FROM|JOIN)\s+|,\s*)embeddings\b(?![.(])(\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?""".r
+  private val embeddingsRef = {
+    val kw = postTableKeywords.toSeq.sorted.mkString("|")
+    (s"""(?is)(\\b(?:FROM|JOIN)\\s+|,\\s*)embeddings\\b(?![.(])""" +
+      s"""(\\s+(?:AS\\s+)?(?!(?:$kw)\\b)([A-Za-z_][A-Za-z0-9_]*))?""").r
+  }
 
   /** Clause keywords that, found first when scanning BACKWARDS from a
     * comma match at the same paren depth, prove the comma is an
@@ -132,11 +148,12 @@ object SparkEntry {
       if (prefix.startsWith(",") && !inFromTableList(sql, m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
-      val alias = Option(m.group(3)).filterNot(a =>
-        postTableKeywords.contains(a.toLowerCase))
-      val tail = alias match {
+      // group(3) present ⟺ a genuine alias (the regex's negative
+      // lookahead already excluded clause keywords); bare reads keep
+      // the table name as the subquery alias
+      val tail = Option(m.group(3)) match {
         case Some(_) => m.group(2) // genuine alias: keep it verbatim
-        case None    => " embeddings" + Option(m.group(2)).getOrElse("")
+        case None    => " embeddings"
       }
       scala.util.matching.Regex.quoteReplacement(s"$prefix$sub$tail")
       }

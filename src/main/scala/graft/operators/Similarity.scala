@@ -149,13 +149,47 @@ object Similarity {
     * (sampleN rows) regardless of corpus size: quantizers train on
     * samples at scale, then broadcast as literals/reference objects.
     */
-  private def collectSample(corpus: DataFrame, sampleN: Int): Array[Array[Double]] =
-    corpus
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(sampleN)
-      .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+  private def collectSample(corpus: DataFrame, sampleN: Int): Array[Array[Double]] = {
+    // MEMOIZED per (corpus file paths + canonical plan, sampleN): every
+    // quantizer training on the same corpus — the coarse IVF codebook,
+    // the PQ subspace codebooks, and both trainings again inside the
+    // two-stage rerank — starts from this same hash-ordered sample, so
+    // the corpus scan-sort-collect job is paid once per JVM, not once
+    // per quantizer (verdict r15 item 1, the Similarity half). The
+    // sample is a bounded driver array — session-free — and a
+    // deterministic function of the corpus content, so reuse is exact
+    // under the nBasketsMemo doctrine (raw input dirs are immutable
+    // within a session). Memoization is gated to FILE-BACKED plans,
+    // keyed by the scan's root paths (which the canonicalized plan
+    // string does NOT carry) plus the canonicalized shape (which
+    // distinguishes different filters over the same files); in-memory
+    // corpora (LocalRelation canonicalizes identically regardless of
+    // data) always sample fresh.
+    def fresh(): Array[Array[Double]] =
+      corpus
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(sampleN)
+        .collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = corpus.queryExecution.analyzed.collectLeaves()
+    val roots = leaves.map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+      case _ => ""
+    }
+    if (leaves.isEmpty || roots.exists(_.isEmpty)) fresh()
+    else {
+      val key = roots.mkString(";") + "|" +
+        corpus.queryExecution.analyzed.canonicalized.toString + s"|n=$sampleN"
+      sampleMemo.computeIfAbsent(key, _ => graft.core.MemoStats.timed(fresh()))
+    }
+  }
+  private val sampleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** Deterministic Lloyd k-means on the driver over a collected
     * sample: init = first k sample points (hash order), argmin-L2
@@ -321,8 +355,12 @@ object Similarity {
     * literal arrays, so both encode and table-build are zero-shuffle
     * codegen'd projections).
     */
-  /** Per-subspace Lloyd-trained codebooks over the shared sample. */
-  private def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int, nCodes: Int)
+  /** Per-subspace Lloyd-trained codebooks over the shared sample.
+    * private[graft] so the randomized PQ differential (SimilaritySpec)
+    * can re-derive every encoded code against the SAME books the
+    * distributed path trained with.
+    */
+  private[graft] def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int, nCodes: Int)
       : Array[Array[Array[Double]]] = {
     val sample = collectSample(corpus, math.max(nCodes * 32, 512))
     Array.tabulate(m)(s =>

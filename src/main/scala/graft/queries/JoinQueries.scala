@@ -556,10 +556,19 @@ object JoinQueries {
   private def sessionMemo[T](map: java.util.concurrent.ConcurrentHashMap[
                                String, (org.apache.spark.sql.SparkSession, T)],
                              spark: org.apache.spark.sql.SparkSession,
-                             dir: String)(build: => T): T =
+                             dir: String)(build: => T): T = {
+    // loudness symmetry with the clustering failure doctrine: building
+    // against a stopped session would fail deep inside the build with
+    // an opaque context error — refuse up front instead (unreachable
+    // from a query actually running on that session, but an API caller
+    // holding a stale session reference should hear why)
+    require(!spark.sparkContext.isStopped,
+      s"sessionMemo($dir): the calling SparkSession is stopped; shared " +
+        "artifacts must be built on a live session")
     map.compute(dir, (_, old) =>
-      if (old != null && (old._1 eq spark) && !spark.sparkContext.isStopped) old
-      else (spark, build))._2
+      if (old != null && (old._1 eq spark)) old
+      else (spark, graft.core.MemoStats.timed(build)))._2
+  }
 
   private val coPurchaseMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, DataFrame)]()

@@ -74,37 +74,108 @@ object VectorQueries {
     s"(SELECT greatest($K2Kc, least($SemDedupMaxK, " +
       s"count(*) // ${SemDedupPerCluster * K2Kf})) FROM q)"
 
-  /** Embeddings row count, one pre-plan scalar job per corpus SNAPSHOT
-    * per JVM. The memo key is dir + the table's modification stamp,
-    * not the bare dir: the oracle's scale-relative-k subquery
-    * recomputes count(*) live per run, so a corpus refreshed IN PLACE
-    * within a session (the incremental-curation shape) must re-count
-    * here too or the engine's k silently goes stale against the
-    * oracle's. Non-local URIs (no File view) fall back to the bare-dir
-    * key — the per-JVM-immutable assumption, now scoped to stores we
-    * can't cheaply stamp.
+  /** Snapshot-scoped memo: ONE entry per (dir, tag), REPLACED — not
+    * accumulated — when the corpus snapshot stamp moves. A corpus
+    * refreshed in place within a session (the incremental-curation
+    * shape) rebuilds on next access while superseded snapshots' values
+    * drop out, so repeated refreshes never grow the map (the r15
+    * nEmbMemo keyed on the full snapshot string accumulated one entry
+    * per refresh forever). Values are plain driver-held data (counts,
+    * trained centroid arrays) — session-independent, deterministic
+    * functions of (snapshot, params) — so no session-liveness
+    * validation is needed, unlike [[JoinQueries]]' DataFrame memos.
     */
-  private val nEmbMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[graft] def embSnapshotKey(spark: SparkSession, dir: String): String =
-    try {
-      // Hadoop FileSystem depth, not java.io.File: the corpora this
-      // memo guards live wherever the tables are read from (hdfs://,
-      // s3a://, file:/ URIs), and a local-only stamp would silently
-      // degrade to the bare-dir key on exactly the cluster stores
-      // that refresh corpora in place
-      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def stamp(s: org.apache.hadoop.fs.FileStatus): Long =
-        if (s.isDirectory)
-          (s.getModificationTime +: fs.listStatus(s.getPath).map(stamp).toSeq).max
-        else s.getModificationTime
-      val st = fs.getFileStatus(p)
-      s"$dir@${stamp(st)}:${st.getLen}"
-    } catch { case _: Exception => dir } // unreadable: bare-dir fallback
+  private final class SnapshotMemo[T] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, (String, T)]()
+    def get(spark: SparkSession, dir: String, tag: String)(build: => T): T = {
+      val snap = embSnapshotKey(spark, dir)
+      m.compute(s"$dir|$tag", (_, old) =>
+        if (old != null && old._1 == snap) old
+        else (snap, graft.core.MemoStats.timed(build)))._2
+    }
+  }
+
+  /** Embeddings row count, one pre-plan scalar job per corpus SNAPSHOT
+    * per JVM. Snapshot-keyed, not bare-dir-keyed: the oracle's
+    * scale-relative-k subquery recomputes count(*) live per run, so a
+    * corpus refreshed IN PLACE within a session must re-count here too
+    * or the engine's k silently goes stale against the oracle's.
+    * Non-local URIs (no File view) fall back to the bare-dir key — the
+    * per-JVM-immutable assumption, now scoped to stores we can't
+    * cheaply stamp.
+    */
+  private val nEmbMemo = new SnapshotMemo[Long]
+  /** Stamp resolution is a getFileStatus + recursive listStatus — a
+    * remote round-trip per file on object stores — and every memoized
+    * artifact access pays it. A short TTL cache (1 s) collapses the
+    * within-query and within-sweep repeats to one round-trip while
+    * staying far under any real refresh cadence. (The in-place-refresh
+    * spec sleeps ≥ 1.1 s across its rewrite precisely to clear this
+    * window — keep the TTL under that if it ever changes.)
+    */
+  private val StampTtlNanos = 1000L * 1000 * 1000
+  private val stampMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  private[graft] def embSnapshotKey(spark: SparkSession, dir: String): String = {
+    val now = System.nanoTime()
+    val cached = stampMemo.get(dir)
+    if (cached != null && now - cached._1 < StampTtlNanos) cached._2
+    else {
+      val key = try {
+        // Hadoop FileSystem depth, not java.io.File: the corpora this
+        // memo guards live wherever the tables are read from (hdfs://,
+        // s3a://, file:/ URIs), and a local-only stamp would silently
+        // degrade to the bare-dir key on exactly the cluster stores
+        // that refresh corpora in place
+        val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def stamp(s: org.apache.hadoop.fs.FileStatus): Long =
+          if (s.isDirectory)
+            (s.getModificationTime +: fs.listStatus(s.getPath).map(stamp).toSeq).max
+          else s.getModificationTime
+        val st = fs.getFileStatus(p)
+        s"$dir@${stamp(st)}:${st.getLen}"
+      } catch { case _: Exception => dir } // unreadable: bare-dir fallback
+      stampMemo.put(dir, (now, key))
+      key
+    }
+  }
   private def embCount(spark: SparkSession, dir: String): Long =
-    nEmbMemo.computeIfAbsent(embSnapshotKey(spark, dir),
-      _ => Tables.embeddings(spark, dir).count())
+    nEmbMemo.get(spark, dir, "n") { Tables.embeddings(spark, dir).count() }
+
+  /** Trained-codebook memos (verdict r15 item 1): five of the twelve
+    * slowest bench queries re-ran an identical Lloyd fit — R rounds of
+    * full-corpus aggregation plus a checkpoint — on the same corpus
+    * per query. The fits are deterministic functions of
+    * (snapshot, trainFilter, k/kc/kf, rounds) and their results are
+    * bounded driver arrays, so they memoize exactly like the graph
+    * tier's shared artifacts but WITHOUT session validation (no
+    * cached blocks — the checkpoint inside training is torn down with
+    * its session; only the arrays survive, and those are
+    * session-free). Oracle semantics untouched: the oracle re-derives
+    * training per query either way and the results are bit-identical.
+    */
+  private val flatCentMemo = new SnapshotMemo[Seq[(Long, Array[Long])]]
+  private val twoLevelMemo = new SnapshotMemo[Clustering.TwoLevelCodebook]
+  /** evenOnly = the frozen-codebook incremental contract's training
+    * snapshot (vec_id % 2 = 0); full = train on the whole corpus.
+    */
+  private def trainedFlat(spark: SparkSession, dir: String, evenOnly: Boolean,
+                          k: Int, rounds: Int): Seq[(Long, Array[Long])] =
+    flatCentMemo.get(spark, dir, s"even=$evenOnly|k=$k|r=$rounds") {
+      val emb = Tables.embeddings(spark, dir)
+      Clustering.kmeansCentroids(
+        if (evenOnly) emb.where(col("vec_id") % 2 === 0) else emb,
+        "vec_id", "embedding", k, rounds)
+    }
+  private def trained2l(spark: SparkSession, dir: String, evenOnly: Boolean,
+                        kc: Int, kf: Int, rounds: Int): Clustering.TwoLevelCodebook =
+    twoLevelMemo.get(spark, dir, s"even=$evenOnly|kc=$kc|kf=$kf|r=$rounds") {
+      val emb = Tables.embeddings(spark, dir)
+      Clustering.kmeansTwoLevelCodebook(
+        if (evenOnly) emb.where(col("vec_id") % 2 === 0) else emb,
+        "vec_id", "embedding", kc, kf, rounds)
+    }
   /** 1-in-200 of the corpus are queries — keeps the brute-force
     * all-pairs work bounded at bench scale.
     */
@@ -399,8 +470,9 @@ object VectorQueries {
     // zero-shuffle map (centroids ride the plan as literals); each
     // round's only exchange is the map-side-combined centroid-sum agg.
     "cluster_kmeans" -> ((spark, dir) => {
-      Clustering.kmeansFixedPoint(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", k = KmeansK, rounds = KmeansRounds)
+      Clustering.assignToCentroids(Tables.embeddings(spark, dir),
+        "vec_id", "embedding",
+        trainedFlat(spark, dir, evenOnly = false, KmeansK, KmeansRounds))
     }),
 
     // Frozen-codebook incremental assignment: train k-means ONCE on a
@@ -411,9 +483,7 @@ object VectorQueries {
     // increment is the same zero-shuffle literal-centroid map.
     "cluster_assign_incremental" -> ((spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
-      val cents = Clustering.kmeansCentroids(
-        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        k = KmeansK, rounds = KmeansRounds)
+      val cents = trainedFlat(spark, dir, evenOnly = true, KmeansK, KmeansRounds)
       Clustering.assignToCentroids(emb, "vec_id", "embedding", cents)
         .withColumn("is_new", col("vec_id") % 2 =!= 0)
     }),
@@ -429,9 +499,8 @@ object VectorQueries {
     // convention). Everything past the assignment pass is k-row work.
     "drift_cluster_shift" -> ((spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
-      val cents = Clustering.kmeansCentroids(
-        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        k = KmeansK, rounds = KmeansRounds)
+      // shares cluster_assign_incremental's trained-on-even codebook
+      val cents = trainedFlat(spark, dir, evenOnly = true, KmeansK, KmeansRounds)
       val hist = Clustering.assignToCentroids(emb, "vec_id", "embedding", cents)
         .groupBy("cluster")
         .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
@@ -476,8 +545,9 @@ object VectorQueries {
     // per cell, and the full (cell, fine, qdist) assignment matches
     // bit for bit.
     "cluster_kmeans_2l" -> ((spark, dir) => {
-      Clustering.kmeansTwoLevel(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", kc = K2Kc, kf = K2Kf, rounds = KmeansRounds)
+      Clustering.assignToTwoLevel(Tables.embeddings(spark, dir),
+        "vec_id", "embedding",
+        trained2l(spark, dir, evenOnly = false, K2Kc, K2Kf, KmeansRounds))
     }),
 
     // Frozen TWO-LEVEL codebook incremental assignment: train both
@@ -489,9 +559,7 @@ object VectorQueries {
     // cluster_assign_incremental.
     "cluster_assign_incremental_2l" -> ((spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
-      val cb = Clustering.kmeansTwoLevelCodebook(
-        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        kc = K2Kc, kf = K2Kf, rounds = KmeansRounds)
+      val cb = trained2l(spark, dir, evenOnly = true, K2Kc, K2Kf, KmeansRounds)
       Clustering.assignToTwoLevel(emb, "vec_id", "embedding", cb)
         .withColumn("is_new", col("vec_id") % 2 =!= 0)
     }),
@@ -507,9 +575,12 @@ object VectorQueries {
     // predicate, and a recursive-CTE closure — per-vector verdicts
     // match bit for bit.
     "dedup_semantic" -> ((spark, dir) => {
-      Clustering.semanticDedup(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", k = semDedupK(embCount(spark, dir)),
-        rounds = KmeansRounds, tau = SemDedupTau)
+      val emb = Tables.embeddings(spark, dir)
+      val cents = trainedFlat(spark, dir, evenOnly = false,
+        semDedupK(embCount(spark, dir)), KmeansRounds)
+      Clustering.semanticDedupFrom(
+        Clustering.assignToCentroids(emb, "vec_id", "embedding", cents),
+        emb, "vec_id", "embedding", tau = SemDedupTau)
     }),
 
     // SemDeDup over the two-level clustering — the composition the
@@ -520,9 +591,12 @@ object VectorQueries {
     // flat k; measured 15.5 s at the 10× tier before this, 4-ish
     // after); kf stays fixed, the next lever once kc caps at 64.
     "dedup_semantic_2l" -> ((spark, dir) => {
-      Clustering.semanticDedupTwoLevel(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", kc = semDedup2lKc(embCount(spark, dir)),
-        kf = K2Kf, rounds = KmeansRounds, tau = SemDedupTau)
+      val emb = Tables.embeddings(spark, dir)
+      val cb = trained2l(spark, dir, evenOnly = false,
+        semDedup2lKc(embCount(spark, dir)), K2Kf, KmeansRounds)
+      Clustering.semanticDedupFrom(
+        Clustering.assignToTwoLevel(emb, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", tau = SemDedupTau)
     }),
 
     // Feature standardization: per-dimension z-score stats over the

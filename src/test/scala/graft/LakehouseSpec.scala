@@ -295,10 +295,18 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.isLockContention(new FileAlreadyExistsException("exists")))
     assert(Lakehouse.isLockContention(
       new java.io.IOException("PUT rejected: PreconditionFailed (412)")))
+    assert(Lakehouse.isLockContention(new java.io.IOException(
+      "PreconditionFailed: At least one of the pre-conditions you " +
+        "specified did not hold (If-None-Match)")))
     // a genuine failure must NOT be mistaken for contention
     assert(!Lakehouse.isLockContention(new java.io.IOException("connection reset")))
     assert(!Lakehouse.isLockContention(
       new java.nio.file.AccessDeniedException("/t__lock")))
+    // the bare error-code token WITHOUT the conditional-PUT context
+    // (412 / If-None-Match) is an unrelated precondition failure on a
+    // retried request — it must stay a loud failure, not "lock held"
+    assert(!Lakehouse.isLockContention(new java.io.IOException(
+      "copyObject failed: PreconditionFailed on x-amz-copy-source-if-match")))
   }
 
   test("writer lock: holder identity in the message; stale markers reclaimable") {

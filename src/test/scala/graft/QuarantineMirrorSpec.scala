@@ -31,6 +31,15 @@ class QuarantineMirrorSpec extends AnyFunSuite {
     // subquery-closing paren before the comma is still a table list
     val afterSub = mirrored("SELECT 1 FROM (SELECT 1 AS z) q, embeddings")
     assert(afterSub.contains(Sub), afterSub)
+    // a BARE read immediately followed by another JOIN read: the JOIN
+    // keyword must not be consumed as a candidate alias, or the second
+    // reference goes unquarantined (r16 fuzzer finding — the alias
+    // group's negative keyword lookahead pins this)
+    val selfJoin = mirrored("SELECT 1 FROM embeddings JOIN embeddings ON a = b")
+    assert("\\(SELECT \\* FROM embeddings WHERE".r
+      .findAllIn(selfJoin).size === 2, selfJoin)
+    assert(selfJoin.contains(") embeddings JOIN (") &&
+      selfJoin.contains(") embeddings ON a = b"), selfJoin)
   }
 
   test("comma-preceded COLUMN references named embeddings pass through") {

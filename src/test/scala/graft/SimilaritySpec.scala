@@ -186,6 +186,96 @@ class SimilaritySpec extends SparkSpec {
     assert(enc.where(col("vec_id") % 7 =!= 0 && col("codes").isNull).isEmpty)
   }
 
+  test("PQ/ADC native kernels: randomized differential — every code, " +
+      "table entry, score, and recon norm re-derived by naive driver math") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.expressions.PqKernels
+    val rnd = new scala.util.Random(1613)
+    (0 until 4).foreach { trial =>
+      val m = Seq(2, 4, 8)(rnd.nextInt(3))
+      val subDim = 1 + rnd.nextInt(3)
+      val nCodes = 2 + rnd.nextInt(6)
+      val books: Array[Array[Array[Double]]] =
+        Array.fill(m, nCodes, subDim)(rnd.nextDouble() * 2 - 1)
+      (0 until 16).foreach { _ =>
+        val emb = Array.fill(m * subDim)(rnd.nextFloat() * 2 - 1)
+        val a = new GenericArrayData(emb)
+        // encode: per-subspace argmin-L2, strictly-less keeps the
+        // lowest code — the naive loop mirrors that tie rule
+        val codes = PqKernels.encode(a, books)
+        val naiveCodes = (0 until m).map { s =>
+          (0 until nCodes).minBy { c =>
+            val d = (0 until subDim).map { j =>
+              val t = emb(s * subDim + j) - books(s)(c)(j); t * t
+            }.sum
+            (d, c)
+          }
+        }
+        assert((0 until m).forall(s => codes.getInt(s) == naiveCodes(s)),
+          s"trial $trial encode")
+        // ADC tables: t(s*nCodes+c) = dot(q_s, books(s)(c)) in the
+        // kernel's own float→double, left-to-right order
+        val tables = PqKernels.adcTables(a, books)
+        (0 until m).foreach { s =>
+          (0 until nCodes).foreach { c =>
+            var acc = 0.0
+            (0 until subDim).foreach(j =>
+              acc += emb(s * subDim + j).toDouble * books(s)(c)(j))
+            assert(tables.getDouble(s * nCodes + c) === acc,
+              s"trial $trial table ($s,$c)")
+          }
+        }
+        // score = Σ_s tables(s, code_s), exactly
+        val score = PqKernels.adcScore(tables, codes, nCodes)
+        val naiveScore = (0 until m)
+          .map(s => tables.getDouble(s * nCodes + codes.getInt(s))).sum
+        assert(score === naiveScore, s"trial $trial score")
+        // recon norm = sqrt(Σ_s |books(s)(code_s)|²)
+        val normSq = books.map(_.map(w => w.map(x => x * x).sum))
+        val rn = PqKernels.reconNorm(codes, normSq)
+        val naiveRn = math.sqrt(
+          (0 until m).map(s => normSq(s)(codes.getInt(s))).sum)
+        assert(rn === naiveRn, s"trial $trial recon norm")
+      }
+    }
+  }
+
+  test("pqEncode distributed path: randomized differential — every row's " +
+      "codes re-derived by naive argmin over the trained books") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(977)
+    (0 until 3).foreach { trial =>
+      val m = Seq(2, 4)(rnd.nextInt(2))
+      val subDim = 1 + rnd.nextInt(2)
+      val dim = m * subDim
+      val nCodes = 2 + rnd.nextInt(4)
+      val n = 60 + rnd.nextInt(60)
+      val rows = (0L until n.toLong).map(id =>
+        (id, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val corpus = rows.toDF("vec_id", "embedding")
+      val books = Similarity.pqCodebooks(corpus, m, subDim, nCodes)
+      val enc = Similarity.pqEncode(corpus, dim, m, nCodes).collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2))).toMap
+      val vecs = rows.toMap
+      assert(enc.size === n, s"trial $trial row count")
+      enc.foreach { case (id, (codes, reconNrm)) =>
+        val e = vecs(id)
+        val expect = (0 until m).map { s =>
+          (0 until books(s).length).minBy { c =>
+            val d = (0 until subDim).map { j =>
+              val t = e(s * subDim + j) - books(s)(c)(j); t * t
+            }.sum
+            (d, c)
+          }
+        }
+        assert(codes === expect, s"trial $trial vec $id codes")
+        val expectNrm = math.sqrt(
+          (0 until m).map(s => books(s)(codes(s)).map(x => x * x).sum).sum)
+        assert(reconNrm === expectNrm, s"trial $trial vec $id recon norm")
+      }
+    }
+  }
+
   test("IVF cells written bucketed-by-cell prune partitions for probes") {
     // the at-rest layout SCALE.md describes: corpus partitioned by
     // coarse cell, so a probe reads only its nProbe directories

@@ -205,7 +205,10 @@ if MUTATE:
                     name))
             except Exception:
                 pass
-    BIG_FORCED = {n for _, n in sorted(sizes, reverse=True)[:3]}
+    # a result already past the 2M-row threshold routes through the
+    # multiset-hash branch on its NORMAL pass — forcing it again would
+    # duplicate identical baseline+mutant runs and double-count kills
+    BIG_FORCED = {n for c, n in sorted(sizes, reverse=True)[:3] if c <= 2_000_000}
     if BIG_FORCED:
         print(f"[mutate] forcing multiset-hash path for {sorted(BIG_FORCED)}")
 
