@@ -24,8 +24,14 @@ import glob, json, os, re, subprocess, sys, time
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_synth"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
+# j5_self_join_pairs is DELIBERATELY absent from the 100x default list
+# and gated at a 30x tier instead (run explicitly with a K=30 corpus):
+# its RESULT is quadratic in corpus scale (~112M pair rows at 10x ->
+# ~10^10 at 100x, past this box's disk) — a property of the query's
+# answer, not of the plan, which stays the same hash-partitioned
+# equi-join at every tier. Recording the drop here so the cap is never
+# silent.
 names = sys.argv[3:] or [
-    "j5_self_join_pairs",
     "dedup_exact", "dedup_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_segments",
     "dedup_incremental", "dedup_pipeline", "dedup_canonical_quality",
@@ -58,7 +64,7 @@ def classpath():
 
 
 def run_one(name, cp):
-    cmd = ["/usr/bin/time", "-v", "java"]
+    cmd = ["java"]
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
     cmd += [
@@ -68,22 +74,34 @@ def run_one(name, cp):
     ]
     env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_VERIFY_THREADS="1")
     t0 = time.time()
-    try:
-        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                           cwd="/root/repo", timeout=3600)
-    except subprocess.TimeoutExpired:
-        print(f"  ENGINE TIMEOUT {name} (3600s)")
-        return time.time() - t0, 0, False
+    # peak RSS via /proc VmHWM polling (no GNU time in the container):
+    # HWM is monotone, so the last successful read before exit is the
+    # JVM's true high-water mark to within the poll interval
+    with open("/tmp/sf10_engine.log", "w") as log:
+        p = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                             env=env, cwd="/root/repo", text=True)
+        hwm_kb = 0
+        deadline = t0 + 3600
+        while p.poll() is None:
+            try:
+                with open(f"/proc/{p.pid}/status") as st:
+                    m = re.search(r"VmHWM:\s+(\d+) kB", st.read())
+                    if m:
+                        hwm_kb = max(hwm_kb, int(m.group(1)))
+            except OSError:
+                pass
+            if time.time() > deadline:
+                p.kill()
+                print(f"  ENGINE TIMEOUT {name} (3600s)")
+                return time.time() - t0, hwm_kb // 1024, False
+            time.sleep(0.5)
     wall = time.time() - t0
-    rss_kb = None
-    m = re.search(r"Maximum resident set size \(kbytes\): (\d+)", r.stderr)
-    if m:
-        rss_kb = int(m.group(1))
-    failed = ("[verify] %s failed" % name) in r.stderr or r.returncode != 0
+    stderr = open("/tmp/sf10_engine.log").read()
+    failed = ("[verify] %s failed" % name) in stderr or p.returncode != 0
     if failed:
-        tail = [l for l in r.stderr.splitlines() if "failed" in l or "Error" in l][-3:]
+        tail = [l for l in stderr.splitlines() if "failed" in l or "Error" in l][-3:]
         print(f"  ENGINE FAIL {name}: {tail}")
-    return wall, (rss_kb or 0) // 1024, not failed
+    return wall, hwm_kb // 1024, not failed
 
 
 def main():
@@ -145,10 +163,22 @@ def main():
             print("  ORACLE TIMEOUT", flush=True)
         results[name] = entry
 
-    out_json = "/root/repo/CORRECTNESS_sf10_subset.json"
-    json.dump(results, open(out_json, "w"), indent=0, sort_keys=True)
-    ok = sum(1 for v in results.values() if v["hash_match"])
-    print(f"{out_json}: {len(results)} queries, {ok} fully green")
+    for v in results.values():
+        v["sf_dir"] = sf_dir
+    out_json = os.environ.get("SF10_GATE_JSON",
+                              "/root/repo/CORRECTNESS_sf10_subset.json")
+    # MERGE over an existing record so the j5-at-30x tier run and the
+    # 100x sweep land in one file (each entry carries its sf_dir)
+    prev = {}
+    if os.path.exists(out_json):
+        try:
+            prev = json.load(open(out_json))
+        except Exception:
+            prev = {}
+    prev.update(results)
+    json.dump(prev, open(out_json, "w"), indent=0, sort_keys=True)
+    ok = sum(1 for v in prev.values() if v["hash_match"])
+    print(f"{out_json}: {len(prev)} queries, {ok} fully green")
 
 
 if __name__ == "__main__":
