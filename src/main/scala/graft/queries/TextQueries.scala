@@ -21,6 +21,81 @@ object TextQueries {
   private val infraWords = Seq("spark", "batch", "stream", "hash", "merge", "scan")
   private val dataWords = Seq("data", "row", "column", "table", "value", "key")
 
+  /** Shared corpus LM count artifacts (the graph-tier memo pattern
+    * applied to the text tier): three bench queries — text_bigram_lm,
+    * text_kn_bigram_lm, text_ppl_buckets — each re-derived the SAME
+    * unigram/bigram count tables with their own full-corpus explode +
+    * aggregation passes. The counts are deterministic functions of the
+    * corpus, vocabulary-bounded (they already broadcast in every
+    * consumer plan), and session-scoped via [[graft.core.SessionMemo]],
+    * so they materialize once per (session, dir) and every consumer
+    * reads the checkpointed tables. Oracle semantics untouched: the
+    * DuckDB twin re-derives the counts per query either way and the
+    * values are bit-identical.
+    *
+    * nTotal (corpus token count) folds over the MATERIALIZED unigram
+    * table — a vocab-sized scalar job, not the full-corpus count()
+    * the unmemoized form paid; nB (distinct bigrams) likewise counts
+    * the materialized bigram table.
+    */
+  private final case class LmArtifacts(uni: DataFrame, bi: DataFrame,
+                                       nTotal: Long, nB: Long)
+  private val lmArtMemo = new graft.core.SessionMemo[LmArtifacts]
+  private val lmScoresMemo = new graft.core.SessionMemo[DataFrame]
+  private val dupSpanMemo = new graft.core.SessionMemo[DataFrame]
+
+  private def lmArtifacts(spark: SparkSession, dir: String): LmArtifacts =
+    lmArtMemo.get(spark, dir) {
+      import graft.core.GraftSession.LineageOps
+      val toks = Tables.documents(spark, dir)
+        .select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+        .truncateLineage()
+      val bi = toks.select(explode(TextFns.shingles(col("t"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .truncateLineage()
+      val nTotal = uni.agg(coalesce(sum(col("cu")), lit(0L)).as("n"))
+        .head().getLong(0) // scalar over the vocab-sized artifact (1 row)
+      LmArtifacts(uni, bi, nTotal, bi.count())
+    }
+
+  /** The bigram-LM per-doc score table, memoized whole: text_bigram_lm
+    * IS this table and text_ppl_buckets reads it three times (corpus
+    * count, rank histogram, final bucket join) — doc-keyed, one row
+    * per document, checkpointed like the graph tier's edge artifacts.
+    */
+  private def lmScores(spark: SparkSession, dir: String): DataFrame =
+    lmScoresMemo.get(spark, dir) {
+      import graft.core.GraftSession.LineageOps
+      bigramLmScores(spark, dir).truncateLineage()
+    }
+
+  /** Dup-span gram profile shared by text_dup_span_profile (returns it
+    * verbatim) and text_dup_by_source (rolls it up by source) — same
+    * (nGram=5, minDocFreq=2) parameters, doc-keyed output.
+    */
+  private def dupSpanProf(spark: SparkSession, dir: String): DataFrame =
+    dupSpanMemo.get(spark, dir) {
+      import graft.core.GraftSession.LineageOps
+      Dedup.dupSpanProfile(Tables.documents(spark, dir), "doc_id", "text",
+        nGram = 5, minDocFreq = 2).truncateLineage()
+    }
+
+  /** Fitted BPE merge table shared by text_bpe_tokens and
+    * text_tokenizer_fertility (identical corpus + defaults). The value
+    * is a bounded driver-held Vector (≤ nMerges pairs) — session-free,
+    * so a bare-dir key suffices (the nBasketsMemo doctrine: raw input
+    * dirs are immutable within a session).
+    */
+  private val bpeFitMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Vector[(String, String)]]()
+  private def bpeFit(spark: SparkSession, dir: String): Vector[(String, String)] =
+    bpeFitMemo.computeIfAbsent(dir, _ => graft.core.MemoStats.timed(
+      graft.functions.Bpe.fitFromCorpus(Tables.documents(spark, dir), col("text"))))
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on full text.
     "dedup_exact" -> ((spark, dir) => {
@@ -142,8 +217,7 @@ object TextQueries {
     "text_tokenizer_fertility" -> ((spark, dir) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val docs = Tables.documents(spark, dir)
-      val ranks = graft.functions.Bpe.ranksOf(
-        graft.functions.Bpe.fitFromCorpus(docs, col("text")))
+      val ranks = graft.functions.Bpe.ranksOf(bpeFit(spark, dir))
       val bpe = ColumnBridge.column(graft.expressions.BpeTokenCount(
         ColumnBridge.expression(col("text")), ranks))
       docs.select(col("lang"),
@@ -169,8 +243,7 @@ object TextQueries {
     "text_bpe_tokens" -> ((spark, dir) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val docs = Tables.documents(spark, dir)
-      val ranks = graft.functions.Bpe.ranksOf(
-        graft.functions.Bpe.fitFromCorpus(docs, col("text")))
+      val ranks = graft.functions.Bpe.ranksOf(bpeFit(spark, dir))
       val bpe = ColumnBridge.column(graft.expressions.BpeTokenCount(
         ColumnBridge.expression(col("text")), ranks))
       docs.select(col("doc_id"),
@@ -468,7 +541,7 @@ object TextQueries {
     // low = novel — the per-doc signal next to text_unigram_logprob.
     // Scale: bigram/unigram count tables are vocabulary-sized →
     // broadcast; one doc-keyed aggregation.
-    "text_bigram_lm" -> ((spark, dir) => bigramLmScores(spark, dir)),
+    "text_bigram_lm" -> ((spark, dir) => lmScores(spark, dir)),
 
     // Kneser-Ney smoothed bigram LM (the smoothing production n-gram
     // LMs actually shipped): absolute discount D = 3/4 — RATIONAL by
@@ -485,20 +558,22 @@ object TextQueries {
     // Count tables are vocabulary-sized → broadcast; one doc-keyed
     // aggregation, engine-exact by construction.
     "text_kn_bigram_lm" -> ((spark, dir) => {
+      // bigram counts + nB come from the shared memoized artifacts;
+      // ctx/back are vocab-sized aggregations OVER the materialized
+      // count table (no corpus pass), and the per-doc transition
+      // explode below is this query's own real data pass
+      val art = lmArtifacts(spark, dir)
       val docs = Tables.documents(spark, dir)
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       val bigrams = toks.select(col("doc_id"),
         explode(TextFns.shingles(col("t"), 2)).as("bg"))
-      val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val bi = art.bi.select(col("bg"), col("c").as("c2"), col("w1"), col("w2"))
       val ctx = bi.groupBy("w1").agg(sum(col("c2")).as("ctx"),
         count(lit(1)).as("n1f"))
       val back = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
-      val nB = bi.count() // distinct bigrams, corpus scalar pre-plan
+      val nB = art.nB // distinct bigrams, corpus scalar pre-plan
       bigrams
-        .join(broadcast(bi.select(col("bg"), col("c2"), col("w1"), col("w2"))),
-          Seq("bg"))
+        .join(broadcast(bi), Seq("bg"))
         .join(broadcast(ctx), Seq("w1"))
         .join(broadcast(back), Seq("w2"))
         .withColumn("p_x1e6",
@@ -519,13 +594,11 @@ object TextQueries {
     // Bucketing is by VALUE against the cuts, so ties land
     // deterministically in both engines.
     "text_ppl_buckets" -> ((spark, dir) => {
-      import graft.core.GraftSession.LineageOps
-      // Materialize the scores once: three consumers (corpus count,
-      // value histogram, final bucket join) would otherwise re-run
-      // the whole LM pipeline each.
-      val sc = bigramLmScores(spark, dir)
+      // The memoized score table is already materialized — its three
+      // consumers here (corpus count, rank histogram, final bucket
+      // join) each read the checkpointed scan.
+      val sc = lmScores(spark, dir)
         .select(col("doc_id"), col("mean_p_x1e6").as("score"))
-        .truncateLineage()
       val n = sc.count() // corpus scalar, known pre-plan
       val r1 = (n + 2) / 3
       val r2 = (2 * n + 2) / 3
@@ -627,10 +700,7 @@ object TextQueries {
     // gram doc-frequency table is corpus-sized — never broadcast; the
     // hash-partitioned equi-join on the gram key is the honest 100 TB
     // plan. Longest run is gaps-and-islands: windows partition by doc.
-    "text_dup_span_profile" -> ((spark, dir) => {
-      Dedup.dupSpanProfile(Tables.documents(spark, dir), "doc_id", "text",
-        nGram = 5, minDocFreq = 2)
-    }),
+    "text_dup_span_profile" -> ((spark, dir) => dupSpanProf(spark, dir)),
 
     // Containment (asymmetric Jaccard |A∩B|/|A|) pair detection: the
     // near-SUPERSET case symmetric-Jaccard dedup misses — a short doc
@@ -679,8 +749,7 @@ object TextQueries {
     // with corpus-share context. Same gram machinery as the profile;
     // integer-exact throughout.
     "text_dup_by_source" -> ((spark, dir) => {
-      val prof = Dedup.dupSpanProfile(Tables.documents(spark, dir),
-        "doc_id", "text", nGram = 5, minDocFreq = 2)
+      val prof = dupSpanProf(spark, dir)
       prof.join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .groupBy("source")
@@ -1685,20 +1754,22 @@ object TextQueries {
     */
   private def bigramLmScores(spark: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
+    // count tables + scalars come from the shared memoized artifacts;
+    // the per-doc transition explode below is this query's own real
+    // data pass (corpus-sized — never memoized)
+    val art = lmArtifacts(spark, dir)
+    val nTotal = art.nTotal
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val words = toks.select(col("doc_id"), explode(col("t")).as("w"))
-    val nTotal = words.count() // corpus scalar, known pre-plan
-    val uni = words.groupBy("w").agg(count(lit(1)).as("cu"))
     val bigrams = toks.select(col("doc_id"),
       explode(TextFns.shingles(col("t"), 2)).as("bg"))
-    val bi = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
     bigrams
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(broadcast(bi), Seq("bg"))
-      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
+      // w1/w2 ride the broadcast count table (same split of the same
+      // bg) instead of re-splitting per transition row
+      .join(broadcast(art.bi.select(col("bg"), col("c").as("cb"),
+        col("w1"), col("w2"))), Seq("bg"))
+      .join(broadcast(art.uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
+      .join(broadcast(art.uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
       // the bigram-count product runs 128-bit like text_kn_bigram_lm's
       // discount term: 7·cb·1e5 crosses BIGINT at cb ≈ 1.3e13 — a
       // degenerate single-phrase corpus at exactly the 100 TB token

@@ -58,8 +58,8 @@ class BoundedCollectRegistrySpec extends AnyFunSuite {
       "corpus fingerprints / id-range midpoint: scalar aggregates (1 row each)"),
     "queries/MultimodalQueries.scala" -> (2,
       "max(asset_id) scalar aggregates (1 row each)"),
-    "queries/TextQueries.scala" -> (1,
-      "max(doc_id) scalar aggregate (1 row)")
+    "queries/TextQueries.scala" -> (2,
+      "max(doc_id) scalar aggregate (1 row); corpus token total: scalar aggregate over the vocab-sized memoized unigram artifact (1 row)")
   )
 
   private val pullPattern = """\.(collect|head|first|take)\(""".r

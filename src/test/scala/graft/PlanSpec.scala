@@ -310,7 +310,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dup-span profile: native gram kernel, doc-partitioned islands window") {
-    val df = graft.queries.TextQueries.queries("text_dup_span_profile")(spark, sfDir)
+    // assert on the BUILD plan (the memoized query entry returns the
+    // shared checkpointed artifact — a Scan ExistingRDD that hides the
+    // kernel it was built with)
+    val df = graft.operators.Dedup.dupSpanProfile(
+      graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+      nGram = 5, minDocFreq = 2)
     df.collect()
     val p = plan(df)
     // the native HashedShingles kernel (one tokenization pass), not the
