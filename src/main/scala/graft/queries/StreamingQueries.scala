@@ -158,7 +158,8 @@ object StreamingQueries {
     // the final state table — the materialized view a CDC consumer
     // maintains. State is one row per live key.
     "stream_cdc_apply" -> ((spark, dir) => {
-      val s = StreamingOps.eventsStream(spark, dir)
+      val drainSession = StreamingOps.statefulDrainSession(spark)
+      val s = StreamingOps.eventsStream(drainSession, dir)
         .select((col("user_id") % 100).as("k"),
           when(col("event_type") === "error", "D").otherwise("U").as("op"),
           col("value").as("payload"),
@@ -170,7 +171,8 @@ object StreamingQueries {
     }),
 
     "stream_dropdup_watermark" -> ((spark, dir) => {
-      val s = StreamingOps.eventsStream(spark, dir)
+      val drainSession = StreamingOps.statefulDrainSession(spark)
+      val s = StreamingOps.eventsStream(drainSession, dir)
         .select(col("ts"), col("user_id"), col("event_type"))
       StreamingOps.runAvailableNow(
         StreamingOps.dedupWithinWatermark(s, "ts", "10 minutes",

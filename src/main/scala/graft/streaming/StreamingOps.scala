@@ -219,6 +219,32 @@ object StreamingOps extends Serializable {
       }
     }
 
+  /** Child session for STATEFUL micro-batch drains. Stateful streaming
+    * operators instantiate one state store per shuffle partition, and
+    * every micro-batch pays a per-partition commit (delta file write +
+    * maintenance) regardless of how little state lands in it — so the
+    * right partition count tracks the stateful KEY cardinality and the
+    * per-batch commit budget, not the batch scan width the session
+    * default is sized for. Measured on the gate corpus (dropdup drain,
+    * sf0.1): 32 partitions 2.2 s vs 8 partitions 1.3 s — pure
+    * empty-partition commit overhead. Default 8 covers the gate/bench
+    * corpora (≤ thousands of live keys); a cluster deployment sets
+    * `spark.graft.stream.statePartitions` to its real key-cardinality/
+    * executor budget (note Spark FIXES the count in the stream's
+    * checkpoint at first run — size it for the stream's lifetime).
+    * The transforms themselves are partition-agnostic; only the drain
+    * harness routes through this session.
+    */
+  def statefulDrainSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val n = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(8)
+    require(n > 0, s"spark.graft.stream.statePartitions must be positive, got $n")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", n)
+    s2
+  }
+
   /** The events table as a REAL file-source stream (same ns→µs ts
     * normalization as the batch reader in [[graft.core.Tables]]).
     * Schema comes from a metadata-only batch probe of the same path.
