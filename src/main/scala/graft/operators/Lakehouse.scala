@@ -154,6 +154,19 @@ object Lakehouse {
             b.build().close() // conditional PUT completes on close
             true
           }
+        } else if (scheme.equalsIgnoreCase("file") ||
+                   scheme.equalsIgnoreCase("local")) {
+          // Hadoop's local createNewFile is exists-then-create (two
+          // separate steps through ChecksumFileSystem, not an O_EXCL
+          // open), so two SIMULTANEOUS acquirers can both win — caught
+          // by the cross-process race spec once its children were
+          // actually synchronized. java.io.File.createNewFile IS the
+          // atomic O_EXCL open; the marker path is unchanged, so the
+          // identity stamp and the release keep flowing through the
+          // Hadoop API.
+          val local = new java.io.File(lock.toUri.getPath)
+          Option(local.getParentFile).foreach(_.mkdirs())
+          local.createNewFile()
         } else fs.createNewFile(lock)
       } catch { case e: java.io.IOException if isLockContention(e) => false }
     def holderInfo(): String =

@@ -8,9 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Cross-PROCESS writer-lock race proof (verdict r15 item 5): the
   * conditional-create acquire was spec-pinned in-process; here two
   * separate JVMs ([[graft.tools.LockRaceChild]]) race `acquire` on the
-  * same table dir — released simultaneously by a barrier file, with
-  * the winner holding the lock long enough that the loser's attempt
-  * lands inside the critical section — and exactly one must win while
+  * same table dir — classpaths pre-warmed, released simultaneously by
+  * a barrier file, with the winner holding the lock until the loser
+  * reports contention (timeout as fallback) so the loser's attempt
+  * always lands inside the critical section — and exactly one must win while
   * the other maps to lock contention (not an opaque I/O failure). Run
   * on both admission branches: the local-FS scheme allowlist
   * (createNewFile arbiter) and a simulated capability-advertising
@@ -24,9 +25,12 @@ class LockRaceSpec extends AnyFunSuite {
     val barrier = s"$tmp/go"
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
+    // 15 s is a timeout-only fallback: the winner releases as soon as
+    // the loser's contention marker appears, so the normal race
+    // resolves in well under a second after the barrier drops.
     def spawn(id: String) = new ProcessBuilder(
       javaBin, "-Xmx256m", "-cp", cp, "graft.tools.LockRaceChild",
-      dirUri, barrier, id, "2000").redirectErrorStream(true).start()
+      dirUri, barrier, id, "15000").redirectErrorStream(true).start()
     val p1 = spawn("a")
     val p2 = spawn("b")
     // wait for both JVMs to boot and park at the barrier, then drop it
