@@ -272,16 +272,30 @@ object AggWindowQueries {
         // NaN measure aborted the exact fixed-point sum with ANSI
         // CAST_OVERFLOW (RelationalDirtySpec)
         .where(finiteMeasure(col("v")))
+        // TWO-LEVEL aggregate (r16: the approx twin's shape applied to
+        // the exact profile): collapse to distinct (column, value)
+        // groups first — map-side combine kills duplicates before the
+        // shuffle — then derive every statistic from the distinct
+        // groups. The single-level form with count_distinct mixed into
+        // plain aggregates planned an Expand(×2) that doubled the
+        // unpivoted stream through both aggregation levels.
+        .groupBy("column", "v")
+        .agg(count(lit(1)).as("cnt"))
         .groupBy("column")
         .agg(
-          count(lit(1)).as("n_rows"),
-          count_distinct(col("v")).as("ndv"),
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("ndv"),
           round(min(col("v")), 4).as("vmin"),
           round(max(col("v")), 4).as("vmax"),
           // exact fixed-point sum (measures are 2-decimal): float avg()
           // is never hash-compared across engines — summation order
-          // diverges at some grouping cell (dataset_card precedent)
-          sum(round(col("v") * 100).cast("long")).as("vsum_x100"))
+          // diverges at some grouping cell (dataset_card precedent).
+          // Per-term value·count products run 128-bit (a 1e7-cent value
+          // times a 1e12 duplicate count wraps long); the sum lands
+          // back in the BIGINT output column with an ANSI-loud cast at
+          // its honest representability cap (the approx twin's rule).
+          sum(round(col("v") * 100).cast("decimal(38,0)") * col("cnt"))
+            .cast("long").as("vsum_x100"))
         // 128-bit product: vsum_x100 approaches BIGINT on its own at
         // ~1e12 high-value rows, so vsum·100 would wrap long before
         // the sum column itself overflows its (honest, ANSI-loud)

@@ -722,12 +722,23 @@ object TextQueries {
       // native kernel: ONE tokenization pass per doc (the inline HOF
       // form re-splits the text at every element_at — measured 8+ s
       // here before the switch)
-      val raw = Tables.documents(spark, dir)
+      // r16: the df cap is a COUNT WINDOW over one gram-keyed exchange
+      // instead of a separate aggregate + mark join — the former plan
+      // re-ran the scan+shingle kernel once per consumer (4 Generate
+      // passes over the corpus: the df aggregate's column pruning
+      // narrowed its exchange to (g), defeating ReusedExchange). Now
+      // ONE tokenization feeds one exchange; the window's g-sort also
+      // pre-sorts both self-join sides (both ride ReusedExchange), so
+      // the merge join adds no re-sort. Window partitions are bounded
+      // by a gram's document frequency — never corpus-sized.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val grams = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(array_distinct(
           graft.expressions.GraftFunctions.hashedShingles(col("text"), 3))).as("g"))
-      val keep = raw.groupBy("g").agg(count(lit(1)).as("df"))
-        .where(col("df") <= 32).select(col("g"))
-      val grams = raw.join(keep, Seq("g"))
+        .repartition(col("g"))
+        .withColumn("df", count(lit(1)).over(w))
+        .where(col("df") <= 32)
+        .select(col("doc_id"), col("g"))
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       grams.as("x").join(grams.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
