@@ -363,26 +363,52 @@ object Dedup {
                         segTokens: Int, minDocFreq: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    // r16 (guide §8 rule: shuffle a lightweight proxy, move the payload
+    // once): the segment TEXT never leaves its document row — only
+    // (doc_id, seg_idx, 64-bit segment hash) flows through the df
+    // aggregation and the keep decision (the oracle groups the segment
+    // STRINGS, so the hash match doubles as a collision check — the
+    // text_dup_span_profile doctrine). The clean text reassembles in a
+    // final projection over the original document row from the kept
+    // segment indexes, so document bytes cross an exchange exactly
+    // once (the doc-keyed join attaching the narrow keep plan) instead
+    // of twice (the former seg-keyed repartition + doc-keyed rebuild,
+    // both carrying segment strings). Ids are assumed row-unique (the
+    // documents contract — held by every gate corpus): duplicate ids
+    // would reassemble per-row here where the former shape pooled
+    // their segments.
     val toks = TextFns.tokens(col(textCol))
-    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
-    val segs = docs.select(col(idCol).as("doc_id"),
-      posexplode(transform(sequence(lit(0), nSeg - 1),
-        i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
-        .as(Seq("seg_idx", "seg")))
-      .repartition(col("seg"))
-    val boiler = segs.groupBy(col("seg"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // token array materialized BEFORE every per-index lambda (HOF
+    // lambdas don't CSE their inputs — an inline split re-tokenizes
+    // the document at every segment index)
+    def segAt(i: org.apache.spark.sql.Column) =
+      concat_ws(" ", slice(col("__toks"), i * segTokens + 1, lit(segTokens)))
+    val nSeg = ceil(size(col("__toks")) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1), i => xxhash64(segAt(i))))
+          .as(Seq("seg_idx", "h")))
+    val boiler = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
-      .select(col("seg"), lit(true).as("bp"))
-    segs.join(boiler, Seq("seg"), "left")
-      .select(col("doc_id"), col("seg_idx"), col("seg"), col("bp").isNull.as("keep"))
+      .select(col("h"), lit(true).as("bp"))
+    val kept = segs.join(boiler, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seg"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("seg_idx"), col("seg"))))),
-          s => s.getField("seg")), " ").as("clean_text"))
+        sum(when(col("bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("bp").isNull, col("seg_idx"))))
+          .as("kept_idx"))
+    // materialize the token array BEFORE the per-index lambda: HOF
+    // lambdas don't CSE their inputs, so an inline split would
+    // re-tokenize the document at every kept segment (the
+    // text_dup_span_profile round-11 lesson)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        array_join(transform(col("kept_idx"),
+          i => concat_ws(" ",
+            slice(col("__toks"), i * segTokens + 1, lit(segTokens)))), " ")
+          .as("clean_text"))
   }
 
   /** Blocked exact n-gram-Jaccard near-dup pairs: all pairs within a
@@ -501,6 +527,17 @@ object Dedup {
                      nGram: Int, minDocFreq: Int = 2): DataFrame = {
     require(nGram >= 2 && minDocFreq >= 2,
       s"need nGram >= 2 and minDocFreq >= 2, got $nGram/$minDocFreq")
+    // r16 (guide §8 rule: shuffle a lightweight proxy, move the payload
+    // once): token text never crosses an exchange. The duplicated-gram
+    // membership and coverage expansion run over narrow
+    // (doc, position, hash) rows exactly as before, but the covered
+    // positions then collapse to ONE int array per doc and attach to
+    // the original document row, where a codegen'd index filter
+    // excises the covered tokens in place. The former shape exploded
+    // the full token stream WITH its strings and shuffled it twice
+    // (the anti join by (doc, pos), then the rebuild's doc-keyed
+    // collect_list). Ids are assumed row-unique (the documents
+    // contract — held by every gate corpus).
     val base = docs.select(col(idCol).as("_dr_id"), col(textCol).as("_dr_text"))
     val grams = base.select(col("_dr_id"),
       posexplode(graft.expressions.GraftFunctions.hashedShingles(col("_dr_text"), nGram))
@@ -513,19 +550,24 @@ object Dedup {
       .select(col("_dr_id"),
         explode(sequence(col("pos"), col("pos") + (nGram - 1))).as("tpos"))
       .distinct()
-    val toks = base.select(col("_dr_id"),
-      posexplode(split(col("_dr_text"), " ")).as(Seq("tpos", "tok")))
-    val kept = toks.join(covered, Seq("_dr_id", "tpos"), "left_anti")
-    val counts = toks.groupBy("_dr_id").agg(count(lit(1)).as("n_tokens"))
-    val removed = covered.groupBy("_dr_id").agg(count(lit(1)).as("n_removed"))
-    val rebuilt = kept.groupBy("_dr_id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("tpos"), col("tok")))),
-        s => s.getField("tok")), " ").as("cleaned_text"))
-    counts.join(removed, Seq("_dr_id"), "left")
-      .join(rebuilt, Seq("_dr_id"), "left")
-      .select(col("_dr_id").as(idCol), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    val covArr = covered.groupBy("_dr_id")
+      .agg(sort_array(collect_list(col("tpos"))).as("cov"))
+    base.where(col("_dr_text").isNotNull)
+      .join(covArr, Seq("_dr_id"), "left")
+      // normalize the no-covered-positions case to an EMPTY array
+      // before the index filter: array_contains(NULL, i) is NULL and a
+      // NULL lambda result drops the token — the exact inversion of
+      // "nothing to remove"
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      // materialize the token array BEFORE the index filter: HOF
+      // lambdas don't CSE their inputs, so an inline split would
+      // re-tokenize the document at every token position
+      .withColumn("__toks", split(col("_dr_text"), " "))
+      .select(col("_dr_id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(
+          filter(col("__toks"), (_, i) => not(array_contains(col("cov"), i))),
+          " ").as("cleaned_text"))
   }
 }

@@ -389,4 +389,27 @@ class PlanSpec extends SparkSpec {
     assert("\\*\\(1\\) HashAggregate".r.findFirstIn(p).isDefined ||
       "\\*\\(2\\) HashAggregate".r.findFirstIn(p).isDefined, p.take(800))
   }
+
+  test("span-removal/boilerplate shuffles move a narrow proxy; text crosses at most one exchange") {
+    // r16 rewrite claim (guide §8): the df/keep decision flows as
+    // (doc, position, hash) rows; document text attaches ONCE via the
+    // doc-keyed join. Pin it structurally: count shuffle exchanges
+    // whose output carries any string payload (plain or array) — the
+    // single payload-attach exchange is the only one allowed.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def stringShuffles(name: String): Int = {
+      val df = graft.queries.TextQueries.queries(name)(spark, sfDir)
+      df.collect() // finalize AQE
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.output.exists(a => a.dataType match {
+          case StringType => true
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }) => e
+      }.size
+    }
+    assert(stringShuffles("text_boilerplate") <= 1)
+    assert(stringShuffles("text_dup_span_removal") <= 1)
+  }
 }
