@@ -129,18 +129,28 @@ object AggWindowQueries {
             .otherwise(when(lag(col("s"), 1).over(w).isNull, 1L).otherwise(0L)))
         .withColumn("sid", sum(col("gap")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
-      val per = sess.groupBy("user_id", "sid")
-        .agg(min(when(col("event_type") === "view", col("s"))).as("v"))
-      val withV = sess.join(per, Seq("user_id", "sid"))
-      val perC = withV.groupBy("user_id", "sid")
-        .agg(min(col("v")).as("v"),
+      // r16: the three dependent stage minima run as STACKED whole-
+      // partition windows over (user_id, sid) instead of three
+      // aggregate+join-back passes (each of which re-derived the
+      // sessionized stream — the join form re-ran the window subtree
+      // per consumer). The session partitioning is a superset of the
+      // user partitioning already established, so no new exchange is
+      // planned; each window sees the previous stage's column, which
+      // keeps the time-respecting chain (click at-or-after first view,
+      // purchase at-or-after that click) identical.
+      val ws = Window.partitionBy("user_id", "sid")
+      val perP = sess
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("s"))).over(ws))
+        .withColumn("c",
           min(when(col("event_type") === "click" && col("s") >= col("v"),
-            col("s"))).as("c"))
-      val perP = sess.join(perC, Seq("user_id", "sid"))
+            col("s"))).over(ws))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("s") >= col("c"),
+            col("s"))).over(ws))
         .groupBy("user_id", "sid")
         .agg(min(col("v")).as("v"), min(col("c")).as("c"),
-          min(when(col("event_type") === "purchase" && col("s") >= col("c"),
-            col("s"))).as("p"))
+          min(col("p")).as("p"))
       perP.agg(
           count(lit(1)).as("n_sessions"),
           sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
